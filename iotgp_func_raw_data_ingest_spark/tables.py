@@ -1,0 +1,58 @@
+"""Loaders for the driver's TPC-H-ish parquet tables (TESTDATA.md).
+
+One parquet file per table under ``{sf_dir}/{name}.parquet``. We read with
+explicit ``spark.read.parquet`` (no schema inference cost — parquet footers
+carry the schema) and register temp views so both the DataFrame and SQL
+surfaces can be exercised.
+
+Scale note: at 100 TB each "table" would be a partitioned directory; the
+loader takes any Hadoop-compatible path, and all queries in plans/ are
+written against views, so swapping the storage layout touches only this
+module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects; with spark.sql.legacy.parquet.nanosAsLong (set in
+        # session.py and plans.registry.prep) it arrives as epoch-nanos
+        # LongType. Convert ns → µs with integer division (double division
+        # would lose precision at 1.7e18) — test data is µs-aligned, so
+        # this is lossless and matches DuckDB's value to the microsecond.
+        field = dict((f.name, f.dataType) for f in df.schema.fields).get("ts")
+        if isinstance(field, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every table and register it as a temp view of the same name."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
