@@ -1,0 +1,142 @@
+"""Decode kernel: base64 cleaning (JVM built-ins) + the one genuinely
+Python stage — decompress cascade → JSON parse → shape-normalize.
+
+Reference parity (cited file is the reference's src/function_app.py):
+
+- ``clean_base64``      ← clean_base64, :118-127 — strip chars outside
+  ``[A-Za-z0-9+/=]`` and re-pad ``=`` to a multiple of 4. Pure
+  ``regexp_replace``/``repeat`` built-ins → whole-stage codegen.
+- ``decode_payload_rows`` ← try_decompress :129-144, payload parse
+  :281-292, shape detect `_is_columnar_dict` :149-159, normalize
+  `_normalize_columnar` :161-175 / `_flatten_decoded_rows` :193-198 /
+  `_rows_to_columnar` :200-220. Spark has no deflate/zlib column function
+  and ``from_json`` cannot express "dynamic keys + JSON-stringify nested
+  values + columnar-dict explode", so this one stage is an Arrow-batched
+  pandas UDF over the base64-decoded binary. Everything before (clean,
+  unbase64) and after (explode, group, write) is JVM-side.
+
+Scale: the UDF is per-row Python but Arrow-batched; it appears once in
+the plan, streams batch-at-a-time (no driver collect), and its output is
+immediately exploded so Spark's columnar pipeline takes over.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import zlib
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, MapType, StringType
+
+# ---------------------------------------------------------------------------
+# P3: base64 cleaner — JVM built-ins only
+# ---------------------------------------------------------------------------
+
+
+def clean_base64(col: Column | str) -> Column:
+    """Strip illegal base64 chars and right-pad ``=`` to len % 4 == 0."""
+    c = F.col(col) if isinstance(col, str) else col
+    cleaned = F.regexp_replace(c.cast("string"), r"[^A-Za-z0-9+/=]", "")
+    pad = (F.lit(4) - F.length(cleaned) % 4) % 4
+    return F.concat(cleaned, F.repeat(F.lit("="), pad.cast("int")))
+
+
+# ---------------------------------------------------------------------------
+# P5-P7 / N1-N3: decompress → parse → shape-normalize (Python kernel)
+# ---------------------------------------------------------------------------
+
+
+def _try_decompress(data: bytes) -> bytes:
+    """gzip → raw-deflate → zlib-with-header → passthrough; first success
+    wins (same order as the reference, cheapest-likely first)."""
+    for method in (
+        lambda: gzip.decompress(data),
+        lambda: zlib.decompress(data, -15),
+        lambda: zlib.decompress(data),
+    ):
+        try:
+            return method()
+        except Exception:
+            continue
+    return data
+
+
+def _norm_cell(v) -> str | None:
+    """Stringly-typed cell normalization: dict/list → JSON text, None kept,
+    everything else → ``str(v)`` (bools → 'True'/'False', like Python)."""
+    if v is None:
+        return None
+    if isinstance(v, (dict, list)):
+        return json.dumps(v, ensure_ascii=False)
+    return str(v)
+
+
+def _is_columnar_dict(obj) -> bool:
+    """Dict whose values are all lists of one length (zero-length columns
+    tolerated — the reference's ``0 not in lengths`` carve-out)."""
+    if not isinstance(obj, dict) or not obj:
+        return False
+    lengths = set()
+    for v in obj.values():
+        if not isinstance(v, list):
+            return False
+        lengths.add(len(v))
+        if len(lengths) > 1 and 0 not in lengths:
+            return False
+    return True
+
+
+def _columnar_to_rows(col_dict: dict) -> list[dict]:
+    """Columnar dict → row maps. Row count = longest column; ragged
+    (zero-length-tolerated) columns pad with None. Divergence note: the
+    reference keeps ragged columns as-is in its single-row LIST<STRING>
+    layout; row-per-record parquet needs rectangular data."""
+    n = max((len(v) for v in col_dict.values()), default=0)
+    keys = list(col_dict.keys())
+    return [
+        {k: _norm_cell(col_dict[k][i]) if i < len(col_dict[k]) else None for k in keys}
+        for i in range(n)
+    ]
+
+
+def _rows_to_maps(decoded) -> list[dict]:
+    """Row-list / single-dict shapes → row maps (non-dict rows dropped)."""
+    if isinstance(decoded, list):
+        rows = [r for r in decoded if isinstance(r, dict)]
+    elif isinstance(decoded, dict):
+        rows = [decoded]
+    else:
+        return []
+    return [{k: _norm_cell(v) for k, v in r.items()} for r in rows]
+
+
+def decode_one(raw: bytes | None) -> list[dict] | None:
+    """Full per-message kernel: decompress → utf-8 → json → shape →
+    normalized row maps. None (not []) when the payload isn't JSON, so the
+    caller can tell 'no payload' from 'payload with zero rows'."""
+    if raw is None:
+        return None
+    try:
+        decoded = json.loads(_try_decompress(bytes(raw)).decode("utf-8"))
+    except Exception:
+        return None
+    if isinstance(decoded, dict) and _is_columnar_dict(decoded):
+        return _columnar_to_rows(decoded)
+    return _rows_to_maps(decoded)
+
+
+_ROWS_TYPE = ArrayType(MapType(StringType(), StringType()))
+
+
+@F.pandas_udf(_ROWS_TYPE)
+def _decode_payload_rows_udf(raw: pd.Series) -> pd.Series:
+    return raw.map(decode_one)
+
+
+def decode_payload_rows(col: Column | str) -> Column:
+    """Binary payload column → ``array<map<string,string>>`` of row maps."""
+    c = F.col(col) if isinstance(col, str) else col
+    return _decode_payload_rows_udf(c)

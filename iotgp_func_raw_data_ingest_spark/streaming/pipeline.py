@@ -1,0 +1,105 @@
+"""Streaming ingest + event-time operators.
+
+The reference is an at-least-once, per-event Azure Function with offsets
+managed by the Functions host (src/function_app.py:302-310; SURVEY.md
+§2.5 E3). The Spark-native equivalent is Structured Streaming:
+
+- ``start_ingest_stream``: readStream → the SAME batch transform
+  (operators.ingest.ingest_pipeline) applied per micro-batch via
+  ``foreachBatch`` → typed lake write. Checkpointed offsets give
+  exactly-once file output (vs the reference's at-least-once + overwrite).
+- Event-time windowed aggregations with watermarks — capabilities the
+  reference lacks entirely (SURVEY.md §2.6) but a streaming engine needs:
+  tumbling/sliding/session windows over the `events` stream, late data
+  bounded by the watermark.
+
+Scale: state for windowed aggs is keyed by (window, key) and pruned at
+the watermark; foreachBatch writes reuse the batch sink, so the streaming
+path adds no new shuffle beyond the batch plan's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from iotgp_func_raw_data_ingest_spark.config import EngineConfig
+from iotgp_func_raw_data_ingest_spark.operators.ingest import ingest_pipeline
+from iotgp_func_raw_data_ingest_spark.sources.lake import write_lake_typed
+
+
+def start_ingest_stream(
+    bodies_stream: DataFrame,
+    cfg: EngineConfig,
+    checkpoint_dir: str,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """Stream of ``body`` rows → routed typed parquet lake.
+
+    One foreachBatch per micro-batch = one reference trigger invocation;
+    grouping/chunking semantics are identical to the batch sink.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        routed = ingest_pipeline(batch_df, destination_fallback=cfg.destination_fallback)
+        write_lake_typed(routed, cfg)
+
+    writer = bodies_stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling (or sliding, if ``slide`` given) event-time window counts
+    with late data bounded by ``watermark``. Works on static DataFrames
+    too (watermark is a no-op in batch)."""
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session windows: activity bursts per user separated by ``gap``."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("sess"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col(key_col),
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1,0 +1,229 @@
+"""Golden tests for the ingest surface — every behavior in FIXTURES.md §B
+(mirroring the reference src/function_app.py semantics)."""
+
+from __future__ import annotations
+
+import base64
+import glob
+import gzip
+import json
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from iotgp_func_raw_data_ingest_spark.config import EngineConfig
+from iotgp_func_raw_data_ingest_spark.operators.ingest import (
+    ingest_pipeline,
+    parse_envelopes,
+    resolve_route,
+)
+from iotgp_func_raw_data_ingest_spark.sources.envelopes import envelopes_from_list
+from iotgp_func_raw_data_ingest_spark.sources.lake import (
+    read_lake_table,
+    write_lake_typed,
+)
+
+
+def b64(payload, codec: str = "plain") -> str:
+    raw = json.dumps(payload).encode() if not isinstance(payload, bytes) else payload
+    if codec == "gzip":
+        raw = gzip.compress(raw)
+    elif codec == "zlib":
+        raw = zlib.compress(raw)
+    elif codec == "deflate":
+        co = zlib.compressobj(wbits=-15)
+        raw = co.compress(raw) + co.flush()
+    return base64.b64encode(raw).decode()
+
+
+def envelope(payload=None, source="db.tbl", dest="landing", codec="plain", **extra) -> str:
+    msg = {"MessageType": "Raw", **extra}
+    if source is not None:
+        msg["Source"] = source
+    if dest is not None:
+        msg["Destination"] = dest
+    if payload is not None:
+        msg["Data"] = b64(payload, codec)
+    return json.dumps(msg)
+
+
+def run(spark, bodies: list[str]):
+    df = ingest_pipeline(envelopes_from_list(spark, bodies))
+    return [(r.folder, r.source_db, r.table, dict(r.row)) for r in df.collect()]
+
+
+# ---------------------------------------------------------------------------
+# B.2 payload shapes
+# ---------------------------------------------------------------------------
+
+
+def test_rows_shape_ragged_keys(spark):
+    rows = run(spark, [envelope([{"a": 1, "b": "x"}, {"a": 2, "c": True}])])
+    assert len(rows) == 2
+    maps = [r[3] for r in rows]
+    assert {"a": "1", "b": "x"} in maps
+    assert {"a": "2", "c": "True"} in maps  # bool → str(v) = 'True'
+
+
+def test_columnar_shape(spark):
+    rows = run(spark, [envelope({"a": [1, 2], "b": ["x", None]})])
+    maps = sorted((r[3] for r in rows), key=lambda m: m["a"])
+    assert maps == [{"a": "1", "b": "x"}, {"a": "2", "b": None}]
+
+
+def test_single_dict_one_row(spark):
+    rows = run(spark, [envelope({"a": 1})])
+    assert [r[3] for r in rows] == [{"a": "1"}]
+
+
+def test_mixed_batch_union_columns(spark):
+    """Rows-shape + columnar-shape messages on the same route merge with
+    null padding (reference _merge_columnars)."""
+    bodies = [
+        envelope([{"a": 1, "b": "x"}]),
+        envelope({"a": [9], "c": ["z"]}),
+    ]
+    rows = run(spark, bodies)
+    assert len(rows) == 2
+    assert all(r[:3] == ("landing", "db", "tbl") for r in rows)
+    union_keys = set().union(*(r[3].keys() for r in rows))
+    assert union_keys == {"a", "b", "c"}
+
+
+def test_nested_values_json_encoded(spark):
+    rows = run(spark, [envelope({"a": [{"x": 1}], "t": ["2024-01-01T00:00:00"]})])
+    (m,) = [r[3] for r in rows]
+    assert m["a"] == '{"x": 1}'
+    assert m["t"] == "2024-01-01T00:00:00"
+
+
+def test_non_dict_rows_dropped(spark):
+    rows = run(spark, [envelope([{"a": 1}, 42, "junk", {"a": 2}])])
+    assert sorted(r[3]["a"] for r in rows) == ["1", "2"]
+
+
+def test_zero_length_columns_tolerated(spark):
+    """{"a": [], "b": [1]} passes the reference's columnar check (0-length
+    carve-out); row-per-record output pads the short column with null."""
+    rows = run(spark, [envelope({"a": [], "b": [1]})])
+    assert [r[3] for r in rows] == [{"a": None, "b": "1"}]
+
+
+def test_json_scalar_payload_zero_rows(spark):
+    rows = run(spark, [envelope(42)])
+    assert rows == []
+
+
+# ---------------------------------------------------------------------------
+# B.3 encoding variants
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("codec", ["plain", "gzip", "zlib", "deflate"])
+def test_codecs(spark, codec):
+    rows = run(spark, [envelope([{"v": 7}], codec=codec)])
+    assert [r[3] for r in rows] == [{"v": "7"}]
+
+
+def test_dirty_base64(spark):
+    clean = b64([{"v": 1}])
+    dirty = clean[:4] + "\n " + clean[4:8] + "%%" + clean[8:].rstrip("=")
+    body = json.dumps({"Source": "db.tbl", "Destination": "landing", "Data": dirty})
+    rows = run(spark, [body])
+    assert [r[3] for r in rows] == [{"v": "1"}]
+
+
+def test_not_json_payload_kept_no_rows(spark):
+    """b64('hello') decodes but isn't JSON → payload null, zero rows."""
+    rows = run(spark, [envelope(b"hello")])
+    assert rows == []
+
+
+def test_no_data_key(spark):
+    rows = run(spark, [envelope(None)])
+    assert rows == []
+
+
+def test_non_json_body_fallback(spark):
+    """Non-JSON body → {"Data": body}; body isn't valid base64-JSON so it
+    yields no rows but doesn't error."""
+    rows = run(spark, ["plainstring"])
+    assert rows == []
+
+
+def test_json_scalar_body_dropped(spark):
+    for body in ["42", '"quoted"', "true", "null"]:
+        assert run(spark, [body]) == []
+
+
+def test_array_body_multiple_messages(spark):
+    body = "[" + envelope([{"a": 1}], source="s1.t1") + "," + envelope([{"b": 2}], source="s2.t2") + "]"
+    rows = run(spark, [body])
+    assert {(r[1], r[2]) for r in rows} == {("s1", "t1"), ("s2", "t2")}
+
+
+# ---------------------------------------------------------------------------
+# B.4 routing variants
+# ---------------------------------------------------------------------------
+
+
+def route_of(spark, source, dest):
+    body = json.dumps(
+        {k: v for k, v in [("Source", source), ("Destination", dest)] if v is not None}
+    )
+    df = resolve_route(parse_envelopes(envelopes_from_list(spark, [body])))
+    r = df.select("folder", "source_db", "table").collect()[0]
+    return (r.folder, r.source_db, r.table)
+
+
+def test_routing_table(spark):
+    assert route_of(spark, "Sales.Orders", "landing") == ("landing", "sales", "orders")
+    assert route_of(spark, "telemetry", None) == ("assorted", "telemetry", "telemetry")
+    assert route_of(spark, "telemetry", "") == ("assorted", "telemetry", "telemetry")
+    # dirty: keep [a-zA-Z0-9._-] from Source → "MyDB!.Ta ble" → "MyDB.Table"
+    # wait: space removed too → "MyDB.Table"; then lowercased
+    assert route_of(spark, "My DB!.Ta ble", "A/B c") == ("a_b_c", "mydb", "table")
+    assert route_of(spark, None, None) == ("assorted", "unknown_db", "unknown_table")
+    # multi-dot: split on FIRST dot only
+    assert route_of(spark, "a.b.c", "x") == ("x", "a", "b_c")
+
+
+# ---------------------------------------------------------------------------
+# B.5 volume / sink chunking
+# ---------------------------------------------------------------------------
+
+
+def test_chunking_max_batch_size(spark, tmp_path):
+    n = 2001
+    body = envelope({"i": list(range(n))})
+    routed = ingest_pipeline(envelopes_from_list(spark, [body]))
+    cfg = EngineConfig(output_path=str(tmp_path / "lake"), max_batch_size=2000)
+    dirs = write_lake_typed(routed.repartition(1), cfg)
+    assert len(dirs) == 1
+    files = glob.glob(f"{dirs[0]}/*.parquet")
+    assert len(files) == 2  # 2000 + 1 rows
+    back = read_lake_table(spark, cfg.output_path, "landing", "db", "tbl")
+    assert back.count() == n
+    assert back.columns == ["i"]
+    assert back.agg(F.min(F.col("i").cast("long")), F.max(F.col("i").cast("long"))).collect()[0][
+        :
+    ] == (0, n - 1)
+
+
+def test_typed_lake_union_schema_roundtrip(spark, tmp_path):
+    bodies = [
+        envelope([{"a": 1, "b": "x"}]),
+        envelope({"a": [9], "c": ["z"]}),
+        envelope([{"q": 5}], source="other.table2"),
+    ]
+    routed = ingest_pipeline(envelopes_from_list(spark, bodies))
+    cfg = EngineConfig(output_path=str(tmp_path / "lake"))
+    dirs = sorted(write_lake_typed(routed, cfg))
+    assert len(dirs) == 2
+    t1 = read_lake_table(spark, cfg.output_path, "landing", "db", "tbl")
+    assert sorted(t1.columns) == ["a", "b", "c"]
+    assert t1.count() == 2
+    t2 = read_lake_table(spark, cfg.output_path, "landing", "other", "table2")
+    assert t2.columns == ["q"]
+    assert [r.q for r in t2.collect()] == ["5"]

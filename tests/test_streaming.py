@@ -1,0 +1,94 @@
+"""Streaming surface tests: file-source ingest stream → lake, and
+event-time windowed aggregations (including late-data watermark drop)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from iotgp_func_raw_data_ingest_spark.config import EngineConfig
+from iotgp_func_raw_data_ingest_spark.sources.envelopes import (
+    envelopes_stream_from_text,
+)
+from iotgp_func_raw_data_ingest_spark.sources.lake import read_lake_table
+from iotgp_func_raw_data_ingest_spark.streaming.pipeline import (
+    session_windows,
+    start_ingest_stream,
+    windowed_event_counts,
+)
+from tests.test_ingest import envelope
+
+
+def test_streaming_ingest_to_lake(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "batch1.txt").write_text(
+        envelope([{"a": 1}, {"a": 2}]) + "\n" + envelope({"b": ["x"]}, source="s2.t2") + "\n"
+    )
+    cfg = EngineConfig(output_path=str(tmp_path / "lake"))
+    stream = envelopes_stream_from_text(spark, str(src))
+    q = start_ingest_stream(stream, cfg, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)  # availableNow → terminates when drained
+
+    t1 = read_lake_table(spark, cfg.output_path, "landing", "db", "tbl")
+    assert sorted(r.a for r in t1.collect()) == ["1", "2"]
+    t2 = read_lake_table(spark, cfg.output_path, "landing", "s2", "t2")
+    assert [r.b for r in t2.collect()] == ["x"]
+
+
+def test_streaming_windowed_counts_with_watermark(spark, tmp_path):
+    """Rows later than watermark behind the max event time are dropped from
+    the streaming result; on-time rows aggregate into tumbling windows."""
+    src = tmp_path / "ev"
+    src.mkdir()
+    rows = [
+        {"ts": "2024-01-01 10:05:00", "event_type": "click", "value": 1.0},
+        {"ts": "2024-01-01 10:45:00", "event_type": "click", "value": 2.0},
+        {"ts": "2024-01-01 13:00:00", "event_type": "view", "value": 5.0},  # advances watermark to 11:00
+        {"ts": "2024-01-01 08:00:00", "event_type": "late", "value": 9.0},  # < watermark → dropped
+    ]
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .json(str(src))
+    )
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {
+        (str(r.window_start), r.event_type): r.n
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    # Append mode emits only windows closed by the final watermark
+    # (13:00 − 2h = 11:00): the 10:00 click window (n=2, both clicks in
+    # one tumbling window) and the 08:00 window. The 13:00 view window is
+    # still open → correctly NOT emitted.
+    assert out.get(("2024-01-01 10:00:00", "click")) == 2
+    assert ("2024-01-01 13:00:00", "view") not in out
+
+
+def test_session_windows_batch(spark):
+    """session_window over a static frame: bursts separated by > gap split."""
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 1.0),
+            (1, "2024-01-01 10:10:00", 1.0),
+            (1, "2024-01-01 12:00:00", 1.0),
+            (2, "2024-01-01 10:00:00", 1.0),
+        ],
+        "user_id long, ts string, value double",
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    out = session_windows(df, gap="30 minutes").collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r.n_events)
+    assert sorted(by_user[1]) == [1, 2]  # two sessions: (10:00,10:10) and (12:00)
+    assert by_user[2] == [1]
