@@ -1,0 +1,280 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Five dedup strategies over a documents table, all expressed with JVM-side
+DataFrame built-ins (no Python in the hot path):
+
+- **exact**: group by content (or content hash) → canonical id + copy count.
+- **n-gram Jaccard (exact)**: word-k-gram shingle sets, candidate pairs by
+  inverted-index self-join on shared shingles (complete for any Jaccard
+  threshold > 0 — a pair above threshold shares ≥ 1 shingle), exact
+  similarity verify. This is the exact baseline.
+- **MinHash + LSH (approximate)**: md5-based minhash signatures (portable
+  across engines), banded into buckets; candidates = pairs sharing a band,
+  then exact-Jaccard verification of candidates only. The 100 TB path —
+  candidate generation cost is shingles×num_hashes, never O(n²).
+- **SimHash**: 32-bit weighted-bit-vote fingerprints; near-dup = Hamming
+  distance ≤ d. Candidates via 4-byte band pigeonhole (d ≤ 3 ⇒ at least
+  one of 4 bands identical — candidate generation is EXACT, not
+  probabilistic).
+- **embedding near-dup**: cosine ≥ τ pairs via hyperplane-LSH buckets
+  (operators/similarity.py) — see embedding_neardup_pairs.
+
+Hash portability note: signatures use md5 (identical hex in Spark and
+DuckDB) so correctness oracles can replay them; a production deployment
+would swap ``F.md5`` for ``F.xxhash64`` (faster, same plan shape).
+
+Scale notes: every operator is (explode → shuffle on a derived key →
+aggregate); skew on hot shingles/buckets is bounded by `array_distinct`
++ AQE skew-join; no driver-side collection anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenize / shingle helpers (shared with textstats)
+# ---------------------------------------------------------------------------
+
+
+def words(col: Column | str) -> Column:
+    """Whitespace tokens of trimmed text (empty text → empty array)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct word k-gram shingles: ['a b c', 'b c d', ...]."""
+    toks = words(col)
+    n = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.when(n > 0, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """One row per distinct content: canonical (min) id, copy count, and a
+    portable md5 content fingerprint. `dropDuplicates` keeps an arbitrary
+    row; min-id is deterministic, which matters for reproducible corpora."""
+    return df.groupBy(content_col).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.md5(F.col(content_col).cast("binary")).alias("content_hash"),
+    ).drop(content_col)
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard pairs (inverted-index join)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with word-k-gram Jaccard ≥ threshold.
+
+    Candidates come from a self-join on shared shingles (inverted index),
+    so cost scales with shingle co-occurrence, not n². Complete: any pair
+    with Jaccard ≥ threshold > 0 shares at least one shingle.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(text_col, k).alias("shingles"),
+    ).withColumn("n_sh", F.size("shingles"))
+    inv = sh.select("id", "n_sh", F.explode("shingles").alias("shingle"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (approximate, the at-scale path)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """md5-based minhash: sig_i = min over shingles of md5(i || shingle).
+
+    Min over hex strings ≡ min over the underlying 128-bit integers, so no
+    numeric parsing is needed and DuckDB reproduces it verbatim.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(text_col, k).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                "shingles",
+                lambda s, i=i: F.md5(F.concat(F.lit(f"{i}_"), s).cast("binary")),
+            )
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.select("id", "shingles", *sig_cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via banded minhash LSH + exact-Jaccard verification.
+
+    bands=8 × rows=2 over 16 hashes → pairs with Jaccard j collide with
+    p = 1-(1-j²)⁸ (≈0.90 at j=0.5). Only band-colliding candidates are
+    verified, so the expensive exact step runs on a tiny candidate set.
+    Approximate by design: a qualifying pair that never collides is missed
+    — the correctness gate therefore checks this operator rows-only, and
+    golden tests pin known near-dup constructions (tests/test_dedup.py).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes).withColumn(
+        "n_sh", F.size("shingles")
+    )
+    band_cols = [
+        F.concat_ws(
+            "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select("id", "shingles", "n_sh", *band_cols)
+    bucket = banded.select(
+        "id",
+        "shingles",
+        "n_sh",
+        F.explode(
+            F.array(*[
+                F.concat_ws("#", F.lit(str(b)), F.col(f"band{b}")) for b in range(bands)
+            ])
+        ).alias("bucket"),
+    )
+    a = bucket.alias("a")
+    b = bucket.alias("b")
+    cands = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    shared = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = shared / (F.col("n_a") + F.col("n_b") - shared)
+    return (
+        cands.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def _token_hash32(tok: Column) -> Column:
+    """Portable 32-bit token hash: first 8 hex chars of md5 → bigint."""
+    return F.conv(F.substring(F.md5(tok.cast("binary")), 1, 8), 16, 10).cast("long")
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash fingerprint: per bit position, tokens vote +1/−1 by
+    their hash bit (occurrences weighted naturally via explode); bit set
+    iff the vote sum is ≥ 0. One explode + one aggregate — fully JVM."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(words(text_col)).alias("tok")
+    ).withColumn("h", _token_hash32(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), p).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{p}")
+        for p in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    fp = None
+    for p in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{p}") >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp + bit
+    return agg.select("id", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash_a, simhash_b) ≤ max_hamming.
+
+    Candidate generation splits the 32-bit fingerprint into 4 bytes; by
+    pigeonhole any pair within Hamming ≤ 3 agrees on ≥ 1 whole byte, so
+    joining on (byte_index, byte_value) finds EVERY qualifying pair —
+    exact completeness at inverted-index cost (requires max_hamming ≤ 3).
+    """
+    if max_hamming > 3:
+        raise ValueError("byte-band pigeonhole guarantee requires max_hamming <= 3")
+    fps = simhash(df, id_col, text_col)
+    banded = fps.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.concat_ws(
+                    "#",
+                    F.lit(str(i)),
+                    F.shiftright(F.col("simhash"), i * 8).bitwiseAND(F.lit(255)).cast("string"),
+                )
+                for i in range(4)
+            ])
+        ).alias("band"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Two paths, both pure DataFrame built-ins (higher-order functions compile
+to JVM codegen — no Python UDF in the hot path):
+
+- **brute-force cosine top-k** — the exact baseline: query set × corpus
+  with `zip_with`/`aggregate` dot products, per-query top-k via window
+  group-limit. Right answer, O(|Q|·n); fine when |Q| is small or n is
+  bucketed.
+- **hyperplane LSH (ANN)** — the 100 TB path: sign-bit signatures from
+  fixed random hyperplanes bucket the corpus; candidates share a bucket;
+  cosine is computed for candidates only. Planes are generated from a
+  seeded PRNG and inlined as literals, so the bucketing is deterministic
+  and replayable by the DuckDB oracle.
+
+At real scale the corpus side would also be pre-partitioned by bucket
+(bucketBy on write), turning ANN lookups into partition-pruned scans.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision via zip_with + aggregate (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine.
+
+    The query side is broadcast (small by contract); rank ties break on
+    corpus id so results are deterministic. ``exclude_self`` drops
+    corpus rows whose id equals the query id BEFORE ranking (the usual
+    semantics when queries are drawn from the corpus).
+    """
+    joined = corpus.crossJoin(F.broadcast(queries))
+    if exclude_self:
+        joined = joined.filter(F.col(id_col) != F.col(query_id_col))
+    sim = F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6)
+    w = W.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        joined.select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            sim.alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def random_hyperplanes(n_planes: int, dim: int, seed: int = 20260813) -> list[list[float]]:
+    """Deterministic unit-free hyperplanes in [-1, 1); same literals are
+    inlined into the Spark plan and the oracle SQL."""
+    rng = random.Random(seed)
+    return [[round(rng.uniform(-1.0, 1.0), 6) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature string, one char per plane ('1' if v·p > 0)."""
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(x) for x in p])) > 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors in the query's
+    hyperplane bucket; exact cosine + top-k within candidates only."""
+    c = corpus.withColumn("bucket", hyperplane_bucket(F.col(vec_col), planes))
+    q = queries.withColumn("qbucket", hyperplane_bucket(F.col(query_vec_col), planes))
+    joined = c.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+    if exclude_self:
+        joined = joined.filter(F.col(id_col) != F.col(query_id_col))
+    sim = F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6)
+    w = W.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        joined.select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            sim.alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    planes: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ τ)
+    within hyperplane buckets. Approximate across bucket boundaries —
+    near-identical vectors (τ ≈ 1) almost always share all sign bits."""
+    b = df.withColumn("bucket", hyperplane_bucket(F.col(vec_col), planes))
+    lhs = b.alias("a")
+    rhs = b.alias("b")
+    sim = F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6)
+    return (
+        lhs.join(
+            rhs,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            sim.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

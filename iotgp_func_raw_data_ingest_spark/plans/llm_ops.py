@@ -1,5 +1,365 @@
-"""LLM-data-pipeline query plans (dedup, similarity, text analysis).
+"""LLM-data-pipeline queries in the correctness gate: dedup, similarity
+search, text analysis, multimodal columns (BASELINE.json north star).
 
-Populated by task 4 — operators live in ``operators/``; this module wires
-them into the QUERIES/ORACLES registry.
+Every deterministic operator gets a DuckDB oracle — including the
+bit-level SimHash (oracle SQL is generated programmatically) and the
+hyperplane-LSH ANN (plane literals are seeded and inlined into BOTH
+engines). Only genuinely probabilistic-completeness operators
+(MinHash-LSH banding) are rows-only checked, with golden pytest coverage
+in tests/test_dedup.py.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iotgp_func_raw_data_ingest_spark.operators import dedup as D
+from iotgp_func_raw_data_ingest_spark.operators import multimodal as M
+from iotgp_func_raw_data_ingest_spark.operators import similarity as S
+from iotgp_func_raw_data_ingest_spark.operators import textstats as T
+from iotgp_func_raw_data_ingest_spark.plans.registry import prep, register
+
+# Shared DuckDB SQL fragments (token/shingle definitions must match
+# operators.dedup.words / word_shingles exactly).
+_SQL_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+
+
+def _sql_shingles(k: int) -> str:
+    return (
+        f"list_distinct(list_transform(generate_series(1, greatest(len({_SQL_TOKS}) - {k - 1}, 0)), "
+        f"i -> array_to_string(list_slice({_SQL_TOKS}, i, i + {k - 1}), ' ')))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q30_exact_dedup",
+    oracle="""
+    SELECT min(doc_id) AS keep_id,
+           count(*)    AS n_copies,
+           md5(text)   AS content_hash
+    FROM documents
+    GROUP BY text
+    """,
+)
+def q30_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical id + copy count per distinct content."""
+    t = prep(spark, sf_dir)
+    return D.exact_dedup_groups(t["documents"], "doc_id", "text")
+
+
+@register(
+    "q31_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, {_sql_shingles(3)} AS sh FROM documents
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM s WHERE len(sh) > 0),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS shared
+        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, ROUND(shared / (na + nb - shared), 4) AS jaccard
+    FROM p
+    WHERE ROUND(shared / (na + nb - shared), 4) >= 0.3
+    """,
+)
+def q31_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs via inverted-index join."""
+    t = prep(spark, sf_dir)
+    return D.jaccard_pairs(t["documents"], "doc_id", "text", k=3, threshold=0.3)
+
+
+@register("q32_minhash_lsh_pairs")  # approximate → rows-only check
+def q32_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + 8-band LSH near-dup candidates, exact-Jaccard
+    verified. Probabilistic completeness → no SQL oracle; golden tests
+    pin behavior (tests/test_dedup.py)."""
+    t = prep(spark, sf_dir)
+    return D.minhash_lsh_pairs(
+        t["documents"], "doc_id", "text", k=3, num_hashes=16, bands=8, threshold=0.3
+    )
+
+
+def _simhash_sql(max_doc: int | None = None) -> str:
+    where = f"WHERE doc_id <= {max_doc}" if max_doc else ""
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {p}) & 1 = 1 THEN 1 ELSE -1 END) AS v{p}"
+        for p in range(D.SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN v{p} >= 0 THEN {1 << p}::BIGINT ELSE 0 END" for p in range(D.SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents {where}
+    ),
+    h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h FROM toks),
+    v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+    SELECT doc_id AS id, ({fp}) AS simhash FROM v
+    """
+
+
+@register("q33_simhash_fingerprints", oracle=_simhash_sql())
+def q33_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints — bit-exact vs the generated oracle."""
+    t = prep(spark, sf_dir)
+    return D.simhash(t["documents"], "doc_id", "text")
+
+
+@register(
+    "q34_simhash_neardup_pairs",
+    oracle=f"""
+    WITH fps AS ({_simhash_sql()})
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fps a JOIN fps b ON a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def q34_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3). Spark uses byte-band
+    pigeonhole candidates (exact-complete for ≤ 3 bit flips over 4 bands);
+    the oracle brute-forces all pairs — results must be identical."""
+    t = prep(spark, sf_dir)
+    return D.simhash_pairs(t["documents"], "doc_id", "text", max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_SQL_STOP = {
+    lang: "[" + ", ".join(f"'{w}'" for w in ws) + "]" for lang, ws in T.STOPWORDS.items()
+}
+
+
+def _sql_stop_ratio(lang: str) -> str:
+    return (
+        f"CASE WHEN len({_SQL_TOKS}) > 0 THEN "
+        f"len(list_filter({_SQL_TOKS}, t -> list_contains({_SQL_STOP[lang]}, lower(t)))) "
+        f"/ len({_SQL_TOKS}) ELSE 0.0 END"
+    )
+
+
+@register(
+    "q35_text_profile",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text,
+               len({_SQL_TOKS}) AS n_ws,
+               len(regexp_extract_all(text, '{T.BPE_TOKEN_RE}')) AS n_bpe,
+               {_sql_stop_ratio('en')} AS sr_en,
+               {_sql_stop_ratio('de')} AS sr_de,
+               {_sql_stop_ratio('fr')} AS sr_fr,
+               CASE WHEN length(text) > 0
+                    THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / length(text)
+                    ELSE 0.0 END AS pr,
+               CASE WHEN len({_SQL_TOKS}) > 0
+                    THEN list_sum(list_transform({_SQL_TOKS}, t -> length(t))) / CAST(len({_SQL_TOKS}) AS DOUBLE)
+                    ELSE 0.0 END AS mwl
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_ws AS BIGINT)  AS n_tokens_ws,
+           CAST(n_bpe AS BIGINT) AS n_tokens_bpe,
+           ROUND(sr_en, 4)       AS stopword_ratio,
+           ROUND(pr, 4)          AS punct_ratio,
+           ROUND(mwl, 4)         AS mean_word_len,
+           ROUND(0.5 * least(n_ws / 50.0, 1.0)
+               + 0.3 * (1.0 - least(pr * 5, 1.0))
+               + 0.2 * least(sr_en * 5, 1.0), 4) AS quality,
+           CASE WHEN greatest(sr_en, sr_de, sr_fr) > 0 THEN
+                CASE WHEN sr_de >= sr_en AND sr_de >= sr_fr THEN
+                       CASE WHEN sr_en >= sr_de THEN 'en' ELSE 'de' END
+                     WHEN sr_en >= sr_fr THEN 'en'
+                     ELSE 'fr' END
+                ELSE 'und' END AS lang_pred,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM base
+    """,
+)
+def q35_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text-analysis profile: ws/BPE-ish token counts,
+    stopword & punctuation ratios, mean word length, quality score,
+    heuristic language ID, md5 fingerprint — one projection pass."""
+    t = prep(spark, sf_dir)
+    return T.text_profile(t["documents"], "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_PLANES = S.random_hyperplanes(n_planes=8, dim=64)
+
+
+def _sql_vec(expr: str = "embedding") -> str:
+    return f"list_transform({expr}, x -> CAST(x AS DOUBLE))"
+
+
+def _sql_plane(p: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in p) + "]"
+
+
+def _sql_bucket(vec_expr: str) -> str:
+    bits = [
+        f"CASE WHEN list_dot_product({vec_expr}, {_sql_plane(p)}) > 0 THEN '1' ELSE '0' END"
+        for p in _PLANES
+    ]
+    return " || ".join(bits)
+
+
+@register(
+    "q36_cosine_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_sql_vec()} AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY ROUND(list_cosine_similarity(e.v, q.qv), 6) DESC, e.vec_id
+               ) AS rank
+        FROM e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+    FROM scored WHERE rank <= 10
+    """,
+)
+def q36_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 per query (queries = vec_id < 5), exact
+    baseline for ANN; window group-limit keeps only k rows per query."""
+    t = prep(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.select("vec_id", "embedding")
+    out = S.brute_force_topk(corpus, queries, k=10)
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
+@register(
+    "q37_ann_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_sql_vec()} AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {_sql_bucket('v')} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM b WHERE vec_id < 20),
+    scored AS (
+        SELECT q.query_id, b.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(b.v, q.qv), 6) AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY ROUND(list_cosine_similarity(b.v, q.qv), 6) DESC, b.vec_id
+               ) AS rank
+        FROM b JOIN q ON b.bucket = q.qbucket
+        WHERE b.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+    FROM scored WHERE rank <= 5
+    """,
+)
+def q37_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN top-5: candidates share the query's 8-bit
+    sign-bucket; deterministic seeded planes are inlined in both engines,
+    so even this 'approximate' operator is oracle-checked exactly."""
+    t = prep(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.select("vec_id", "embedding")
+    out = S.ann_topk(corpus, queries, _PLANES, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
+@register(
+    "q38_embedding_neardup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_sql_vec()} AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {_sql_bucket('v')} AS bucket FROM e)
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.v, c.v), 6) AS cos_sim
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE ROUND(list_cosine_similarity(a.v, c.v), 6) >= 0.4
+    """,
+)
+def q38_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within LSH buckets (cos ≥ 0.4)."""
+    t = prep(spark, sf_dir)
+    return S.embedding_neardup_pairs(t["embeddings"], _PLANES, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q39_multimodal_metadata",
+    oracle="""
+    SELECT doc_id AS media_id,
+           (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_hash
+    FROM documents
+    """,
+)
+def q39_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column pattern: opaque binary payload + JVM-computed
+    typed metadata struct (byte length, content hash)."""
+    t = prep(spark, sf_dir)
+    media = M.attach_media_metadata(M.synthesize_media_from_documents(t["documents"]))
+    return media.select(
+        "media_id",
+        "kind",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.content_hash").alias("content_hash"),
+    )
+
+
+@register(
+    "q40_frame_sample",
+    oracle="""
+    SELECT d.doc_id AS media_id,
+           (['image', 'audio', 'video'])[(d.doc_id % 3) + 1] AS kind,
+           f.f AS frame_no,
+           substr(d.text, f.f * greatest(CAST(floor(length(d.text) / 4) AS INT), 1) + 1, 16) AS frame_text
+    FROM documents d
+    CROSS JOIN (SELECT CAST(unnest(generate_series(0, 3)) AS INT) AS f) f
+    """,
+)
+def q40_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Video' frame-sampling plumbing: 4 evenly spaced 16-byte windows
+    per payload, one row per frame (byte slicing stands in for keyframe
+    decode; the explode/partition shape is what's being verified)."""
+    t = prep(spark, sf_dir)
+    frames = M.frame_sample(M.synthesize_media_from_documents(t["documents"]), n_frames=4, frame_bytes=16)
+    return frames.select(
+        "media_id", "kind", "frame_no", F.col("frame_payload").cast("string").alias("frame_text")
+    )
+
+
+@register("q41_multimodal_features")  # stubbed decoder → rows-only check
+def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads (decode stubbed
+    deterministically — no media libs in this container; the Arrow batch
+    plumbing and output schema are the real subject)."""
+    t = prep(spark, sf_dir)
+    media = M.synthesize_media_from_documents(t["documents"])
+    return M.extract_features(media)

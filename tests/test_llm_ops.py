@@ -1,0 +1,152 @@
+"""Golden tests for the LLM-pipeline operators that the SQL oracle can't
+fully check: MinHash-LSH recall on constructed near-dups, SimHash
+fingerprint properties, similarity-search sanity, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iotgp_func_raw_data_ingest_spark.operators import dedup as D
+from iotgp_func_raw_data_ingest_spark.operators import multimodal as M
+from iotgp_func_raw_data_ingest_spark.operators import similarity as S
+from iotgp_func_raw_data_ingest_spark.operators import textstats as T
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    """Three exact-duplicate groups, one near-dup pair (one word changed),
+    and unrelated filler docs."""
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    near = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo zulu"
+    rows = [
+        (1, base),
+        (2, base),              # exact dup of 1
+        (3, near),              # near dup of 1 (1 of 12 words changed)
+        (4, "one two three four five six seven eight nine ten eleven twelve"),
+        (5, "completely different words about spark catalyst tungsten arrow shuffles"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark, near_dup_docs):
+    out = D.exact_dedup_groups(near_dup_docs, "doc_id", "text").collect()
+    by_keep = {r.keep_id: r.n_copies for r in out}
+    assert by_keep[1] == 2  # docs 1,2 merged, canonical = min id
+    assert by_keep[3] == 1 and by_keep[4] == 1 and by_keep[5] == 1
+
+
+def test_jaccard_pairs_finds_near_dup(spark, near_dup_docs):
+    pairs = D.jaccard_pairs(near_dup_docs, "doc_id", "text", k=3, threshold=0.3).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert got[(1, 2)] == 1.0           # exact dup → jaccard 1
+    assert (1, 3) in got and got[(1, 3)] >= 0.7   # 9 of 11 shared 3-grams
+    assert (1, 4) not in got and (1, 5) not in got
+
+
+def test_minhash_lsh_finds_near_dup(spark, near_dup_docs):
+    pairs = D.minhash_lsh_pairs(
+        near_dup_docs, "doc_id", "text", k=3, num_hashes=16, bands=8, threshold=0.3
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    # exact dups share every band; the near-dup pair (j≈0.8) collides with
+    # probability 1-(1-j²)⁸ ≈ 0.9998 — deterministic here given fixed md5
+    assert (1, 2) in got
+    assert (1, 3) in got
+
+
+def test_minhash_lsh_subset_of_exact(spark):
+    """LSH output must be a subset of the exact jaccard pairs (same
+    threshold): banding can miss pairs, never invent them."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.3).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(docs, "doc_id", "text", k=3, threshold=0.3).collect()
+    }
+    assert lsh <= exact
+    if exact:  # recall sanity on this corpus (high-jaccard synthetic dups)
+        assert len(lsh) >= len(exact) * 0.8
+
+
+def test_simhash_exact_dup_same_fingerprint(spark, near_dup_docs):
+    fps = {r.id: r.simhash for r in D.simhash(near_dup_docs, "doc_id", "text").collect()}
+    assert fps[1] == fps[2]
+    assert 0 <= fps[1] < (1 << D.SIMHASH_BITS)
+    pairs = D.simhash_pairs(near_dup_docs, "doc_id", "text", max_hamming=3).collect()
+    assert (1, 2) in {(r.id_a, r.id_b) for r in pairs}
+
+
+def test_simhash_pairs_rejects_large_hamming(spark, near_dup_docs):
+    with pytest.raises(ValueError):
+        D.simhash_pairs(near_dup_docs, "doc_id", "text", max_hamming=4)
+
+
+def test_brute_force_topk_self_and_order(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = S.brute_force_topk(emb.select("vec_id", "embedding"), queries, k=5).collect()
+    assert len(out) == 15
+    by_q = {}
+    for r in out:
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cos_sim))
+    for q, rows in by_q.items():
+        rows.sort()
+        sims = [s for _, s in rows]
+        assert sims == sorted(sims, reverse=True)  # rank order = sim order
+
+
+def test_ann_results_subset_of_brute_force_candidates(spark):
+    """Every ANN hit must score exactly what brute force scores it."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    planes = S.random_hyperplanes(8, 64)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.select("vec_id", "embedding")
+    bf = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in S.brute_force_topk(corpus, queries, k=2000).collect()
+    }
+    ann = S.ann_topk(corpus, queries, planes, k=5).collect()
+    for r in ann:
+        assert bf[(r.query_id, r.neighbor_id)] == r.cos_sim
+
+
+def test_text_profile_values(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, ""), (3, "le la de et les")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in T.text_profile(df, "doc_id", "text").collect()}
+    assert rows[1].n_tokens_ws == 4
+    assert rows[1].stopword_ratio == 0.25  # 'the'
+    assert rows[1].lang_pred == "en"
+    assert rows[2].n_tokens_ws == 0 and rows[2].lang_pred == "und"
+    assert rows[3].lang_pred == "fr"
+
+
+def test_multimodal_feature_extraction_deterministic(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    media = M.synthesize_media_from_documents(docs)
+    f1 = {r.media_id: r.features for r in M.extract_features(media).collect()}
+    f2 = {r.media_id: r.features for r in M.extract_features(media).collect()}
+    assert f1 == f2
+    assert all(len(v) == M.FEATURE_DIM for v in f1.values())
+    assert all(0.0 <= x <= 1.0 for v in f1.values() for x in v)
+
+
+def test_frame_sample_shape(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(5)
+    media = M.synthesize_media_from_documents(docs)
+    frames = M.frame_sample(media, n_frames=4, frame_bytes=16)
+    rows = frames.collect()
+    assert len(rows) == 20  # 5 docs × 4 frames
+    assert {r.frame_no for r in rows} == {0, 1, 2, 3}
+    assert all(len(bytes(r.frame_payload)) <= 16 for r in rows)
