@@ -30,6 +30,13 @@ def main() -> None:
     cfg = EngineConfig(shuffle_partitions=int(cpus) if cpus.isdigit() else 32)
     spark = get_spark("iotgp-bench", config=cfg, master=f"local[{cpus}]")
 
+    # Warm the JVM (codegen, parquet reader, broadcast machinery) with one
+    # untimed flagship run at the smallest SF so per-query timings measure
+    # steady-state execution, not first-query session startup.
+    QUERIES["q01_pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
         fn = QUERIES[name]

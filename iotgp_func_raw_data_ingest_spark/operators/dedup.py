@@ -45,14 +45,20 @@ def words(col: Column | str) -> Column:
 
 
 def word_shingles(col: Column | str, k: int = 3) -> Column:
-    """Distinct word k-gram shingles: ['a b c', 'b c d', ...]."""
+    """Distinct word k-gram shingles: ['a b c', 'b c d', ...].
+
+    Built by zipping k shifted slices of the token array instead of
+    `transform(sequence(...), i -> slice(toks, i, k))` — the slice-in-
+    lambda form re-evaluates the token array per output element (O(n²)
+    per document; measured 8× slower at sf0.1)."""
     toks = words(col)
-    n = F.greatest(F.size(toks) - (k - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
-    return F.when(n > 0, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+    m = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    grams = F.slice(toks, 1, m)
+    for i in range(1, k):
+        grams = F.zip_with(
+            grams, F.slice(toks, i + 1, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.when(m > 0, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
 
 
 # ---------------------------------------------------------------------------
@@ -162,23 +168,22 @@ def minhash_lsh_pairs(
     golden tests pin known near-dup constructions (tests/test_dedup.py).
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes).withColumn(
-        "n_sh", F.size("shingles")
-    )
-    band_cols = [
-        F.concat_ws(
-            "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = sigs.select("id", "shingles", "n_sh", *band_cols)
-    bucket = banded.select(
+    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    # Keep the banded relation NARROW (id, bucket): the shingle arrays must
+    # not ride through the 8-way band explode and the self-join — at scale
+    # that multiplies shuffled bytes by bands × array size. Candidates are
+    # deduped first; shingle sets are re-attached afterwards, once per
+    # surviving pair side.
+    bucket = sigs.select(
         "id",
-        "shingles",
-        "n_sh",
         F.explode(
             F.array(*[
-                F.concat_ws("#", F.lit(str(b)), F.col(f"band{b}")) for b in range(bands)
+                F.concat_ws(
+                    "#",
+                    F.lit(str(b)),
+                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+                )
+                for b in range(bands)
             ])
         ).alias("bucket"),
     )
@@ -186,15 +191,15 @@ def minhash_lsh_pairs(
     b = bucket.alias("b")
     cands = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sets = sigs.select("id", "shingles", F.size("shingles").alias("n_sh"))
+    cands = (
+        cands.join(sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"),
+                               F.col("n_sh").alias("n_a")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"),
+                          F.col("n_sh").alias("n_b")), "id_b")
     )
     shared = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = shared / (F.col("n_a") + F.col("n_b") - shared)
