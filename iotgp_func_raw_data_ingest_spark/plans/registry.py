@@ -38,13 +38,32 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-def prep(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Per-query session prep: pin UTC timestamp semantics (the driver owns
-    the SparkSession — don't assume its timezone) and load + register the
-    test tables as temp views."""
-    from iotgp_func_raw_data_ingest_spark.tables import register_views
+class LazyTables:
+    """Dict-like table accessor that loads (and registers as a temp view)
+    each table on first access — a query touching 2 tables pays 2 parquet
+    footer reads, not 10. Queries built with spark.sql over views must
+    touch the views they need (``t["lineitem"]``) before calling sql()."""
 
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self._spark = spark
+        self._sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def __getitem__(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            from iotgp_func_raw_data_ingest_spark.tables import load_table
+
+            df = load_table(self._spark, self._sf_dir, name)
+            df.createOrReplaceTempView(name)
+            self._cache[name] = df
+        return self._cache[name]
+
+
+def prep(spark: SparkSession, sf_dir: str) -> LazyTables:
+    """Per-query session prep: pin UTC timestamp semantics (the driver owns
+    the SparkSession — don't assume its timezone) and expose the test
+    tables as a lazy loader."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # events.parquet stores TIMESTAMP(NANOS) — see tables.load_table.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return register_views(spark, sf_dir)
+    return LazyTables(spark, sf_dir)

@@ -67,7 +67,8 @@ def q42_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q43_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (neither rollup nor cube)."""
-    prep(spark, sf_dir)
+    t = prep(spark, sf_dir)
+    t["lineitem"]  # register the view the SQL below reads
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
