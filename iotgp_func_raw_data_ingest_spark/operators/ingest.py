@@ -28,7 +28,7 @@ from pyspark.sql.types import StringType, StructField, StructType
 
 from iotgp_func_raw_data_ingest_spark.functions.codecs import (
     clean_base64,
-    decode_payload_rows,
+    decode_payload_json,
 )
 
 ENVELOPE_SCHEMA = StructType(
@@ -132,13 +132,18 @@ def decode_rows(df: DataFrame, envelope_col: str = "envelope") -> DataFrame:
     """Attach ``rows: array<map<string,string>>`` decoded from Data.
 
     JVM does base64 clean + unbase64; the pandas-UDF kernel does
-    decompress → parse → shape-normalize. Messages without Data (or with
+    decompress → parse → shape-normalize and emits ONE normalized JSON
+    string per message (cheap through Arrow); the JVM re-parses it into
+    maps with codegen'd from_json. Messages without Data (or with
     un-parseable payloads) get null rows — kept, contributing no records,
     exactly like the reference (:273-274, :290-292).
     """
     data = F.col(f"{envelope_col}.Data")
     raw = F.when(data.isNotNull(), F.unbase64(clean_base64(data)))
-    return df.withColumn("rows", F.when(data.isNotNull(), decode_payload_rows(raw)))
+    rows_json = F.when(data.isNotNull(), decode_payload_json(raw))
+    return df.withColumn(
+        "rows", F.from_json(rows_json, "array<map<string,string>>")
+    )
 
 
 def ingest_pipeline(

@@ -122,6 +122,42 @@ def q27_route_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q29_ingest_volume",
+    oracle="""
+    SELECT 'assorted' AS folder, 'vol' AS source_db, 'li' AS "table",
+           count(*) AS n_rows
+    FROM lineitem
+    """,
+)
+def q29_ingest_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-kernel throughput under the correctness gate: every lineitem
+    row rides through the FULL ingest path — rows batched ~1000/message
+    into JSON array payloads, base64'd, enveloped, then parse → decode →
+    route → explode. Output: routed row count per route (must equal the
+    table's cardinality). This is the bench's ingest headline."""
+    t = prep(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_linenumber", "l_quantity")
+    msgs = li.groupBy((F.col("l_orderkey") % 1000).alias("bucket")).agg(
+        F.collect_list(
+            F.struct("l_orderkey", "l_linenumber", "l_quantity")
+        ).alias("payload_rows")
+    )
+    bodies = msgs.select(
+        F.to_json(
+            F.struct(
+                F.lit("vol.li").alias("Source"),
+                F.base64(F.to_json(F.col("payload_rows")).cast("binary")).alias("Data"),
+                F.lit("Raw").alias("MessageType"),
+            )
+        ).alias("body")
+    )
+    routed = ingest_pipeline(bodies)
+    return routed.groupBy("folder", "source_db", "table").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+@register(
     "q28_ingest_pipeline_e2e",
     oracle="""
     SELECT 'assorted'              AS folder,

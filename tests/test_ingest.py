@@ -227,3 +227,57 @@ def test_typed_lake_union_schema_roundtrip(spark, tmp_path):
     t2 = read_lake_table(spark, cfg.output_path, "landing", "other", "table2")
     assert t2.columns == ["q"]
     assert [r.q for r in t2.collect()] == ["5"]
+
+
+# ---------------------------------------------------------------------------
+# Unicode / edge-case goldens
+# ---------------------------------------------------------------------------
+
+
+def test_unicode_payload_roundtrip(spark):
+    """Non-ASCII text must survive decode + normalization un-escaped
+    (reference json.dumps(ensure_ascii=False), src/function_app.py:167)."""
+    payload = [{"name": "café ☕", "nested": {"k": "日本語"}}]
+    rows = run(spark, [envelope(payload)])
+    (m,) = [r[3] for r in rows]
+    assert m["name"] == "café ☕"
+    assert m["nested"] == '{"k": "日本語"}'  # nested JSON keeps raw unicode
+
+
+def test_unicode_route_sanitized(spark):
+    """Non-[a-zA-Z0-9._-] chars (incl. unicode) are stripped from Source
+    and collapsed in folder names."""
+    body = json.dumps({"Source": "Dätenbänk.Tàble", "Destination": "Ordner Ü"})
+    from iotgp_func_raw_data_ingest_spark.operators.ingest import (
+        parse_envelopes,
+        resolve_route,
+    )
+    from iotgp_func_raw_data_ingest_spark.sources.envelopes import envelopes_from_list
+
+    df = resolve_route(parse_envelopes(envelopes_from_list(spark, [body])))
+    r = df.select("folder", "source_db", "table").collect()[0]
+    # 'Dätenbänk' → 'Dtenbnk' (umlauts stripped), lowercased
+    assert (r.folder, r.source_db, r.table) == ("ordner_", "dtenbnk", "tble")
+
+
+def test_double_compression_not_recursed(spark):
+    """gzip(gzip(json)) decompresses ONE layer (reference cascade returns
+    the first success) → inner bytes aren't JSON → zero rows, kept."""
+    import gzip as _gz
+
+    inner = _gz.compress(json.dumps([{"a": 1}]).encode())
+    body = json.dumps(
+        {"Source": "db.tbl", "Destination": "landing",
+         "Data": base64.b64encode(_gz.compress(inner)).decode()}
+    )
+    assert run(spark, [body]) == []
+
+
+def test_empty_payload_array(spark):
+    """Data decoding to [] → zero rows, no error."""
+    assert run(spark, [envelope([])]) == []
+
+
+def test_columnar_all_empty_columns(spark):
+    """{"a": [], "b": []} is a valid columnar dict with zero rows."""
+    assert run(spark, [envelope({"a": [], "b": []})]) == []
