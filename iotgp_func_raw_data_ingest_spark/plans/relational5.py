@@ -1,0 +1,116 @@
+"""Relational surface, tranche 5: native session windows, forced
+sort-merge join (strategy coverage beyond broadcast), and min/max-of-
+struct ordering semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iotgp_func_raw_data_ingest_spark.plans.registry import prep, register
+
+
+def _r2(c) -> F.Column:
+    return F.round(c, 2)
+
+
+@register(
+    "q65_session_window",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WHERE user_id <= 40
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+        SELECT user_id, ts, value,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM g
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q65_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native F.session_window (the streaming session operator, batch
+    form) vs a gaps-and-islands oracle: session_window merges events
+    whose gap is < 30min; window end = last event + gap."""
+    t = prep(spark, sf_dir)
+    return (
+        t["events"]
+        .filter(F.col("user_id") <= 40)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), _r2(F.sum("value")).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q66_sort_merge_join",
+    oracle="""
+    SELECT l.l_orderkey,
+           o.o_orderpriority,
+           ROUND(SUM(l.l_extendedprice), 2) AS order_value,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY l.l_orderkey, o.o_orderpriority
+    """,
+)
+def q66_sort_merge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big join forced to SortMergeJoin via the merge hint — at 100 TB
+    lineitem⋈orders cannot broadcast, so this exercises the shuffle-sort
+    path the other joins skip (both sides exchange on the join key once;
+    the following aggregate reuses that partitioning for l_orderkey)."""
+    t = prep(spark, sf_dir)
+    o = t["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderpriority")
+    li = t["lineitem"].select("l_orderkey", "l_extendedprice")
+    return (
+        li.join(o.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            _r2(F.sum("l_extendedprice")).alias("order_value"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q67_struct_ordering",
+    oracle="""
+    SELECT c_mktsegment,
+           MIN({'bal': c_acctbal, 'key': c_custkey}).key AS poorest_cust,
+           MAX({'bal': c_acctbal, 'key': c_custkey}).key AS richest_cust,
+           ROUND(MIN(c_acctbal), 2) AS min_bal,
+           ROUND(MAX(c_acctbal), 2) AS max_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q67_struct_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicographic struct min/max (argmin/argmax without a window):
+    both engines order ROW/STRUCT values field-by-field."""
+    t = prep(spark, sf_dir)
+    s = F.struct(F.col("c_acctbal"), F.col("c_custkey"))
+    return t["customer"].groupBy("c_mktsegment").agg(
+        F.min(s).getField("c_custkey").alias("poorest_cust"),
+        F.max(s).getField("c_custkey").alias("richest_cust"),
+        _r2(F.min("c_acctbal")).alias("min_bal"),
+        _r2(F.max("c_acctbal")).alias("max_bal"),
+    )
