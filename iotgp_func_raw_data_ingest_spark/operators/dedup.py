@@ -283,3 +283,61 @@ def simhash_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering (connected components over pair edges)
+# ---------------------------------------------------------------------------
+
+
+def cluster_neardups(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over near-dup pair edges → (id, cluster_id)
+    with cluster_id = min doc id in the component (the canonical doc).
+
+    Iterative min-label propagation in pure DataFrame ops: each round
+    every node adopts the smallest label among itself and its neighbors;
+    converges in O(component diameter) rounds — near-dup components are
+    shallow (duplicates of duplicates), so a handful of rounds suffices.
+    Each round is one shuffle; intermediate lineage is truncated with
+    localCheckpoint so the plan doesn't grow unboundedly.
+
+    Iterative fixpoints aren't SQL-expressible one-shot → rows-only in
+    the correctness gate; golden tests pin known component structures.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels

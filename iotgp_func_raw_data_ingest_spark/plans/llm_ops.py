@@ -363,3 +363,86 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = prep(spark, sf_dir)
     media = M.synthesize_media_from_documents(t["documents"])
     return M.extract_features(media)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q68_corpus_curation",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, source, text,
+               len({_SQL_TOKS}) AS n_ws,
+               {_sql_stop_ratio('en')} AS sr_en,
+               CASE WHEN length(text) > 0
+                    THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / length(text)
+                    ELSE 0.0 END AS pr
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, source, n_ws,
+               ROUND(0.5 * least(n_ws / 50.0, 1.0)
+                   + 0.3 * (1.0 - least(pr * 5, 1.0))
+                   + 0.2 * least(sr_en * 5, 1.0), 4) AS quality,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM base
+    ),
+    kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+    dedup AS (
+        SELECT fp, min(doc_id) AS keep_id, count(*) AS n_copies,
+               min(source) AS src, min(n_ws) AS n_ws, min(quality) AS quality
+        FROM kept GROUP BY fp
+    )
+    SELECT src AS source,
+           count(*) AS n_unique_docs,
+           CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+           -- avg over exact integer basis points: float summation order
+           -- differs between engines and AVG(round4) can straddle a
+           -- round-half boundary (observed 0.7728 vs 0.7727)
+           ROUND(SUM(CAST(ROUND(quality * 10000) AS BIGINT)) / (10000.0 * COUNT(*)), 4) AS avg_quality,
+           CAST(SUM(n_ws) AS BIGINT) AS total_tokens
+    FROM dedup
+    GROUP BY src
+    """,
+)
+def q68_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM-corpus curation pipeline in one oracle-checked
+    query: quality-score → filter → fingerprint-dedup (canonical = min
+    id) → per-source corpus statistics. Each stage is an operator proven
+    individually (q35, q30); this proves the composition."""
+    t = prep(spark, sf_dir)
+    prof = T.text_profile(t["documents"], "doc_id", "text").select(
+        "doc_id", "n_tokens_ws", "quality", "fingerprint"
+    )
+    docs = t["documents"].select("doc_id", "source")
+    kept = prof.filter(F.col("quality") >= 0.5).join(docs, "doc_id")
+    dedup = kept.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("source").alias("src"),
+        F.min("n_tokens_ws").alias("n_ws"),
+        F.min("quality").alias("q"),
+    )
+    return dedup.groupBy(F.col("src").alias("source")).agg(
+        F.count(F.lit(1)).alias("n_unique_docs"),
+        F.sum("n_copies").alias("n_docs"),
+        # integer-basis-point average: order-independent (see oracle note)
+        F.round(
+            F.sum(F.round(F.col("q") * 10000).cast("long")) / (10000.0 * F.count(F.lit(1))), 4
+        ).alias("avg_quality"),
+        F.sum("n_ws").alias("total_tokens"),
+    )
+
+
+@register("q69_neardup_clusters")  # iterative fixpoint → rows-only check
+def q69_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over 3-gram-Jaccard near-dup edges: each
+    clustered doc labeled with its component's canonical (min) id.
+    Iterative label propagation isn't one-shot SQL → rows-only; component
+    structure is pinned by golden tests (tests/test_llm_ops.py)."""
+    t = prep(spark, sf_dir)
+    pairs = D.jaccard_pairs(t["documents"], "doc_id", "text", k=3, threshold=0.3)
+    return D.cluster_neardups(pairs)

@@ -150,3 +150,24 @@ def test_frame_sample_shape(spark):
     assert len(rows) == 20  # 5 docs × 4 frames
     assert {r.frame_no for r in rows} == {0, 1, 2, 3}
     assert all(len(bytes(r.frame_payload)) <= 16 for r in rows)
+
+
+def test_cluster_neardups_components(spark):
+    """Pairs (1-2), (2-3), (5-6) → components {1,2,3} labeled 1 and {5,6}
+    labeled 5 (min-id canonical)."""
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.8), (5, 6, 0.95)],
+        "id_a long, id_b long, jaccard double",
+    )
+    labels = {r.id: r.cluster_id for r in D.cluster_neardups(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_cluster_neardups_chain_converges(spark):
+    """A chain 0-1-2-...-9 (diameter 9) still converges to one component."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(9)], "id_a long, id_b long, jaccard double"
+    )
+    labels = {r.id: r.cluster_id for r in D.cluster_neardups(pairs).collect()}
+    assert set(labels.values()) == {0}
+    assert len(labels) == 10
