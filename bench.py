@@ -38,13 +38,19 @@ def main() -> None:
     ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    failures: list[str] = []
     for name in sorted(QUERIES):
         fn = QUERIES[name]
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception:
+            # one broken query must not kill the whole bench run
+            failures.append(name)
+            timings[name] = -1.0
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(v for v in timings.values() if v > 0), 3)
     print(
         json.dumps(
             {
@@ -53,6 +59,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "failures": failures,
             }
         )
     )

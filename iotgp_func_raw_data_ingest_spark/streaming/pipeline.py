@@ -103,3 +103,41 @@ def session_windows(
             "total_value",
         )
     )
+
+
+def stream_stream_conversion_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    key_col: str = "user_id",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: purchases attributed to a prior click by
+    the same user within ``within``. Both sides watermarked so join state
+    is pruned once the time bound passes — bounded state at any volume
+    (the canonical funnel/attribution shape the reference cannot express).
+    """
+    c = clicks.select(
+        F.col(key_col).alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col(key_col).alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )

@@ -92,3 +92,48 @@ def test_session_windows_batch(spark):
         by_user.setdefault(r.user_id, []).append(r.n_events)
     assert sorted(by_user[1]) == [1, 2]  # two sessions: (10:00,10:10) and (12:00)
     assert by_user[2] == [1]
+
+
+def test_stream_stream_conversion_join(spark, tmp_path):
+    """Purchases join to prior clicks by the same user within 1h; a
+    purchase 2h after the click does NOT attribute."""
+    import json as _json
+
+    from iotgp_func_raw_data_ingest_spark.streaming.pipeline import (
+        stream_stream_conversion_join,
+    )
+
+    cdir, pdir = tmp_path / "clicks", tmp_path / "purch"
+    cdir.mkdir(), pdir.mkdir()
+    (cdir / "c.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"event_id": 1, "user_id": 10, "ts": "2024-01-01 10:00:00", "value": 0.0},
+                {"event_id": 2, "user_id": 20, "ts": "2024-01-01 10:00:00", "value": 0.0},
+            ]
+        )
+    )
+    (pdir / "p.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"event_id": 100, "user_id": 10, "ts": "2024-01-01 10:30:00", "value": 9.99},
+                {"event_id": 200, "user_id": 20, "ts": "2024-01-01 12:30:00", "value": 5.0},
+            ]
+        )
+    )
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    clicks = spark.readStream.schema(schema).json(str(cdir))
+    purchases = spark.readStream.schema(schema).json(str(pdir))
+    out = stream_stream_conversion_join(clicks, purchases)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("conv_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM conv_out").collect()
+    assert [(r.user_id, r.click_id, r.purchase_id) for r in rows] == [(10, 1, 100)]
