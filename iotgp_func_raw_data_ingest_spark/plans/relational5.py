@@ -114,3 +114,108 @@ def q67_struct_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r2(F.min("c_acctbal")).alias("min_bal"),
         _r2(F.max("c_acctbal")).alias("max_bal"),
     )
+
+
+@register(
+    "q70_map_fns",
+    oracle="""
+    WITH m AS (
+        SELECT o_orderkey,
+               MAP {'status': o_orderstatus, 'prio': o_orderpriority} AS props
+        FROM orders WHERE o_orderkey <= 200
+    )
+    SELECT o_orderkey,
+           list_sort(map_keys(props))      AS keys_sorted,
+           map_extract(props, 'status')[1] AS status_val,
+           map_extract(props, 'prio')[1]   AS prio_val,
+           CAST(cardinality(props) AS INT) AS n_entries
+    FROM m
+    """,
+)
+def q70_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map scalar functions: construction, key listing, element access,
+    cardinality — the MapType toolkit the ingest row maps rely on.
+    (Map values themselves never appear raw in the output: pandas/hash
+    comparison of map cells is engine-specific; keys are sorted.)"""
+    t = prep(spark, sf_dir)
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"), F.lit("prio"), F.col("o_orderpriority")
+    )
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") <= 200)
+        .select("o_orderkey", m.alias("props"))
+        .select(
+            "o_orderkey",
+            F.sort_array(F.map_keys("props")).alias("keys_sorted"),
+            F.element_at("props", "status").alias("status_val"),
+            F.element_at("props", "prio").alias("prio_val"),
+            F.size("props").alias("n_entries"),
+        )
+    )
+
+
+@register(
+    "q71_full_outer_join",
+    oracle="""
+    WITH c AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey <= 80),
+         o AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+               FROM orders WHERE o_custkey <= 120 GROUP BY o_custkey)
+    SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+           ROUND(COALESCE(c.c_acctbal, -1), 2) AS acctbal_f,
+           COALESCE(o.n_orders, 0)             AS n_orders_f,
+           (c.c_custkey IS NULL)               AS only_orders,
+           (o.o_custkey IS NULL)               AS only_customer
+    FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+    """,
+)
+def q71_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join with disjoint key ranges on each side → rows that
+    exist only-left, only-right, and both."""
+    t = prep(spark, sf_dir)
+    c = t["customer"].filter(F.col("c_custkey") <= 80).select("c_custkey", "c_acctbal")
+    o = (
+        t["orders"]
+        .filter(F.col("o_custkey") <= 120)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "full_outer").select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.round(F.coalesce("c_acctbal", F.lit(-1.0)), 2).alias("acctbal_f"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders_f"),
+        F.isnull("c_custkey").alias("only_orders"),
+        F.isnull("o_custkey").alias("only_customer"),
+    )
+
+
+@register(
+    "q72_unpivot",
+    oracle="""
+    SELECT * FROM (
+        SELECT p_partkey,
+               CAST(p_size AS DOUBLE)      AS size_metric,
+               ROUND(p_retailprice, 2)     AS price_metric
+        FROM part WHERE p_partkey <= 100
+    )
+    UNPIVOT (metric_value FOR metric_name IN (size_metric, price_metric))
+    """,
+)
+def q72_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide numeric columns → (name, value) long form."""
+    t = prep(spark, sf_dir)
+    wide = (
+        t["part"]
+        .filter(F.col("p_partkey") <= 100)
+        .select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size_metric"),
+            F.round("p_retailprice", 2).alias("price_metric"),
+        )
+    )
+    return wide.unpivot(
+        ids=["p_partkey"],
+        values=["size_metric", "price_metric"],
+        variableColumnName="metric_name",
+        valueColumnName="metric_value",
+    )
