@@ -290,7 +290,9 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 
-def cluster_neardups(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+def cluster_neardups(
+    pairs: DataFrame, max_iterations: int = 20, driver_path_max_edges: int = 1_000_000
+) -> DataFrame:
     """Connected components over near-dup pair edges → (id, cluster_id)
     with cluster_id = min doc id in the component (the canonical doc).
 
@@ -309,6 +311,40 @@ def cluster_neardups(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
     )
+    # Fast path: near-dup EDGE sets are derived metadata, orders of
+    # magnitude smaller than the corpus (they're the output of the LSH /
+    # inverted-index stage). When they fit comfortably on the driver,
+    # union-find beats ~3 distributed rounds × several jobs each.
+    # Cache: the edge subplan (the whole similarity pipeline) must not
+    # recompute for count + collect / each propagation round.
+    edges = edges.cache()
+    n_edges = edges.count()
+    if n_edges <= driver_path_max_edges:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        rows = edges.collect()
+        for r in rows:
+            ra, rb = find(r.src), find(r.dst)
+            if ra != rb:
+                # min-root union keeps cluster_id = min id in component
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        members = sorted({r.src for r in rows})
+        spark = pairs.sparkSession
+        out = spark.createDataFrame(
+            [(m, find(m)) for m in members], "id long, cluster_id long"
+        )
+        edges.unpersist()
+        return out
+
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -340,4 +376,5 @@ def cluster_neardups(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         labels = updated
         if changed == 0:
             break
+    edges.unpersist()
     return labels

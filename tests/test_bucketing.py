@@ -24,6 +24,10 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
             .bucketBy(8, key)
             .sortBy(key)
             .format("parquet")
+            # external table under tmp_path: the session-local metastore
+            # forgets managed tables between runs but their warehouse
+            # directories persist → LOCATION_ALREADY_EXISTS on rerun
+            .option("path", str(tmp_path / name))
             .saveAsTable(f"bucketdb.{name}")
         )
 
