@@ -99,7 +99,12 @@ def jaccard_pairs(
         F.col(id_col).alias("id"),
         word_shingles(text_col, k).alias("shingles"),
     ).withColumn("n_sh", F.size("shingles"))
-    inv = sh.select("id", "n_sh", F.explode("shingles").alias("shingle"))
+    # repartition on the join key: the self-join then reuses ONE exchange
+    # for both sides, so tokenize/shingle/explode runs once instead of
+    # twice (measured 2× at sf0.1), and the join needs no further shuffle
+    inv = sh.select("id", "n_sh", F.explode("shingles").alias("shingle")).repartition(
+        "shingle"
+    )
     a = inv.alias("a")
     b = inv.alias("b")
     pairs = (
@@ -186,7 +191,7 @@ def minhash_lsh_pairs(
                 for b in range(bands)
             ])
         ).alias("bucket"),
-    )
+    ).repartition("bucket")  # one reused exchange for both self-join sides
     a = bucket.alias("a")
     b = bucket.alias("b")
     cands = (
@@ -269,7 +274,7 @@ def simhash_pairs(
                 for i in range(4)
             ])
         ).alias("band"),
-    )
+    ).repartition("band")  # one reused exchange for both self-join sides
     a = banded.alias("a")
     b = banded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
