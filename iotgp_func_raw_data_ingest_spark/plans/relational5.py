@@ -219,3 +219,114 @@ def q72_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric_name",
         valueColumnName="metric_value",
     )
+
+
+@register(
+    "q73_not_in_null_semantics",
+    oracle="""
+    WITH probe AS (
+        SELECT o_custkey,
+               CASE WHEN o_custkey % 10 = 0 THEN NULL ELSE o_custkey END AS maybe_null_key
+        FROM orders WHERE o_orderkey <= 400
+    ),
+    excl AS (
+        SELECT CASE WHEN c_custkey % 25 = 0 THEN NULL ELSE c_custkey END AS k
+        FROM customer WHERE c_custkey <= 50
+    )
+    SELECT 'not_in_with_nulls' AS tag, count(*) AS n
+    FROM probe WHERE maybe_null_key NOT IN (SELECT k FROM excl)
+    UNION ALL
+    SELECT 'not_in_null_free' AS tag, count(*) AS n
+    FROM probe WHERE maybe_null_key NOT IN (SELECT k FROM excl WHERE k IS NOT NULL)
+    UNION ALL
+    SELECT 'in_with_nulls' AS tag, count(*) AS n
+    FROM probe WHERE maybe_null_key IN (SELECT k FROM excl)
+    """,
+)
+def q73_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic trap: NOT IN against a set containing NULL
+    matches NOTHING (x <> NULL is unknown) — both engines must agree on
+    the classic SQL footgun. Null-free NOT IN and plain IN included for
+    contrast."""
+    t = prep(spark, sf_dir)
+    t["orders"], t["customer"]  # register views for the SQL below
+    return spark.sql(
+        """
+        WITH probe AS (
+            SELECT o_custkey,
+                   CASE WHEN o_custkey % 10 = 0 THEN NULL ELSE o_custkey END AS maybe_null_key
+            FROM orders WHERE o_orderkey <= 400
+        ),
+        excl AS (
+            SELECT CASE WHEN c_custkey % 25 = 0 THEN NULL ELSE c_custkey END AS k
+            FROM customer WHERE c_custkey <= 50
+        )
+        SELECT 'not_in_with_nulls' AS tag, count(*) AS n
+        FROM probe WHERE maybe_null_key NOT IN (SELECT k FROM excl)
+        UNION ALL
+        SELECT 'not_in_null_free' AS tag, count(*) AS n
+        FROM probe WHERE maybe_null_key NOT IN (SELECT k FROM excl WHERE k IS NOT NULL)
+        UNION ALL
+        SELECT 'in_with_nulls' AS tag, count(*) AS n
+        FROM probe WHERE maybe_null_key IN (SELECT k FROM excl)
+        """
+    )
+
+
+@register(
+    "q74_date_parse_format",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y/%m/%d')                     AS ymd,
+           strftime(o_orderdate, '%Y-%m')                        AS ym,
+           CAST(strptime(strftime(o_orderdate, '%Y/%m/%d'), '%Y/%m/%d') AS TIMESTAMP) AS reparsed,
+           CAST(epoch(o_orderdate) AS BIGINT)                    AS epoch_s
+    FROM orders WHERE o_orderkey <= 200
+    """,
+)
+def q74_date_parse_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp formatting and re-parsing round trip + epoch seconds
+    (Spark date_format/to_timestamp vs DuckDB strftime/strptime)."""
+    t = prep(spark, sf_dir)
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") <= 200)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy/MM/dd").alias("ymd"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+            F.to_timestamp(
+                F.date_format("o_orderdate", "yyyy/MM/dd"), "yyyy/MM/dd"
+            ).alias("reparsed"),
+            F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        )
+    )
+
+
+@register(
+    "q75_decimal_aggregation",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS DECIMAL(18, 0))) / 100 AS DOUBLE) AS exact_total,
+           -- trunc() made explicit: DuckDB's double->BIGINT cast rounds,
+           -- Spark's truncates
+           CAST(SUM(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS cents_total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q75_decimal_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent exact aggregation: sums over DECIMAL / integer
+    cents are exact regardless of partitioning — the technique for money
+    columns where ROUND(SUM(double)) isn't acceptable. The decimal is
+    built from explicitly-rounded cents: a direct double→DECIMAL(18,2)
+    cast rounds epsilon cases differently across engines."""
+    t = prep(spark, sf_dir)
+    return t["orders"].groupBy("o_orderpriority").agg(
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(18,0)")) / 100
+        ).cast("double").alias("exact_total"),
+        (
+            F.sum((F.col("o_totalprice") * 100).cast("long")).cast("double") / 100
+        ).alias("cents_total"),
+    )
