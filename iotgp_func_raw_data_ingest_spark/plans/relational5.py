@@ -330,3 +330,136 @@ def q75_decimal_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("o_totalprice") * 100).cast("long")).cast("double") / 100
         ).alias("cents_total"),
     )
+
+
+@register(
+    "q76_large_volume_customers",
+    oracle="""
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           ROUND(o.o_totalprice, 2) AS total_price,
+           ROUND(SUM(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    )
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def q76_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN over a grouped-HAVING subquery (→ aggregate +
+    semi join), then re-join and re-aggregate. Two aggregations over the
+    same fact table — Catalyst reuses the exchange."""
+    t = prep(spark, sf_dir)
+    big_orders = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    li = t["lineitem"].select(F.col("l_orderkey").alias("lk"), "l_quantity")
+    return (
+        t["orders"]
+        .join(big_orders, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("lk"))
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "total_qty",
+        )
+    )
+
+
+@register(
+    "q77_global_sales_opportunity",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+    )
+    SELECT SUBSTR(c.c_name, 10, 2) AS name_code,
+           COUNT(*) AS n_custs,
+           ROUND(SUM(c.c_acctbal), 2) AS total_bal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    """,
+)
+def q77_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar AVG subquery as a filter + anti join +
+    aggregate over a derived key (substring code)."""
+    t = prep(spark, sf_dir)
+    cust = t["customer"]
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(t["orders"].select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.substring("c_name", 10, 2).alias("name_code"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "q78_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+        SELECT l.l_partkey, l.l_suppkey, s.s_name, n.n_name,
+               MIN(l.l_extendedprice / l.l_quantity) AS unit_cost
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        WHERE l.l_quantity > 0
+        GROUP BY 1, 2, 3, 4
+    ),
+    ranked AS (
+        SELECT *, MIN(unit_cost) OVER (PARTITION BY l_partkey) AS mc FROM costs
+    )
+    SELECT l_partkey AS partkey, l_suppkey AS suppkey, s_name, n_name,
+           ROUND(unit_cost, 6) AS best_unit_cost
+    FROM ranked
+    WHERE unit_cost = mc
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY l_suppkey) = 1
+    """,
+)
+def q78_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated 'minimum over the same relation' —
+    expressed as a window min + filter (one pass; the classic decorrelated
+    form), with a deterministic pick among tied suppliers."""
+    from pyspark.sql import Window as W
+
+    t = prep(spark, sf_dir)
+    costs = (
+        t["lineitem"]
+        .filter(F.col("l_quantity") > 0)
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey", "l_suppkey", "s_name", "n_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    w = W.partitionBy("l_partkey")
+    w_pick = W.partitionBy("l_partkey").orderBy("l_suppkey")
+    return (
+        costs.withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+            "s_name",
+            "n_name",
+            F.round("unit_cost", 6).alias("best_unit_cost"),
+        )
+    )
