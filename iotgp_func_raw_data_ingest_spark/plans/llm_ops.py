@@ -446,3 +446,49 @@ def q69_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = prep(spark, sf_dir)
     pairs = D.jaccard_pairs(t["documents"], "doc_id", "text", k=3, threshold=0.3)
     return D.cluster_neardups(pairs)
+
+
+@register(
+    "q79_grouped_zscore",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               AVG(value) AS mu,
+               stddev_samp(value) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND((e.value - s.mu) / s.sigma, 4) AS zscore
+    FROM events e JOIN stats s USING (event_type)
+    WHERE s.sigma > 0
+    """,
+)
+def q79_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-group z-score normalization computed
+    batch-at-a-time in pandas. API-coverage demonstration — the oracle
+    shows the pure-SQL window/join form, which is what production code
+    should prefer (JVM-side, no Python); applyInPandas is for group-local
+    logic SQL can't express (model scoring, per-group fitting)."""
+    import pandas as pd
+
+    t = prep(spark, sf_dir)
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        sigma = pdf["value"].std(ddof=1)
+        if not sigma or sigma != sigma or sigma == 0:
+            return pdf.iloc[0:0][["event_id", "event_type"]].assign(zscore=[])
+        mu = pdf["value"].mean()
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "zscore": ((pdf["value"] - mu) / sigma).round(4),
+            }
+        )
+
+    return (
+        t["events"]
+        .select("event_id", "event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(zscore, schema="event_id long, event_type string, zscore double")
+    )
