@@ -291,6 +291,47 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Blocked edit-distance fuzzy matching
+# ---------------------------------------------------------------------------
+
+
+def blocked_levenshtein_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """All pairs (id_a < id_b) within the same block whose edit distance
+    on ``text_col`` is ≤ ``max_dist`` — the classic record-linkage shape
+    (fuzzy key dedup with a blocking key).
+
+    Scale design: the self-join is equi on the blocking key, so cost is
+    Σ block_size², never n². At 100 TB the blocking key is the knob —
+    pick one with bounded group size (prefix, phonetic code, LSH bucket)
+    and the quadratic stays local to a partition; `levenshtein` itself is
+    a JVM built-in (whole-stage codegen, no Python). Repartitioning on the
+    block key before the self-join lets both sides reuse one exchange.
+    """
+    side = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("txt"),
+        F.col(block_col).alias("blk"),
+    ).repartition("blk")
+    a, b = side.alias("a"), side.alias("b")
+    dist = F.levenshtein(F.col("a.txt"), F.col("b.txt"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .filter(dist <= max_dist)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            dist.cast("int").alias("dist"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Near-dup clustering (connected components over pair edges)
 # ---------------------------------------------------------------------------
 

@@ -492,3 +492,26 @@ def q79_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .applyInPandas(zscore, schema="event_id long, event_type string, zscore double")
     )
+
+
+@register(
+    "q85_fuzzy_blocked_pairs",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+    FROM customer a
+    JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def q85_fuzzy_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage fuzzy dedup: same-nation customer-name pairs within
+    edit distance 1 (operators/dedup.py blocked_levenshtein_pairs). The
+    blocking key (nation) bounds the quadratic to Σ block² — the standard
+    at-scale shape for edit-distance matching; levenshtein is a JVM
+    built-in so the whole plan stays in whole-stage codegen."""
+    t = prep(spark, sf_dir)
+    return D.blocked_levenshtein_pairs(
+        t["customer"], "c_custkey", "c_name", "c_nationkey", max_dist=1
+    )

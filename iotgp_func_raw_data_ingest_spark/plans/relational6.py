@@ -1,0 +1,255 @@
+"""Relational surface, tranche 6: classic TPC-H deep-join shapes the
+engine had not yet covered — market-share ratio over a 7-table join
+(Q8), profit rollup over a 5-table join (Q9), conditional-ratio promo
+share (Q14), disjunctive OR-of-ANDs pushdown (Q19), and a
+max-of-aggregate view join (Q15).
+
+These exercise Catalyst behaviors that matter at 100 TB: join
+reordering across many dims (all dims broadcast — no shuffle except the
+final agg), partial aggregation before the ratio division, and
+disjunctive predicate pushdown into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iotgp_func_raw_data_ingest_spark.plans.registry import prep, register
+
+def _rev() -> F.Column:
+    # built lazily: F.col needs an active SparkContext (PySpark 4 classic)
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@register(
+    "q80_market_share",
+    oracle="""
+    WITH sales AS (
+        SELECT EXTRACT(year FROM o.o_orderdate)         AS order_year,
+               sn.n_name                                AS supp_nation,
+               l.l_extendedprice * (1 - l.l_discount)   AS volume
+        FROM lineitem l
+        JOIN part     p  ON p.p_partkey   = l.l_partkey
+        JOIN supplier s  ON s.s_suppkey   = l.l_suppkey
+        JOIN nation   sn ON sn.n_nationkey = s.s_nationkey
+        JOIN orders   o  ON o.o_orderkey  = l.l_orderkey
+        JOIN customer c  ON c.c_custkey   = o.o_custkey
+        JOIN nation   cn ON cn.n_nationkey = c.c_nationkey
+        JOIN region   r  ON r.r_regionkey = cn.n_regionkey
+        WHERE p.p_type = 'PROMO' AND r.r_name = 'ASIA'
+    )
+    SELECT order_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0 END)
+                 / SUM(volume), 5) AS mkt_share
+    FROM sales GROUP BY order_year
+    """,
+)
+def q80_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_2's share of PROMO-part revenue sold into
+    ASIA customers, by order year. Seven-table join; every dimension side
+    (part, supplier, nation, customer-side chain) is broadcast, so the
+    only shuffle is the final year-grouped aggregate of lineitem."""
+    t = prep(spark, sf_dir)
+    cust_region = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey")
+    )
+    supp_nation = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    sales = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust_region), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.col("supp_nation"),
+            _rev().alias("volume"),
+        )
+    )
+    nation_vol = F.sum(F.when(F.col("supp_nation") == "NATION_2", F.col("volume")).otherwise(0.0))
+    return sales.groupBy("order_year").agg(
+        F.round(nation_vol / F.sum("volume"), 5).alias("mkt_share")
+    )
+
+
+@register(
+    "q81_product_profit",
+    oracle="""
+    SELECT n.n_name                                  AS nation,
+           EXTRACT(year FROM o.o_orderdate)          AS o_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.6 * p.p_retailprice * l.l_quantity), 2) AS profit
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+    JOIN part     p ON p.p_partkey   = l.l_partkey
+    JOIN orders   o ON o.o_orderkey  = l.l_orderkey
+    JOIN nation   n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY nation, o_year
+    """,
+)
+def q81_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit (revenue minus a 60%-of-retail synthetic
+    supply cost — the driver tables have no partsupp) by supplier nation
+    and order year, for parts whose name contains 'widget'. The LIKE
+    filter prunes part before its broadcast."""
+    t = prep(spark, sf_dir)
+    profit = _rev() - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(
+                t["part"]
+                .filter(F.col("p_name").contains("widget"))
+                .select("p_partkey", "p_retailprice")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["orders"].select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+    )
+
+
+@register(
+    "q82_promo_share",
+    oracle="""
+    SELECT date_trunc('month', l.l_shipdate) AS ship_month,
+           ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 5) AS promo_share
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY ship_month
+    """,
+)
+def q82_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: percentage of 1996 revenue from PROMO parts, by
+    ship month. Conditional-sum ratio; the shipdate range predicate
+    reaches the parquet scan (min/max row-group pruning at scale)."""
+    t = prep(spark, sf_dir)
+    promo_rev = F.sum(F.when(F.col("p_type") == "PROMO", _rev()).otherwise(0.0))
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(F.round(100.0 * promo_rev / F.sum(_rev()), 5).alias("promo_share"))
+    )
+
+
+@register(
+    "q83_disjunctive_predicates",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT)                              AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 35)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q83_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides. Catalyst
+    extracts the common per-side disjuncts (brand IN set, quantity range
+    union) and pushes them below the join, so each scan is pre-filtered
+    even though the full predicate straddles the join."""
+    t = prep(spark, sf_dir)
+    li, p = t["lineitem"], t["part"]
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 35))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 50))
+    )
+    return (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(F.sum(_rev()), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q84_top_supplier",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey AS suppkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def q84_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue.
+    The scalar subquery MAX decorrelates to an empty-frame window max over
+    the tiny aggregated rev set (supplier cardinality), not lineitem.
+    Revenue is rounded BEFORE the max-equality compare so both engines
+    test identical values (registry determinism contract)."""
+    t = prep(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.round(F.sum(_rev()), 2).alias("total_rev"))
+    )
+    from pyspark.sql.window import Window
+
+    best = rev.withColumn("max_rev", F.max("total_rev").over(Window.partitionBy())).filter(
+        F.col("total_rev") == F.col("max_rev")
+    )
+    return (
+        best.join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
