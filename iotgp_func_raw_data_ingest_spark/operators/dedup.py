@@ -306,28 +306,67 @@ def blocked_levenshtein_pairs(
     on ``text_col`` is ≤ ``max_dist`` — the classic record-linkage shape
     (fuzzy key dedup with a blocking key).
 
-    Scale design: the self-join is equi on the blocking key, so cost is
-    Σ block_size², never n². At 100 TB the blocking key is the knob —
-    pick one with bounded group size (prefix, phonetic code, LSH bucket)
-    and the quadratic stays local to a partition; `levenshtein` itself is
-    a JVM built-in (whole-stage codegen, no Python). Repartitioning on the
-    block key before the self-join lets both sides reuse one exchange.
+    Scale design, max_dist=1 (the common fuzzy-key case): FastSS-style
+    deletion neighborhoods — lev(u,v) ≤ 1 iff u and v share a member of
+    {s} ∪ {s minus one char}, so candidates come from an inverted-index
+    self-join on (block, variant): O(n·len) index entries, never a
+    quadratic block join. Exact `levenshtein` (threshold form — banded
+    O(d·len) with early exit) verifies candidates. For max_dist > 1 it
+    falls back to the quadratic-within-block join, where the blocking
+    key is the knob: pick one with bounded group size (prefix, phonetic
+    code, LSH bucket) and the quadratic stays local. Everything is JVM
+    built-ins — whole-stage codegen, no Python.
     """
     side = df.select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("txt"),
         F.col(block_col).alias("blk"),
-    ).repartition("blk")
-    a, b = side.alias("a"), side.alias("b")
-    dist = F.levenshtein(F.col("a.txt"), F.col("b.txt"))
+    )
+    dist = F.levenshtein(F.col("a.txt"), F.col("b.txt"), max_dist)
+    out_cols = [
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        dist.cast("int").alias("dist"),
+    ]
+    if max_dist == 1:
+        txt = F.col("txt")
+        variants = F.array_union(
+            F.array(txt),
+            F.transform(
+                F.sequence(F.lit(1), F.length(txt)),
+                lambda i: F.concat(txt.substr(F.lit(1), i - 1), txt.substr(i + 1, F.length(txt))),
+            ),
+        )
+        inv = side.select(
+            "id", "txt", "blk", F.explode(variants).alias("var")
+        ).repartition("blk", "var")
+        a, b = inv.alias("a"), inv.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.blk") == F.col("b.blk"))
+                & (F.col("a.var") == F.col("b.var"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            # a pair can share several variants → dedupe before verifying
+            .groupBy(
+                F.col("a.id").alias("id_a"),
+                F.col("a.txt").alias("txt_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("b.txt").alias("txt_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        vdist = F.levenshtein(F.col("txt_a"), F.col("txt_b"), max_dist).cast("int")
+        return (
+            cand.select("id_a", "id_b", vdist.alias("dist"))
+            .filter(F.col("dist").between(0, max_dist))
+        )
+    a, b = side.repartition("blk").alias("a"), side.repartition("blk").alias("b")
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
-        .filter(dist <= max_dist)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            dist.cast("int").alias("dist"),
-        )
+        .select(*out_cols)
+        .filter(F.col("dist").between(0, max_dist))
     )
 
 

@@ -152,3 +152,82 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (IVF coarse
+    quantization): cell = argmax cosine(v, centroid), ties → min centroid
+    id. Centroids are broadcast (n_cells is small by construction), so
+    assignment is map-side compute + ONE shuffle for the per-vector
+    argmax — `max_by` over a (sim, -cid) struct gives the argmax with
+    partial aggregation, no window over the crossed set.
+
+    Output: (id, vec, cell).
+    """
+    scored = df.crossJoin(F.broadcast(centroids))
+    sim = F.round(cosine(F.col(vec_col), F.col("centroid_vec")), 6)
+    # unique ordering key: (sim asc, -cid asc) → max = best sim, min cid
+    ordkey = F.struct(sim.alias("s"), (-F.col("centroid_id")).alias("nc"))
+    return (
+        scored.groupBy(F.col(id_col).alias("id"))
+        .agg(
+            F.first(F.col(vec_col)).alias("vec"),
+            F.max_by(F.col("centroid_id"), ordkey).alias("cell"),
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are inverted-file-indexed by
+    nearest centroid (`ivf_assign`); each query probes its ``nprobe``
+    nearest cells and brute-forces only those lists. Scored pairs drop
+    from |Q|·n to ~|Q|·n·nprobe/n_cells.
+
+    At 100 TB the assignment is computed once at ingest and the lake is
+    partitioned/bucketed by cell, so a query reads only its probed
+    partitions (partition pruning, no full scan); centroids come from a
+    sampled KMeans fit (pyspark.ml) refreshed offline — here they are
+    caller-supplied so the operator stays deterministic and
+    oracle-checkable.
+
+    ``centroids`` schema: (centroid_id, centroid_vec).
+    """
+    cells = ivf_assign(corpus, centroids, id_col, vec_col)
+    qscored = queries.crossJoin(F.broadcast(centroids))
+    qsim = F.round(cosine(F.col(query_vec_col), F.col("centroid_vec")), 6)
+    wprobe = W.partitionBy(query_id_col).orderBy(qsim.desc(), F.col("centroid_id"))
+    probes = (
+        qscored.withColumn("rn", F.row_number().over(wprobe))
+        .filter(F.col("rn") <= nprobe)
+        .select(F.col(query_id_col), F.col(query_vec_col), F.col("centroid_id").alias("cell"))
+    )
+    joined = cells.join(F.broadcast(probes), "cell")
+    if exclude_self:
+        joined = joined.filter(F.col("id") != F.col(query_id_col))
+    sim = F.round(cosine(F.col("vec"), F.col(query_vec_col)), 6)
+    w = W.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        joined.select(
+            F.col(query_id_col),
+            F.col("id").alias("neighbor_id"),
+            sim.alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

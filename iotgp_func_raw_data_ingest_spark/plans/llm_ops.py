@@ -515,3 +515,64 @@ def q85_fuzzy_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.blocked_levenshtein_pairs(
         t["customer"], "c_custkey", "c_name", "c_nationkey", max_dist=1
     )
+
+
+@register(
+    "q86_ivf_ann_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_sql_vec()} AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+    assign AS (
+        SELECT vec_id, v, cid AS cell FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid
+                   ) AS rn
+            FROM e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+    probes AS (
+        SELECT query_id, qv, cid AS cell FROM (
+            SELECT q.query_id, q.qv, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY ROUND(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cid
+                   ) AS rn
+            FROM q CROSS JOIN cents c
+        ) WHERE rn <= 4
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(a.v, p.qv), 6) AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY ROUND(list_cosine_similarity(a.v, p.qv), 6) DESC, a.vec_id
+               ) AS rank
+        FROM assign a JOIN probes p ON a.cell = p.cell
+        WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+    FROM scored WHERE rank <= 5
+    """,
+)
+def q86_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 (operators/similarity.py ivf_topk): 16 deterministic
+    coarse centroids (the first 16 corpus vectors standing in for a KMeans
+    fit), nprobe=4. Complements q37's hyperplane LSH as the second ANN
+    scale path — candidate lists are cell-local, so at 100 TB a
+    cell-partitioned lake turns each query into a pruned scan of 4/16
+    partitions."""
+    t = prep(spark, sf_dir)
+    emb = t["embeddings"]
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = S.ivf_topk(emb.select("vec_id", "embedding"), queries, centroids, nprobe=4, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    )
