@@ -253,3 +253,113 @@ def q84_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         best.join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("suppkey"))
         .select("s_suppkey", "s_name", "total_rev")
     )
+
+
+@register(
+    "q87_conversion_funnel",
+    oracle="""
+    WITH stages AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view'     THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS BIGINT) AS viewed,
+           CAST(COUNT(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT)
+               AS clicked_after_view,
+           CAST(COUNT(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 END)
+                AS BIGINT) AS purchased_after_click
+    FROM stages
+    """,
+)
+def q87_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase) per user: one
+    grouped pass computes each user's first event time per stage, then a
+    global conditional count. Product-analytics staple; a single shuffle
+    on user_id regardless of funnel depth (NULL comparisons make the
+    stage-order predicates self-gating)."""
+    t = prep(spark, sf_dir)
+    first_of = lambda et: F.min(F.when(F.col("event_type") == et, F.col("ts")))
+    stages = t["events"].groupBy("user_id").agg(
+        first_of("view").alias("t_view"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    count_if = lambda c: F.count(F.when(c, F.lit(1)))
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        count_if(F.col("t_view").isNotNull()).alias("viewed"),
+        count_if(F.col("t_click") > F.col("t_view")).alias("clicked_after_view"),
+        count_if(
+            (F.col("t_click") > F.col("t_view")) & (F.col("t_purchase") > F.col("t_click"))
+        ).alias("purchased_after_click"),
+    )
+
+
+@register(
+    "q88_gap_fill",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day, ROUND(SUM(value), 2) AS v
+        FROM events WHERE event_type = 'purchase' GROUP BY day
+    ),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+    )
+    SELECT s.day, COALESCE(d.v, 0.0) AS v
+    FROM spine s LEFT JOIN daily d USING (day)
+    """,
+)
+def q88_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: daily purchase totals left-joined onto
+    a generated calendar spine (F.sequence over the observed min/max) so
+    missing days surface as explicit zeros. The spine derives from a
+    1-row bounds aggregate — no driver-side collect; the spine side is
+    broadcast (bounded by days-in-range, not data size)."""
+    t = prep(spark, sf_dir)
+    daily = (
+        t["events"]
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+    )
+    spine = (
+        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"))
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, "day", "left")
+        .select("day", F.coalesce("v", F.lit(0.0)).alias("v"))
+    )
+
+
+@register(
+    "q89_regression_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6)           AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4)     AS qty_price_covar,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q89_regression_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics battery: corr / covar_samp / OLS slope +
+    intercept / regr_count per return flag — single hash-agg pass with
+    map-side partials (all are algebraic aggregates, so they scale like
+    SUM: constant state per group, no sort, no second pass)."""
+    t = prep(spark, sf_dir)
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        F.round(F.corr(q, p), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp(q, p), 4).alias("qty_price_covar"),
+        F.round(F.regr_slope(p, q), 4).alias("slope"),
+        F.round(F.regr_intercept(p, q), 4).alias("intercept"),
+        F.regr_count(p, q).alias("n"),
+    )
