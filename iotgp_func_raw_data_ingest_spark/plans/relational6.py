@@ -363,3 +363,74 @@ def q89_regression_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(p, q), 4).alias("intercept"),
         F.regr_count(p, q).alias("n"),
     )
+
+
+@register(
+    "q90_try_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           TRY_CAST(CASE WHEN l_linenumber % 3 = 0 THEN 'x#bad'
+                         ELSE CAST(l_orderkey AS VARCHAR) END AS BIGINT) AS parsed_key,
+           ROUND(l_extendedprice / NULLIF(l_linenumber % 2, 0), 4)       AS safe_div,
+           TRY_CAST(l_returnflag AS DOUBLE)                              AS not_a_number
+    FROM lineitem
+    """,
+)
+def q90_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe error handling: try_cast on mixed-validity strings and
+    try_divide with an intermittent zero divisor — malformed input yields
+    NULL instead of failing the job (the dead-letter philosophy of the
+    ingest surface applied to scalar expressions). Fractional-string→int
+    casts are intentionally excluded: Spark truncates where DuckDB
+    rounds, a documented cross-engine trap."""
+    t = prep(spark, sf_dir)
+    s = F.when(F.col("l_linenumber") % 3 == 0, F.lit("x#bad")).otherwise(
+        F.col("l_orderkey").cast("string")
+    )
+    return t["lineitem"].select(
+        "l_orderkey",
+        "l_linenumber",
+        s.try_cast("bigint").alias("parsed_key"),
+        F.round(
+            F.try_divide(F.col("l_extendedprice"), (F.col("l_linenumber") % 2)), 4
+        ).alias("safe_div"),
+        F.col("l_returnflag").try_cast("double").alias("not_a_number"),
+    )
+
+
+@register(
+    "q91_url_parse",
+    oracle="""
+    WITH u AS (
+        SELECT c_custkey,
+               'https://' || lower(c_mktsegment) || '.example.com/u/'
+                   || CAST(c_custkey AS VARCHAR) || '?seg='
+                   || lower(c_mktsegment) || '&n=' || CAST(c_nationkey AS VARCHAR)
+                   AS url
+        FROM customer
+    )
+    SELECT c_custkey,
+           regexp_extract(url, 'https?://([^/?#]+)', 1)   AS host,
+           regexp_extract(url, 'https?://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]n=([^&#]*)', 1)       AS n_param
+    FROM u
+    """,
+)
+def q91_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition with the dedicated parse_url built-in (host /
+    path / single query param) — log-analytics staple. The oracle uses
+    regexes, demonstrating the two are equivalent; Spark-side parse_url
+    is one codegen'd expression instead of three regex passes."""
+    t = prep(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://"), F.lower("c_mktsegment"), F.lit(".example.com/u/"),
+        F.col("c_custkey").cast("string"), F.lit("?seg="), F.lower("c_mktsegment"),
+        F.lit("&n="), F.col("c_nationkey").cast("string"),
+    )
+    u = t["customer"].select("c_custkey", url.alias("url"))
+    return u.select(
+        "c_custkey",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("n")).alias("n_param"),
+    )

@@ -171,3 +171,58 @@ def test_cluster_neardups_chain_converges(spark):
     labels = {r.id: r.cluster_id for r in D.cluster_neardups(pairs).collect()}
     assert set(labels.values()) == {0}
     assert len(labels) == 10
+
+
+def test_blocked_levenshtein_fastpath_matches_fallback(spark):
+    """The FastSS deletion-neighborhood path (max_dist=1) must return
+    exactly the pairs the quadratic block join finds — same candidates,
+    same distances, including insert/delete (length-changing) edits."""
+    rows = [
+        (1, "kitten", "g1"),
+        (2, "sitten", "g1"),   # substitution, dist 1
+        (3, "kitte", "g1"),    # deletion, dist 1
+        (4, "kittenx", "g1"),  # insertion, dist 1
+        (5, "sittin", "g1"),   # dist 2 from kitten, dist 1 from sitten
+        (6, "kitten", "g2"),   # other block: no cross-block pair
+        (7, "kitten", "g1"),   # exact dup, dist 0
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, grp string")
+    fast = D.blocked_levenshtein_pairs(df, "id", "name", "grp", max_dist=1)
+    got = {(r.id_a, r.id_b, r.dist) for r in fast.collect()}
+    assert got == {(1, 2, 1), (1, 3, 1), (1, 4, 1), (1, 7, 0), (2, 5, 1),
+                   (2, 7, 1), (3, 7, 1), (4, 7, 1)}
+    # fallback (max_dist=2) is a superset incl. dist-2 pairs
+    slow = D.blocked_levenshtein_pairs(df, "id", "name", "grp", max_dist=2)
+    got2 = {(r.id_a, r.id_b, r.dist) for r in slow.collect()}
+    assert got.issubset(got2)
+    assert (1, 5, 2) in got2
+    assert not any(a == 6 or b == 6 for a, b, _ in got2)
+
+
+def test_ivf_assign_and_topk_recall(spark):
+    """ivf_assign puts each vector in its nearest centroid's cell
+    (ties → min centroid id); ivf_topk with nprobe = n_cells degenerates
+    to exact brute-force results."""
+    import math
+
+    def vec(angle):
+        return [float(math.cos(angle)), float(math.sin(angle))]
+
+    # two tight clusters around 0° and 90°
+    rows = [(0, vec(0.0)), (1, vec(0.05)), (2, vec(0.1)),
+            (10, vec(1.5)), (11, vec(1.55)), (12, vec(1.6))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(0, vec(0.0)), (1, vec(1.57))], "centroid_id long, centroid_vec array<float>"
+    )
+    cells = {r.id: r.cell for r in S.ivf_assign(emb, cents).collect()}
+    assert cells == {0: 0, 1: 0, 2: 0, 10: 1, 11: 1, 12: 1}
+
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).filter(F.col("query_id") == 0)
+    exact = S.brute_force_topk(emb, queries, k=2)
+    approx = S.ivf_topk(emb, queries, cents, nprobe=2, k=2)
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in approx.collect()} == {
+        (r.query_id, r.neighbor_id, r.rank) for r in exact.collect()
+    }
