@@ -434,3 +434,34 @@ def q91_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("PATH")).alias("path"),
         F.parse_url("url", F.lit("QUERY"), F.lit("n")).alias("n_param"),
     )
+
+
+@register(
+    "q92_grouping_labels",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '(all)') AS rf,
+           COALESCE(l_linestatus, '(all)') AS ls,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+           ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q92_grouping_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with GROUPING() level indicators — the only way to tell an
+    aggregation-level NULL from a data NULL in cube/rollup output, which
+    matters once group columns are nullable at scale."""
+    t = prep(spark, sf_dir)
+    t["lineitem"]  # register the view the SQL below reads
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, '(all)') AS rf,
+               COALESCE(l_linestatus, '(all)') AS ls,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+               ROUND(SUM(l_quantity), 2) AS qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        """
+    )
