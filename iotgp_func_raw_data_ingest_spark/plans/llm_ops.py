@@ -576,3 +576,74 @@ def q86_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
     )
+
+
+@register(
+    "q93_hash_sample",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)     AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_sampled
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+    GROUP BY lang
+    """,
+)
+def q93_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~12.5% corpus sample (md5(id) first hex digit ∈
+    {0,1}) summarized per language. Hash-based sampling is the
+    reproducible-at-scale alternative to rand(): stable across reruns,
+    cluster sizes, and engines (same md5 everywhere), trivially
+    stratifiable by changing the digit set, and pushes down as a cheap
+    scan filter — no shuffle, no seed-state coordination."""
+    t = prep(spark, sf_dir)
+    keep = F.md5(F.col("doc_id").cast("string")).substr(1, 1).isin("0", "1")
+    return (
+        t["documents"]
+        .filter(keep)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("chars_sampled"),
+        )
+    )
+
+
+@register(
+    "q94_token_budget_mix",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang, n_chars,
+               SUM(n_chars) OVER (
+                   ORDER BY n_chars DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_chars
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars, CAST(cum_chars AS BIGINT) AS cum_chars
+    FROM ranked WHERE cum_chars <= 100000
+    """,
+)
+def q94_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted corpus selection: take documents in (length-proxy)
+    quality order until a 100k-char training budget is filled — the
+    data-mixing primitive behind 'top-quality X tokens' corpus specs.
+    The global ordered running sum is exact and fine at driver-table
+    scale; at 100 TB the same semantics come from a two-phase plan —
+    approx_percentile finds the score cutoff whose prefix fits the
+    budget, then a scan filter keeps score ≥ cutoff (no global sort,
+    one boundary stratum trimmed exactly)."""
+    from pyspark.sql.window import Window
+
+    t = prep(spark, sf_dir)
+    w = (
+        Window.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t["documents"]
+        .select(
+            "doc_id", "lang", "n_chars", F.sum("n_chars").over(w).alias("cum_chars")
+        )
+        .filter(F.col("cum_chars") <= 100000)
+    )
