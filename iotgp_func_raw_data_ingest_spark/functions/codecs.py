@@ -18,6 +18,14 @@ Reference parity (cited file is the reference's src/function_app.py):
 Scale: the UDF is per-row Python but Arrow-batched; it appears once in
 the plan, streams batch-at-a-time (no driver collect), and its output is
 immediately exploded so Spark's columnar pipeline takes over.
+
+Known hazard (reference parity, src/function_app.py:129-144): raw
+deflate has no header or checksum, so a PLAIN payload can occasionally
+be a syntactically valid deflate stream — the cascade then "decompresses"
+it to garbage and the message dead-letters (hypothesis found live
+examples, tests/test_codec_properties.py). The reference has the
+identical failure mode; senders are expected to actually compress or
+send plain JSON that (like virtually all real JSON) isn't valid deflate.
 """
 
 from __future__ import annotations
