@@ -465,3 +465,32 @@ def q92_grouping_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY CUBE (l_returnflag, l_linestatus)
         """
     )
+
+
+@register(
+    "q95_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           CAST(COUNT(*) AS BIGINT)       AS cnt
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q95_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators/skew.salted_sum_count)
+    under the correctness gate: the salted rewrite must be semantically
+    invisible — identical results to the plain GROUP BY oracle. The salt
+    spreads a hot key (think the ingest 'assorted' fallback route) over
+    16 reducers; 3 return-flag groups here stand in for the pathological
+    case, proving the rewrite, not the skew."""
+    from iotgp_func_raw_data_ingest_spark.operators.skew import salted_sum_count
+
+    t = prep(spark, sf_dir)
+    out = salted_sum_count(
+        t["lineitem"], ["l_returnflag"], "l_extendedprice", "l_orderkey", n_salts=16
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("sum_l_extendedprice", 2).alias("sum_price"),
+        F.col("cnt"),
+    )
