@@ -647,3 +647,41 @@ def q94_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cum_chars") <= 100000)
     )
+
+
+@register(
+    "q96_bigram_vocab",
+    oracle=f"""
+    WITH toks AS (SELECT {_SQL_TOKS} AS t FROM documents),
+    g AS (
+        SELECT unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                      i -> t[i] || ' ' || t[i + 1])) AS gram
+        FROM toks
+    )
+    SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+    FROM g GROUP BY gram
+    ORDER BY cnt DESC, gram
+    LIMIT 50
+    """,
+)
+def q96_bigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 word-bigram frequencies (with multiplicity, so
+    NOT word_shingles' distinct sets) — the vocabulary-statistics pass of
+    tokenizer training. Bigrams come from zipping two shifted token
+    slices (linear, JVM-side); count-then-top-k compiles to partial
+    hash agg + TakeOrderedAndProject, so only (gram, partial count) rows
+    ever shuffle — the full gram stream never moves."""
+    t = prep(spark, sf_dir)
+    toks = D.words(F.col("text"))
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice(toks, 1, m), F.slice(toks, 2, m), lambda a, b: F.concat(a, F.lit(" "), b)
+    )
+    return (
+        t["documents"]
+        .select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("gram"))
+        .limit(50)
+    )
