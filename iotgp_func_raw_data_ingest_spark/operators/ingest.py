@@ -72,10 +72,20 @@ def parse_envelopes(df: DataFrame, body_col: str = "body") -> DataFrame:
         .when(body.rlike(_JSON_SCALAR_RE), F.array())  # JSON scalar → no messages
         .otherwise(F.array(F.to_json(F.struct(body.alias("Data"))))),  # raw fallback
     )
-    return (
-        df.select(*[c for c in df.columns if c not in ("_elems",)], F.explode("_elems").alias("_msg"))
-        .withColumn("envelope", F.from_json("_msg", ENVELOPE_SCHEMA))
-        .drop("_msg")
+    out = df.select(
+        *[c for c in df.columns if c not in ("_elems",)], F.explode("_elems").alias("_msg")
+    )
+    # explode(array(...)) is a Generate barrier that materializes the
+    # envelope struct ONCE. Without it, Catalyst rewrites every downstream
+    # `envelope.X` into its own schema-pruned from_json(_msg) — each of
+    # which still scans the full message text (Data is ~all of it), so a
+    # pipeline touching 4 fields in when()/filter branches re-parsed the
+    # body ~8× (measured 16s → 6s at sf0.1 for q29's 130 MB of bodies).
+    # array(null) explodes to one null-envelope row, preserving the
+    # unparseable-message semantics of the plain withColumn form.
+    return out.select(
+        *[c for c in out.columns if c != "_msg"],
+        F.explode(F.array(F.from_json("_msg", ENVELOPE_SCHEMA))).alias("envelope"),
     )
 
 

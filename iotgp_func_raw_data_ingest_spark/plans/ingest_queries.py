@@ -151,7 +151,12 @@ def q29_ingest_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("body")
     )
-    routed = ingest_pipeline(bodies)
+    # AQE coalesces the 1000-message shuffle to a handful of partitions —
+    # correct for shuffle volume, wrong before an expensive decode stage:
+    # the Python kernel + envelope parse would run ~6-wide on 32 cores.
+    # Spread the (few, large) bodies across the full parallelism first.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    routed = ingest_pipeline(bodies.repartition(n_part))
     return routed.groupBy("folder", "source_db", "table").agg(
         F.count(F.lit(1)).alias("n_rows")
     )
