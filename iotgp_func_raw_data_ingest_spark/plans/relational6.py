@@ -494,3 +494,43 @@ def q95_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sum_l_extendedprice", 2).alias("sum_price"),
         F.col("cnt"),
     )
+
+
+@register(
+    "q97_range_frame_avg",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           ROUND(AVG(value) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ), 4) AS trailing_avg,
+           CAST(COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_in_window
+    FROM events
+    """,
+)
+def q97_range_frame_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour moving average per user — a RANGE (value-bounded)
+    window frame, which ROWS frames cannot express over irregular event
+    cadence. The DataFrame API's rangeBetween needs a numeric ordering,
+    so the frame orders by unix_micros(ts) with a ±μs-exact hour bound;
+    RANGE semantics (all peers of a value in-frame) are deterministic
+    under ties on both engines."""
+    from pyspark.sql.window import Window
+
+    t = prep(spark, sf_dir)
+    hour_us = 3_600_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-hour_us, 0)
+    )
+    return t["events"].select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.avg("value").over(w), 4).alias("trailing_avg"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )
