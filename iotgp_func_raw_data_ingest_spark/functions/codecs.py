@@ -56,7 +56,9 @@ def clean_base64(col: Column | str) -> Column:
     string that passes the guard is a fixpoint of the rebuild.
     """
     c = (F.col(col) if isinstance(col, str) else col).cast("string")
-    already_clean = c.rlike("^[A-Za-z0-9+/]*={0,2}$") & (F.length(c) % 4 == 0)
+    # \z not $: Java's $ matches BEFORE a final line terminator, so
+    # 'QUJD\n' would pass the guard with the newline retained
+    already_clean = c.rlike("^[A-Za-z0-9+/]*={0,2}\\z") & (F.length(c) % 4 == 0)
     cleaned = F.regexp_replace(c, r"[^A-Za-z0-9+/=]", "")
     pad = (F.lit(4) - F.length(cleaned) % 4) % 4
     return F.when(already_clean, c).otherwise(

@@ -74,17 +74,24 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
     )
 
 
-def _decode_one(payload: bytes, kind: str) -> list[float]:
-    """STUB decoder. Real deployment: PIL/torchaudio/pyav per `kind`.
-    Without those libs, emit a deterministic pseudo-feature vector from a
-    sha256 of the bytes so the distributed plumbing is fully exercisable."""
-    try:  # pragma: no cover - decode libs absent in this container
-        from PIL import Image  # noqa: F401
+def _real_decoder():
+    """Deployment hook: return a ``(payload, kind) -> list[float]`` decoder
+    or None. A real deployment wires PIL/torchaudio/pyav here; merely
+    importing a decode lib is NOT enough to pick resize/normalize policy,
+    so this deliberately returns None until explicitly configured (and a
+    PIL-present environment must not change results — see test)."""
+    return None
 
-        raise NotImplementedError("real image decode not wired in this environment")
-    except ImportError:
-        digest = hashlib.sha256(payload or b"").digest()
-        return [digest[i] / 255.0 for i in range(FEATURE_DIM)]
+
+def _decode_one(payload: bytes, kind: str) -> list[float]:
+    """STUB decoder. Uses ``_real_decoder()`` when a deployment wires one;
+    otherwise a deterministic pseudo-feature vector from a sha256 of the
+    bytes so the distributed plumbing is fully exercisable."""
+    decoder = _real_decoder()
+    if decoder is not None:
+        return decoder(payload, kind)
+    digest = hashlib.sha256(payload or b"").digest()
+    return [digest[i] / 255.0 for i in range(FEATURE_DIM)]
 
 
 def extract_features(media: DataFrame) -> DataFrame:

@@ -135,7 +135,13 @@ def embedding_neardup_pairs(
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ τ)
     within hyperplane buckets. Approximate across bucket boundaries —
     near-identical vectors (τ ≈ 1) almost always share all sign bits."""
-    b = df.withColumn("bucket", hyperplane_bucket(F.col(vec_col), planes))
+    # repartition on the join key: both self-join sides then reuse ONE
+    # exchange, so the bucket+embedding subplan computes once (matches
+    # dedup.py's inverted-index joins; without it the join degrades to
+    # SMJ with two exchanges at scale)
+    b = df.withColumn("bucket", hyperplane_bucket(F.col(vec_col), planes)).repartition(
+        "bucket"
+    )
     lhs = b.alias("a")
     rhs = b.alias("b")
     sim = F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6)

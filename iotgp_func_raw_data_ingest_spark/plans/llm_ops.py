@@ -76,11 +76,54 @@ def q31_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(t["documents"], "doc_id", "text", k=3, threshold=0.3)
 
 
-@register("q32_minhash_lsh_pairs")  # approximate → rows-only check
+def _minhash_sql(k: int = 3, num_hashes: int = 16, bands: int = 8, threshold: float = 0.3) -> str:
+    """DuckDB replay of operators.dedup.minhash_lsh_pairs: the md5-based
+    signatures were chosen to be engine-portable, so the banding and the
+    candidate set are bit-identical — 'approximate' means approximate vs
+    the full Jaccard relation, not nondeterministic."""
+    rpb = num_hashes // bands
+    sig_cols = ",\n           ".join(
+        f"list_min(list_transform(sh, x -> md5('{i}_' || x))) AS mh{i}"
+        for i in range(num_hashes)
+    )
+    buckets = ",\n            ".join(
+        f"'{b}#' || " + " || '#' || ".join(f"mh{b * rpb + r}" for r in range(rpb))
+        for b in range(bands)
+    )
+    return f"""
+    WITH s AS (SELECT doc_id, {_sql_shingles(k)} AS sh FROM documents),
+    sig AS (
+        SELECT doc_id, sh,
+           {sig_cols}
+        FROM s WHERE len(sh) > 0
+    ),
+    bk AS (
+        SELECT doc_id, unnest([
+            {buckets}
+        ]) AS bucket FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    j AS (
+        SELECT c.id_a, c.id_b,
+               len(list_intersect(sa.sh, sb.sh)) AS shared,
+               len(sa.sh) AS na, len(sb.sh) AS nb
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.id_a
+        JOIN sig sb ON sb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, ROUND(shared / (na + nb - shared), 4) AS jaccard
+    FROM j WHERE ROUND(shared / (na + nb - shared), 4) >= {threshold}
+    """
+
+
+@register("q32_minhash_lsh_pairs", oracle=_minhash_sql())
 def q32_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + 8-band LSH near-dup candidates, exact-Jaccard
-    verified. Probabilistic completeness → no SQL oracle; golden tests
-    pin behavior (tests/test_dedup.py)."""
+    verified. The md5 signatures are deterministic and engine-portable,
+    so the oracle replays the exact banding in DuckDB SQL."""
     t = prep(spark, sf_dir)
     return D.minhash_lsh_pairs(
         t["documents"], "doc_id", "text", k=3, num_hashes=16, bands=8, threshold=0.3
@@ -355,14 +398,45 @@ def q40_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q41_multimodal_features")  # stubbed decoder → rows-only check
+@register(
+    "q41_multimodal_features",
+    # The stub decoder is deterministic (first 8 sha256 bytes / 255), so it
+    # IS SQL-replayable: reconstruct each byte from the hex digest. Features
+    # ride as one CSV string — the driver can't hash array cells — and the
+    # float32→byte round-trip (round(x*255)) is exact since the float error
+    # is ≪ 0.5.
+    oracle="""
+    WITH h AS (
+        SELECT doc_id AS media_id,
+               (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS kind,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               sha256(text) AS hx
+        FROM documents
+    )
+    SELECT media_id, kind, n_bytes,
+           array_to_string(list_transform([0, 1, 2, 3, 4, 5, 6, 7], i ->
+               CAST(16 * (strpos('0123456789abcdef', substr(hx, 2*i + 1, 1)) - 1)
+                    + (strpos('0123456789abcdef', substr(hx, 2*i + 2, 1)) - 1) AS VARCHAR)),
+               ',') AS feature_bytes
+    FROM h
+    """,
+)
 def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction over binary payloads (decode stubbed
     deterministically — no media libs in this container; the Arrow batch
     plumbing and output schema are the real subject)."""
     t = prep(spark, sf_dir)
     media = M.synthesize_media_from_documents(t["documents"])
-    return M.extract_features(media)
+    feats = M.extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.expr(
+            "concat_ws(',', transform(features,"
+            " x -> cast(cast(round(cast(x as double) * 255.0) as int) as string)))"
+        ).alias("feature_bytes"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -437,12 +511,38 @@ def q68_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q69_neardup_clusters")  # iterative fixpoint → rows-only check
+@register(
+    "q69_neardup_clusters",
+    # Connected components ARE SQL-checkable via a recursive reachability
+    # CTE: reach(u, w) = w reachable from u; cluster_id = least(u, min w).
+    # Edge sets are tiny derived metadata so the O(Σ comp²) enumeration is
+    # safe at oracle scale (the Spark side stays iterative for 100 TB).
+    oracle=f"""
+    WITH RECURSIVE s AS (
+        SELECT doc_id, {_sql_shingles(3)} AS sh FROM documents
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM s WHERE len(sh) > 0),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS shared
+        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+        HAVING ROUND(count(*) / (a.n + b.n - count(*)), 4) >= 0.3
+    ),
+    e AS (SELECT id_a AS u, id_b AS v FROM p UNION ALL SELECT id_b AS u, id_a AS v FROM p),
+    reach(u, w) AS (
+        SELECT u, v FROM e
+        UNION
+        SELECT e.u, r.w FROM e JOIN reach r ON r.u = e.v
+    )
+    SELECT u AS id, least(u, min(w)) AS cluster_id
+    FROM reach GROUP BY u
+    """,
+)
 def q69_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over 3-gram-Jaccard near-dup edges: each
     clustered doc labeled with its component's canonical (min) id.
-    Iterative label propagation isn't one-shot SQL → rows-only; component
-    structure is pinned by golden tests (tests/test_llm_ops.py)."""
+    Spark side is iterative min-label propagation (scale path); the
+    oracle replays components with a recursive reachability CTE."""
     t = prep(spark, sf_dir)
     pairs = D.jaccard_pairs(t["documents"], "doc_id", "text", k=3, threshold=0.3)
     return D.cluster_neardups(pairs)

@@ -85,8 +85,8 @@ def q43_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            ROUND(median(o_totalprice), 2) AS median_price,
-           list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.75]),
-                          x -> ROUND(x, 2)) AS quartiles,
+           array_to_string(list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.75]),
+                                          x -> printf('%.2f', x)), ',') AS quartiles,
            ROUND(min(o_totalprice), 2) AS min_price,
            ROUND(max(o_totalprice), 2) AS max_price
     FROM orders
@@ -99,8 +99,12 @@ def q44_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = prep(spark, sf_dir)
     return t["orders"].groupBy("o_orderpriority").agg(
         _r2(F.expr("percentile(o_totalprice, 0.5)")).alias("median_price"),
+        # Serialized to one string: the driver's canonicalizer cannot hash
+        # array-typed cells. %.2f (not CAST) — double→string repr differs
+        # between engines; printf formatting is identical.
         F.expr(
-            "transform(percentile(o_totalprice, array(0.25, 0.5, 0.75)), x -> round(x, 2))"
+            "concat_ws(',', transform(percentile(o_totalprice, array(0.25, 0.5, 0.75)),"
+            " x -> format_string('%.2f', x)))"
         ).alias("quartiles"),
         _r2(F.min("o_totalprice")).alias("min_price"),
         _r2(F.max("o_totalprice")).alias("max_price"),

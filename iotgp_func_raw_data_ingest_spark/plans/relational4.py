@@ -55,12 +55,12 @@ def q60_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(len(toks) AS INT)                                   AS n,
-           list_sort(list_distinct(toks))                           AS uniq_sorted,
+           COALESCE(array_to_string(list_sort(list_distinct(toks)), ','), '')  AS uniq_sorted,
            CAST(list_position(toks, 'the') AS INT)                  AS the_pos,
            list_contains(toks, 'data')                              AS has_data,
-           toks[2:4]                                                AS mid_slice,
-           list_sort(list_distinct(list_intersect(toks, ['the', 'a', 'data', 'spark']))) AS kw_hits,
-           flatten([toks[1:2], toks[-2:]])                          AS ends
+           COALESCE(array_to_string(toks[2:4], ','), '')            AS mid_slice,
+           COALESCE(array_to_string(list_sort(list_distinct(list_intersect(toks, ['the', 'a', 'data', 'spark']))), ','), '') AS kw_hits,
+           COALESCE(array_to_string(flatten([toks[1:2], toks[-2:]]), ','), '') AS ends
     FROM t
     """,
 )
@@ -75,17 +75,22 @@ def q61_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = words("text")
     d = t["documents"].filter(F.col("doc_id") <= 100).select("doc_id", toks.alias("toks"))
     tk = F.col("toks")
+    # Array outputs serialized with array_join: the driver's canonicalizer
+    # cannot hash array-typed cells (round-1 red).
     return d.select(
         "doc_id",
         F.size(tk).alias("n"),
-        F.array_sort(F.array_distinct(tk)).alias("uniq_sorted"),
+        F.array_join(F.array_sort(F.array_distinct(tk)), ",").alias("uniq_sorted"),
         F.array_position(tk, "the").cast("int").alias("the_pos"),
         F.array_contains(tk, "data").alias("has_data"),
-        F.slice(tk, 2, 3).alias("mid_slice"),
-        F.array_sort(
-            F.array_distinct(F.array_intersect(tk, F.array(*[F.lit(w) for w in ["the", "a", "data", "spark"]])))
+        F.array_join(F.slice(tk, 2, 3), ",").alias("mid_slice"),
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(F.array_intersect(tk, F.array(*[F.lit(w) for w in ["the", "a", "data", "spark"]])))
+            ),
+            ",",
         ).alias("kw_hits"),
-        F.flatten(F.array(F.slice(tk, 1, 2), F.slice(tk, -2, 2))).alias("ends"),
+        F.array_join(F.flatten(F.array(F.slice(tk, 1, 2), F.slice(tk, -2, 2))), ",").alias("ends"),
     )
 
 
@@ -94,7 +99,7 @@ def q61_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n_name,
            string_agg(c_name, ',' ORDER BY c_name)            AS members,
-           list_sort(list(c_custkey))                         AS custkeys,
+           array_to_string(list_sort(list(c_custkey)), ',')   AS custkeys,
            CAST(count(*) AS BIGINT)                           AS n
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     WHERE c_custkey <= 60
@@ -112,7 +117,10 @@ def q62_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("members"),
-            F.array_sort(F.collect_list("c_custkey")).alias("custkeys"),
+            # int→string cast is engine-consistent (unlike double→string)
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("c_custkey")), lambda x: x.cast("string")), ","
+            ).alias("custkeys"),
             F.count(F.lit(1)).alias("n"),
         )
     )

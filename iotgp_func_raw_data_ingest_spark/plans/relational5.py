@@ -125,7 +125,7 @@ def q67_struct_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders WHERE o_orderkey <= 200
     )
     SELECT o_orderkey,
-           list_sort(map_keys(props))      AS keys_sorted,
+           array_to_string(list_sort(map_keys(props)), ',') AS keys_sorted,
            map_extract(props, 'status')[1] AS status_val,
            map_extract(props, 'prio')[1]   AS prio_val,
            CAST(cardinality(props) AS INT) AS n_entries
@@ -147,7 +147,8 @@ def q70_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", m.alias("props"))
         .select(
             "o_orderkey",
-            F.sort_array(F.map_keys("props")).alias("keys_sorted"),
+            # stringified: driver canonicalizer can't hash array cells
+            F.array_join(F.sort_array(F.map_keys("props")), ",").alias("keys_sorted"),
             F.element_at("props", "status").alias("status_val"),
             F.element_at("props", "prio").alias("prio_val"),
             F.size("props").alias("n_entries"),

@@ -35,6 +35,8 @@ non-deterministic).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -69,10 +71,21 @@ def routed_keys(routed: DataFrame) -> dict[tuple[str, str, str], list[str]]:
     return {route: sorted(ks) for route, ks in out.items()}
 
 
-def write_lake_typed(routed: DataFrame, cfg: EngineConfig, path: str | None = None) -> list[str]:
+def write_lake_typed(
+    routed: DataFrame,
+    cfg: EngineConfig,
+    path: str | None = None,
+    failed_routes: list[tuple[tuple[str, str, str], str]] | None = None,
+) -> list[str]:
     """Reference-parity layout: one directory per route with real string
     columns (union of keys, missing → null) and ≤ max_batch_size rows per
-    file. Returns the written directories."""
+    file. Returns the written directories.
+
+    Per-route catch-continue (reference E2, src/function_app.py:416-417):
+    a poison route (e.g. a row key that is an invalid parquet column name)
+    is skipped with a warning and the remaining routes are still written.
+    Pass ``failed_routes`` to receive ``(route, error)`` for each failure.
+    """
     target = (path or cfg.output_path).rstrip("/")
     if cfg.output_prefix:
         target = f"{target}/{cfg.output_prefix.strip('/')}"
@@ -91,12 +104,21 @@ def write_lake_typed(routed: DataFrame, cfg: EngineConfig, path: str | None = No
             projected = part.select(
                 *[F.col("row").getItem(k).alias(k) for k in keys]
             )
-            (
-                projected.write.mode("append")
-                .option("maxRecordsPerFile", cfg.max_batch_size)
-                .option("compression", cfg.parquet_compression)
-                .parquet(dest)
-            )
+            try:
+                (
+                    projected.write.mode("append")
+                    .option("maxRecordsPerFile", cfg.max_batch_size)
+                    .option("compression", cfg.parquet_compression)
+                    .parquet(dest)
+                )
+            except Exception as exc:  # noqa: BLE001 - route isolation
+                warnings.warn(
+                    f"route {(folder, source_db, table)} failed, continuing: {exc}",
+                    stacklevel=2,
+                )
+                if failed_routes is not None:
+                    failed_routes.append(((folder, source_db, table), str(exc)))
+                continue
             written.append(dest)
     finally:
         if keysets:

@@ -6,8 +6,14 @@ managed by the Functions host (src/function_app.py:302-310; SURVEY.md
 
 - ``start_ingest_stream``: readStream → the SAME batch transform
   (operators.ingest.ingest_pipeline) applied per micro-batch via
-  ``foreachBatch`` → typed lake write. Checkpointed offsets give
-  exactly-once file output (vs the reference's at-least-once + overwrite).
+  ``foreachBatch`` → typed lake write. foreachBatch is at-least-once by
+  contract (a retried batch re-runs the sink), so the sink keeps a
+  committed-batch ledger under the checkpoint dir and skips batch ids it
+  has fully written. Residual duplicate window: a crash after the last
+  route's file commit but before the ledger marker lands replays that
+  batch — effectively-once, degrading to at-least-once in that narrow
+  window (the reference is at-least-once everywhere,
+  src/function_app.py:302-310).
 - Event-time windowed aggregations with watermarks — capabilities the
   reference lacks entirely (SURVEY.md §2.6) but a streaming engine needs:
   tumbling/sliding/session windows over the `events` stream, late data
@@ -29,6 +35,24 @@ from iotgp_func_raw_data_ingest_spark.operators.ingest import ingest_pipeline
 from iotgp_func_raw_data_ingest_spark.sources.lake import write_lake_typed
 
 
+def _hadoop_path(spark, path: str):
+    """(Path, FileSystem) for `path` via the session's Hadoop conf — works
+    for any checkpoint filesystem (local, HDFS, object stores)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p, p.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def batch_committed(spark, checkpoint_dir: str, batch_id: int) -> bool:
+    p, fs = _hadoop_path(spark, f"{checkpoint_dir.rstrip('/')}/_committed_batches/{batch_id}")
+    return fs.exists(p)
+
+
+def mark_batch_committed(spark, checkpoint_dir: str, batch_id: int) -> None:
+    p, fs = _hadoop_path(spark, f"{checkpoint_dir.rstrip('/')}/_committed_batches/{batch_id}")
+    fs.create(p, True).close()
+
+
 def start_ingest_stream(
     bodies_stream: DataFrame,
     cfg: EngineConfig,
@@ -38,12 +62,19 @@ def start_ingest_stream(
     """Stream of ``body`` rows → routed typed parquet lake.
 
     One foreachBatch per micro-batch = one reference trigger invocation;
-    grouping/chunking semantics are identical to the batch sink.
+    grouping/chunking semantics are identical to the batch sink. Batch
+    replays (foreachBatch is at-least-once) are made idempotent by a
+    committed-batch ledger: a replayed batch id whose marker exists is
+    skipped instead of re-appended.
     """
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_committed(spark, checkpoint_dir, batch_id):
+            return  # replay of a fully-written batch
         routed = ingest_pipeline(batch_df, destination_fallback=cfg.destination_fallback)
         write_lake_typed(routed, cfg)
+        mark_batch_committed(spark, checkpoint_dir, batch_id)
 
     writer = bodies_stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint_dir

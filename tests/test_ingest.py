@@ -281,3 +281,36 @@ def test_empty_payload_array(spark):
 def test_columnar_all_empty_columns(spark):
     """{"a": [], "b": []} is a valid columnar dict with zero rows."""
     assert run(spark, [envelope({"a": [], "b": []})]) == []
+
+
+def test_clean_base64_trailing_newline(spark):
+    """A Data value ending in '\\n' with length % 4 == 0 must NOT pass the
+    already-clean fast path (Java's $ matches before a final newline; the
+    guard uses \\z). The rebuild strips the newline and re-pads."""
+    clean = b64([{"v": 7}])
+    # craft total length % 4 == 0 including the trailing newline
+    dirty = clean.rstrip("=") + "\n"
+    dirty += "=" * ((4 - len(dirty) % 4) % 4)
+    while len(dirty) % 4 != 0:
+        dirty += "="
+    body = json.dumps({"Source": "db.tbl", "Destination": "landing", "Data": clean[:0] + dirty})
+    rows = run(spark, [body])
+    assert [r[3] for r in rows] == [{"v": "7"}]
+
+
+def test_poison_route_isolated(spark, tmp_path):
+    """Reference E2 parity: one bad route (case-duplicate keys → parquet
+    COLUMN_ALREADY_EXISTS) must not abort the remaining routes."""
+    bodies = [
+        envelope([{"a": 1, "A": 2}], source="bad.tbl"),  # poison: dup column
+        envelope([{"ok": 5}], source="good.tbl"),
+    ]
+    routed = ingest_pipeline(envelopes_from_list(spark, bodies))
+    cfg = EngineConfig(output_path=str(tmp_path / "lake"))
+    failures: list = []
+    with pytest.warns(UserWarning, match="failed, continuing"):
+        dirs = write_lake_typed(routed, cfg, failed_routes=failures)
+    assert [d.rsplit("/", 2)[-2:] for d in dirs] == [["good", "tbl"]]
+    assert len(failures) == 1 and failures[0][0] == ("landing", "bad", "tbl")
+    good = read_lake_table(spark, cfg.output_path, "landing", "good", "tbl")
+    assert [r.ok for r in good.collect()] == ["5"]

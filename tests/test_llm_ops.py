@@ -226,3 +226,13 @@ def test_ivf_assign_and_topk_recall(spark):
     assert {(r.query_id, r.neighbor_id, r.rank) for r in approx.collect()} == {
         (r.query_id, r.neighbor_id, r.rank) for r in exact.collect()
     }
+
+
+def test_decoder_hook_used_when_wired(monkeypatch):
+    """A deployment-wired real decoder must be used — and merely having a
+    decode lib importable must NOT crash the stub path (round-1 landmine:
+    `from PIL import Image` succeeding led straight to an uncaught
+    NotImplementedError)."""
+    assert len(M._decode_one(b"abc", "image")) == M.FEATURE_DIM  # stub path
+    monkeypatch.setattr(M, "_real_decoder", lambda: (lambda payload, kind: [1.0, 2.0]))
+    assert M._decode_one(b"abc", "image") == [1.0, 2.0]

@@ -137,3 +137,29 @@ def test_stream_stream_conversion_join(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT * FROM conv_out").collect()
     assert [(r.user_id, r.click_id, r.purchase_id) for r in rows] == [(10, 1, 100)]
+
+
+def test_committed_batch_ledger_skips_replay(spark, tmp_path):
+    """foreachBatch is at-least-once; the sink's committed-batch ledger
+    makes replays idempotent. Pre-marking batch 0 as committed must make
+    the stream skip it entirely (the replay path)."""
+    from iotgp_func_raw_data_ingest_spark.streaming.pipeline import (
+        batch_committed,
+        mark_batch_committed,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    assert not batch_committed(spark, ckpt, 0)
+    mark_batch_committed(spark, ckpt, 0)
+    assert batch_committed(spark, ckpt, 0)
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "b.txt").write_text(envelope([{"a": 1}]) + "\n")
+    cfg = EngineConfig(output_path=str(tmp_path / "lake"))
+    stream = envelopes_stream_from_text(spark, str(src))
+    q = start_ingest_stream(stream, cfg, ckpt)
+    q.awaitTermination(120)
+    import glob as _glob
+
+    assert _glob.glob(f"{cfg.output_path}/**/*.parquet", recursive=True) == []
