@@ -47,21 +47,31 @@ from pyspark.sql.types import ArrayType, MapType, StringType
 def clean_base64(col: Column | str) -> Column:
     """Strip illegal base64 chars and right-pad ``=`` to len % 4 == 0.
 
-    Fast path: one anchored-char-class ``rlike`` scan (no allocation)
-    proves the input is already clean — overwhelmingly the case for real
-    senders — and returns it untouched. The rebuild path (regexp_replace
-    + re-pad) evaluates the replaced string twice (length + concat), two
-    full copies of a ~100 KB payload string; skipping it for clean input
-    cut the ingest-volume bench 30% at sf0.1. Results are identical: a
-    string that passes the guard is a fixpoint of the rebuild.
+    Fast path: strip whitespace with ``translate`` (a tight char-map pass,
+    no regex, one allocation), then one anchored-char-class ``rlike`` scan
+    proves the result is clean. Real-world dirt is overwhelmingly
+    whitespace — MIME/chunked base64 encoders (including Spark's own
+    ``base64`` in chunked mode) insert CRLF every 76 chars — and the
+    regex rebuild it avoids costs ~70× more (measured 9.6s vs 0.14s over
+    130 MB of 100 KB payloads at sf0.1: java.util.regex replace runs
+    ~27 MB/s AND the when() branch structure blocks subexpression
+    elimination, so it evaluated twice).
+
+    Exactness: if the whitespace-stripped string passes the guard, the
+    original contained only legal chars + whitespace with valid padding,
+    so the full rebuild (strip illegals, pad to %4) would produce exactly
+    the stripped string — the fast path is a true fixpoint, golden-tested
+    against the rebuild in tests/test_ingest.py.
+
+    \\z not $ in the guard: Java's $ matches BEFORE a final line
+    terminator, so 'QUJD\\n' would otherwise pass with the newline kept.
     """
     c = (F.col(col) if isinstance(col, str) else col).cast("string")
-    # \z not $: Java's $ matches BEFORE a final line terminator, so
-    # 'QUJD\n' would pass the guard with the newline retained
-    already_clean = c.rlike("^[A-Za-z0-9+/]*={0,2}\\z") & (F.length(c) % 4 == 0)
+    ws = F.translate(c, " \t\r\n", "")
+    ws_clean = ws.rlike("^[A-Za-z0-9+/]*={0,2}\\z") & (F.length(ws) % 4 == 0)
     cleaned = F.regexp_replace(c, r"[^A-Za-z0-9+/=]", "")
     pad = (F.lit(4) - F.length(cleaned) % 4) % 4
-    return F.when(already_clean, c).otherwise(
+    return F.when(ws_clean, ws).otherwise(
         F.concat(cleaned, F.repeat(F.lit("="), pad.cast("int")))
     )
 
@@ -200,3 +210,61 @@ def decode_payload_json(col: Column | str) -> Column:
     the JVM parse is codegen'd and parallel."""
     c = F.col(col) if isinstance(col, str) else col
     return _decode_payload_json_udf(c)
+
+
+def explode_decoded_rows_arrow(df: "DataFrame", raw_col: str = "_raw", row_col: str = "row"):
+    """Fused decode+explode: DataFrame(..., raw binary LAST) → one output
+    row per decoded payload record, passthrough columns repeated, plus a
+    ``row: map<string,string>`` column.
+
+    One mapInArrow stage replaces pandas-UDF → json.dumps → Arrow string →
+    JVM from_json → Generate(explode): the kernel writes the exploded
+    MapArray directly (flat key/value arrays + offsets — no per-row Python
+    dict→Arrow conversion), and passthrough columns are repeated with a
+    zero-copy ``take``. Cuts the second full JSON text pass from the
+    ingest hot path (q29: 10.5s → see bench). Messages with null /
+    undecodable / empty payloads contribute no rows, exactly like
+    ``explode(rows)`` on the JSON path (reference :273-274, :290-292).
+
+    Scale: still a single narrow Arrow-batched map stage — no shuffle, no
+    driver involvement; batch size bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch.
+    """
+    import pyarrow as pa
+    from pyspark.sql.types import MapType, StructField, StructType
+
+    fields = [f for f in df.schema.fields if f.name != raw_col]
+    if df.schema.fieldNames()[-1] != raw_col:
+        raise ValueError(f"{raw_col} must be the last column")
+    names = [f.name for f in fields] + [row_col]
+    out_schema = StructType(
+        fields + [StructField(row_col, MapType(StringType(), StringType()))]
+    )
+
+    def _batches(it):
+        for rb in it:
+            raws = rb.column(rb.num_columns - 1).to_pylist()
+            take: list[int] = []
+            offsets: list[int] = [0]
+            keys: list[str] = []
+            vals: list[str | None] = []
+            for i, raw in enumerate(raws):
+                rows = decode_one(raw) if raw is not None else None
+                if not rows:
+                    continue
+                for r in rows:
+                    for k, v in r.items():
+                        keys.append(k)
+                        vals.append(v)
+                    offsets.append(len(keys))
+                    take.append(i)
+            idx = pa.array(take, type=pa.int64())
+            row_arr = pa.MapArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.array(keys, type=pa.string()),
+                pa.array(vals, type=pa.string()),
+            )
+            cols = [rb.column(j).take(idx) for j in range(rb.num_columns - 1)]
+            yield pa.RecordBatch.from_arrays(cols + [row_arr], names=names)
+
+    return df.mapInArrow(_batches, schema=out_schema)

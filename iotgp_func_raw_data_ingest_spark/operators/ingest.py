@@ -29,6 +29,7 @@ from pyspark.sql.types import StringType, StructField, StructType
 from iotgp_func_raw_data_ingest_spark.functions.codecs import (
     clean_base64,
     decode_payload_json,
+    explode_decoded_rows_arrow,
 )
 
 ENVELOPE_SCHEMA = StructType(
@@ -60,17 +61,32 @@ def parse_envelopes(df: DataFrame, body_col: str = "body") -> DataFrame:
     - non-JSON body    → fallback message ``{"Data": body}``.
     """
     body = F.col(body_col)
-    # Array root → elements as raw JSON text; object root → single element.
-    is_json_object = F.from_json(body, "map<string,string>").isNotNull()
-    elems = F.coalesce(
-        F.from_json(body, "array<string>"),
-        F.when(is_json_object, F.array(body)),
+    # Branch on the ROOT CHARACTER (anchored-prefix rlike, no allocation)
+    # instead of probing with a full from_json(map<string,string>) parse:
+    # object-root bodies — the dominant ingest shape — then pay exactly
+    # ONE full text parse (the envelope from_json below) instead of two.
+    # Shape dispatch (verified element-by-element against the reference's
+    # json.loads + fallback logic):
+    # - '{' root  → the body itself is the one message; if it turns out to
+    #   be invalid JSON the envelope parse yields null and the coalesce
+    #   after the explode restores the reference's {"Data": body} fallback.
+    # - '[' root  → elements as raw JSON text, non-object elements dropped
+    #   (elements of a valid array parse are always themselves valid, so
+    #   the later envelope parse can't fail for them); invalid JSON → the
+    #   raw fallback, like the reference's json.loads except-branch.
+    # - JSON scalar → no messages (reference: one-element list that fails
+    #   per-message processing).
+    # - anything else → fallback message {"Data": body}.
+    raw_fallback = F.array(F.to_json(F.struct(body.alias("Data"))))
+    arr_elems = F.filter(
+        F.from_json(body, "array<string>"), lambda e: F.trim(e).startswith("{")
     )
     df = df.withColumn(
         "_elems",
-        F.when(elems.isNotNull(), F.filter(elems, lambda e: F.trim(e).startswith("{")))
-        .when(body.rlike(_JSON_SCALAR_RE), F.array())  # JSON scalar → no messages
-        .otherwise(F.array(F.to_json(F.struct(body.alias("Data"))))),  # raw fallback
+        F.when(body.rlike(r"^\s*\{"), F.array(body))
+        .when(body.rlike(r"^\s*\["), F.coalesce(arr_elems, raw_fallback))
+        .when(body.rlike(_JSON_SCALAR_RE), F.array())
+        .otherwise(raw_fallback),
     )
     out = df.select(
         *[c for c in df.columns if c not in ("_elems",)], F.explode("_elems").alias("_msg")
@@ -81,11 +97,23 @@ def parse_envelopes(df: DataFrame, body_col: str = "body") -> DataFrame:
     # which still scans the full message text (Data is ~all of it), so a
     # pipeline touching 4 fields in when()/filter branches re-parsed the
     # body ~8× (measured 16s → 6s at sf0.1 for q29's 130 MB of bodies).
-    # array(null) explodes to one null-envelope row, preserving the
-    # unparseable-message semantics of the plain withColumn form.
-    return out.select(
+    out = out.select(
         *[c for c in out.columns if c != "_msg"],
-        F.explode(F.array(F.from_json("_msg", ENVELOPE_SCHEMA))).alias("envelope"),
+        "_msg",
+        F.explode(F.array(F.from_json("_msg", ENVELOPE_SCHEMA))).alias("_env"),
+    )
+    # Null envelope ⇔ the '{'-root body was invalid JSON (the only message
+    # text that can fail the parse) → reference fallback {"Data": body},
+    # built as a struct literal, no re-parse.
+    fallback_env = F.struct(
+        F.lit(None).cast("string").alias("Source"),
+        F.lit(None).cast("string").alias("Destination"),
+        F.col("_msg").alias("Data"),
+        F.lit(None).cast("string").alias("MessageType"),
+    )
+    return out.select(
+        *[c for c in out.columns if c not in ("_msg", "_env")],
+        F.coalesce(F.col("_env"), fallback_env).alias("envelope"),
     )
 
 
@@ -164,11 +192,18 @@ def ingest_pipeline(
     """body → (folder, source_db, table, row map<string,string>), one row
     per decoded payload record. Invalid routes are dead-lettered out
     (reference logs-and-skips, :336-342 — folder/table are never empty
-    after sanitization unless the fallback itself is empty)."""
+    after sanitization unless the fallback itself is empty).
+
+    Decode + explode run as ONE fused Arrow stage
+    (codecs.explode_decoded_rows_arrow); the JSON-string path
+    (decode_rows + explode) remains available for column-level use."""
     env = parse_envelopes(df, body_col=body_col)
     routed = resolve_route(env, destination_fallback=destination_fallback)
-    decoded = decode_rows(routed)
-    return (
-        decoded.filter((F.col("folder") != "") & (F.col("table") != ""))
-        .select("folder", "source_db", "table", F.explode("rows").alias("row"))
+    data = F.col("envelope.Data")
+    pre = routed.filter((F.col("folder") != "") & (F.col("table") != "")).select(
+        "folder",
+        "source_db",
+        "table",
+        F.when(data.isNotNull(), F.unbase64(clean_base64(data))).alias("_raw"),
     )
+    return explode_decoded_rows_arrow(pre)

@@ -86,7 +86,7 @@ def q43_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            ROUND(median(o_totalprice), 2) AS median_price,
            array_to_string(list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.75]),
-                                          x -> printf('%.2f', x)), ',') AS quartiles,
+                                          x -> printf('%.2f', ROUND(x, 2))), ',') AS quartiles,
            ROUND(min(o_totalprice), 2) AS min_price,
            ROUND(max(o_totalprice), 2) AS max_price
     FROM orders
@@ -100,11 +100,14 @@ def q44_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t["orders"].groupBy("o_orderpriority").agg(
         _r2(F.expr("percentile(o_totalprice, 0.5)")).alias("median_price"),
         # Serialized to one string: the driver's canonicalizer cannot hash
-        # array-typed cells. %.2f (not CAST) — double→string repr differs
-        # between engines; printf formatting is identical.
+        # array-typed cells. round() BEFORE %.2f: the engines' quantile
+        # interpolation differs in the last ulp, and printf half-rounding
+        # of a raw .xx5-boundary double diverges (Java HALF_UP vs C
+        # half-even); a 2dp-rounded double is never near a format
+        # boundary, and round() itself is cross-engine-stable (q44 r1).
         F.expr(
             "concat_ws(',', transform(percentile(o_totalprice, array(0.25, 0.5, 0.75)),"
-            " x -> format_string('%.2f', x)))"
+            " x -> format_string('%.2f', round(x, 2))))"
         ).alias("quartiles"),
         _r2(F.min("o_totalprice")).alias("min_price"),
         _r2(F.max("o_totalprice")).alias("max_price"),

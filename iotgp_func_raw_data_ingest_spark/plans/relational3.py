@@ -261,10 +261,13 @@ def q59_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL++ count-distinct, quantile sketch)
     checked against their exact counterparts via a 5% error-bound boolean.
 
-    The exact distinct runs as a SEPARATE aggregation joined back in: a
-    distinct aggregate alongside sketch buffers triggers the Expand
-    rewrite and a sort-aggregate fallback (measured 1s+1s → 29s at
-    sf0.1). Three groups → broadcast join, negligible."""
+    Each aggregate family runs as its OWN subtree joined on the 3-row
+    group key: a distinct aggregate alongside sketch buffers triggers the
+    Expand rewrite and a sort-aggregate fallback (measured 1s+1s → 29s at
+    sf0.1), and countDistinct alongside the sort-based exact percentile
+    does the same (3.1s fused vs 2.2s split at sf0.1); separate subtrees
+    also let their stages overlap. Exact distinct is a two-level group-by
+    (partial-agg friendly, no distinct-Expand at all)."""
     t = prep(spark, sf_dir)
     # rsd=0.01: default 5% rsd leaves no margin under the 10% bound
     # (measured 6% deviation on one group at sf0.01)
@@ -272,10 +275,14 @@ def q59_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
         F.expr("approx_percentile(l_extendedprice, 0.5)").alias("approx_median"),
     )
-    exact = t["lineitem"].groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("exact_orders"),
+    exact_orders = (
+        t["lineitem"].groupBy("l_returnflag", "l_orderkey").agg(F.lit(1))
+        .groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("exact_orders"))
+    )
+    exact_median = t["lineitem"].groupBy("l_returnflag").agg(
         F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
     )
+    exact = exact_orders.join(exact_median, "l_returnflag")
     return approx.join(F.broadcast(exact), "l_returnflag").select(
         "l_returnflag",
         (F.abs(F.col("approx_orders") - F.col("exact_orders")) / F.col("exact_orders")

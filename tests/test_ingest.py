@@ -314,3 +314,14 @@ def test_poison_route_isolated(spark, tmp_path):
     assert len(failures) == 1 and failures[0][0] == ("landing", "bad", "tbl")
     good = read_lake_table(spark, cfg.output_path, "landing", "good", "tbl")
     assert [r.ok for r in good.collect()] == ["5"]
+
+
+def test_clean_base64_mime_chunked_fast_path(spark):
+    """MIME/chunked encoders insert CRLF every 76 chars; the whitespace
+    fast path (translate) must produce exactly what the regex rebuild
+    would — decode succeeds and roundtrips."""
+    clean = b64([{"v": i} for i in range(40)])  # long enough to chunk
+    chunked = "\r\n".join(clean[i : i + 76] for i in range(0, len(clean), 76))
+    body = json.dumps({"Source": "db.tbl", "Destination": "landing", "Data": chunked})
+    rows = run(spark, [body])
+    assert [r[3]["v"] for r in rows] == [str(i) for i in range(40)]
