@@ -20,6 +20,7 @@ from iotgp_func_raw_data_ingest_spark.plans import relational4  # noqa: E402,F40
 from iotgp_func_raw_data_ingest_spark.plans import relational5  # noqa: E402,F401
 from iotgp_func_raw_data_ingest_spark.plans import relational6  # noqa: E402,F401
 from iotgp_func_raw_data_ingest_spark.plans import llm_ops  # noqa: E402,F401
+from iotgp_func_raw_data_ingest_spark.plans import llm_ops2  # noqa: E402,F401
 from iotgp_func_raw_data_ingest_spark.plans import ingest_queries  # noqa: E402,F401
 
 
@@ -36,14 +37,16 @@ def _reorder() -> None:
     """
 
     def sort_key(name: str) -> tuple[int, str]:
-        qnum = int(name[1:3])
+        import re
+
+        qnum = int(re.match(r"q(\d+)", name).group(1))
         if 26 <= qnum <= 41:  # ingest + LLM flagship surface
             return (0, name)
-        if qnum >= 67:  # late additions q67-q97
+        if 67 <= qnum <= 97:  # round-1 late additions
             return (1, name)
         if qnum in (44, 61, 62):  # round-1 canonicalizer reds, fixed
             return (2, name)
-        if qnum == 59:  # oracle rewritten this round; verifies round 3
+        if qnum == 59 or qnum >= 98:  # rewritten/new this round; round-3 window
             return (3, name)
         return (4, name)  # driver-green in round 1
 
