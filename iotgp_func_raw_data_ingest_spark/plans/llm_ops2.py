@@ -243,3 +243,90 @@ def q101_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_windows") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-style pair statistics + curriculum bucketing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q102_bpe_pair_counts",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lower(unnest({_SQL_TOKS})) AS w FROM documents
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                                     i -> substr(w, CAST(i AS INT), 2))) AS pair
+        FROM toks WHERE length(w) >= 2
+    )
+    SELECT pair, count(*) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair ASC LIMIT 50
+    """,
+)
+def q102_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE tokenizer training as a distributed
+    aggregation: count adjacent character pairs across all (lowercased)
+    corpus tokens, top-50 merge candidates.
+
+    Map-side partial aggregation collapses the pair stream to ≤ |alphabet|²
+    rows per task before the shuffle, and the top-k runs as
+    TakeOrderedAndProject — at 100 TB the shuffle carries kilobytes."""
+    t = prep(spark, sf_dir)
+    toks = t["documents"].select(
+        F.explode(words("text")).alias("_w")
+    ).select(F.lower("_w").alias("w")).filter(F.length("w") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(50)
+    )
+
+
+@register(
+    "q103_curriculum_buckets",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, len({_SQL_TOKS}) AS n_tokens FROM documents
+    ),
+    b AS (
+        SELECT doc_id, n_tokens,
+               ntile(4) OVER (ORDER BY n_tokens, doc_id) AS bucket
+        FROM t
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+    FROM b GROUP BY bucket
+    """,
+)
+def q103_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum bucketing: quartile documents by token count (ntile
+    over a unique (n_tokens, doc_id) order for determinism) and report
+    per-bucket size and token range — the length-staged sampling layout
+    curriculum training reads from.
+
+    Note the global ntile is a single-partition sort at this output
+    granularity; the 100 TB variant assigns buckets from approx
+    percentile cut points (one narrow pass + broadcast), which q94's
+    token-budget selection already demonstrates."""
+    t = prep(spark, sf_dir)
+    from pyspark.sql import Window
+
+    counts = t["documents"].select(
+        "doc_id", F.size(words("text")).alias("n_tokens")
+    )
+    w = Window.orderBy("n_tokens", "doc_id")
+    b = counts.withColumn("bucket", F.ntile(4).over(w))
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
