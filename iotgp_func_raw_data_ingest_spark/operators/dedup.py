@@ -139,28 +139,60 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+# Universal-hash family for minhash signatures: sig_i = min over shingles
+# of (a_i * h + b_i) mod P, with h = first 32 bits of md5(shingle).
+# One md5 pass over the shingle text + num_hashes multiply-mods replaces
+# num_hashes full md5 passes (was 2.2s of q32's 5.2s at sf0.1; at corpus
+# scale the signature stage is O(shingles × num_hashes) over raw text
+# without this). Constants are seeded so both engines inline the same
+# literals; a < 2³¹ and h < 2³² keep a*h+b < 2⁶³ (no bigint overflow
+# under ANSI mode in either engine).
+MINHASH_P = 4294967311  # smallest prime > 2^32
+_rng = __import__("random").Random(0xC0FFEE)
+MINHASH_PARAMS: list[tuple[int, int]] = [
+    (_rng.randrange(1, 2**31), _rng.randrange(0, 2**31)) for _ in range(64)
+]
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 16
 ) -> DataFrame:
-    """md5-based minhash: sig_i = min over shingles of md5(i || shingle).
-
-    Min over hex strings ≡ min over the underlying 128-bit integers, so no
-    numeric parsing is needed and DuckDB reproduces it verbatim.
-    """
+    """Minhash signatures via one md5-derived 32-bit shingle hash + a
+    seeded universal-hash family (portable: DuckDB replays the identical
+    arithmetic — see plans/llm_ops._minhash_sql)."""
     sh = df.select(
         F.col(id_col).alias("id"),
         word_shingles(text_col, k).alias("shingles"),
     ).filter(F.size("shingles") > 0)
-    sig_cols = [
-        F.array_min(
-            F.transform(
-                "shingles",
-                lambda s, i=i: F.md5(F.concat(F.lit(f"{i}_"), s).cast("binary")),
-            )
-        ).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.select("id", "shingles", *sig_cols)
+    hashed = sh.select(
+        "id",
+        "shingles",
+        F.transform(
+            "shingles",
+            lambda s: F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast(
+                "long"
+            ),
+        ).alias("hs"),
+    )
+    # Generate barrier: without it Catalyst inlines `hs` into every
+    # signature expression and the md5 pass runs num_hashes times (the
+    # same CollapseProject behavior as the envelope parse in
+    # operators/ingest.py).
+    hashed = hashed.select(
+        F.explode(F.array(F.struct("id", "shingles", "hs"))).alias("z")
+    ).select("z.id", "z.shingles", "z.hs")
+    def _sig(i: int):
+        a, b = MINHASH_PARAMS[i]
+        # one-arg lambda: a second parameter would make Spark pass the
+        # element INDEX as arg 2
+        return F.array_min(F.transform("hs", lambda x: (x * a + b) % MINHASH_P)).alias(
+            f"mh{i}"
+        )
+
+    sig_cols = [_sig(i) for i in range(num_hashes)]
+    return hashed.select(
+        F.col("id").alias("id"), F.col("shingles").alias("shingles"), *sig_cols
+    )
 
 
 def minhash_lsh_pairs(

@@ -77,13 +77,16 @@ def q31_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql(k: int = 3, num_hashes: int = 16, bands: int = 8, threshold: float = 0.3) -> str:
-    """DuckDB replay of operators.dedup.minhash_lsh_pairs: the md5-based
-    signatures were chosen to be engine-portable, so the banding and the
-    candidate set are bit-identical — 'approximate' means approximate vs
-    the full Jaccard relation, not nondeterministic."""
+    """DuckDB replay of operators.dedup.minhash_lsh_pairs: signatures are
+    (a_i·h + b_i) mod P over the md5-derived 32-bit shingle hash with the
+    same seeded constants, so the banding and the candidate set are
+    bit-identical — 'approximate' means approximate vs the full Jaccard
+    relation, not nondeterministic."""
     rpb = num_hashes // bands
+    h32 = "CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)"
     sig_cols = ",\n           ".join(
-        f"list_min(list_transform(sh, x -> md5('{i}_' || x))) AS mh{i}"
+        f"list_min(list_transform(sh, x -> ({h32} * {D.MINHASH_PARAMS[i][0]}"
+        f" + {D.MINHASH_PARAMS[i][1]}) % {D.MINHASH_P})) AS mh{i}"
         for i in range(num_hashes)
     )
     buckets = ",\n            ".join(
