@@ -30,16 +30,17 @@ def main() -> None:
     cfg = EngineConfig(shuffle_partitions=int(cpus) if cpus.isdigit() else 32)
     spark = get_spark("iotgp-bench", config=cfg, master=f"local[{cpus}]")
 
-    # Warm the JVM with one untimed pass of EVERY query at the smallest SF:
-    # each distinct plan pays its own whole-stage-codegen compile + JIT on
-    # first execution (measured 10.6s first run vs 3.5s steady-state for
-    # the shingle self-join), so warming only one query left per-query
-    # timings dominated by compile variance, not execution. sf0.001 keeps
-    # the warmup pass cheap (~1s/query) while compiling the same plans.
-    warm_sf = "/root/testdata/sf0.001"
+    # Warm the JVM with one untimed pass of EVERY query at the TARGET SF:
+    # each distinct plan pays whole-stage-codegen compile + JIT on first
+    # execution (measured 10.6s first run vs 3.5s steady-state for the
+    # shingle self-join), and AQE re-plans per SF (runtime stats decide
+    # broadcast vs SMJ and coalesced partition counts), so a warm pass at
+    # a smaller SF still left the timed run paying sf-specific compiles
+    # (q101: 5.0s first sf0.1 run vs 1.7s steady-state). Timed numbers
+    # below are steady-state throughput at the target SF.
     for name in sorted(QUERIES):
         try:
-            QUERIES[name](spark, warm_sf).write.format("noop").mode("overwrite").save()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception:
             pass  # the timed loop reports the failure
 
