@@ -1,0 +1,311 @@
+"""LLM-data-pipeline queries, part 3: corpus statistics and selection
+operators — balanced stratified sampling, span-level (sub-document)
+dedup, n-gram novelty scoring, quantile-threshold quality filtering, and
+token-distribution entropy. All JVM built-ins; every query oracle-checked.
+
+Reference parity note: the reference ingest pipeline
+(src/function_app.py) has no corpus-curation surface; these operators
+extend the engine toward the training-data workloads described in
+SURVEY.md §6 (scale goals), following the same determinism contract as
+plans/llm_ops.py (md5-based hashing so DuckDB can replay every result).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iotgp_func_raw_data_ingest_spark.operators.barrier import generate_barrier
+from iotgp_func_raw_data_ingest_spark.operators.dedup import word_shingles, words
+from iotgp_func_raw_data_ingest_spark.plans.llm_ops import _SQL_TOKS, _sql_shingles
+from iotgp_func_raw_data_ingest_spark.plans.registry import prep, register
+
+
+# ---------------------------------------------------------------------------
+# Balanced stratified sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q104_stratified_sample",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(rk AS INT) AS rk
+    FROM r WHERE rk <= 25
+    """,
+)
+def q104_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced stratified sample: deterministically pick 25 documents
+    per language by ranking on md5(doc_id) within each stratum — the
+    corpus-rebalancing primitive behind 'equal share per language'
+    training mixes (reproducible across reruns and engines, unlike
+    rand()-based sampling).
+
+    Scale shape: one shuffle on the stratum key; WindowGroupLimit pushes
+    the rank-25 cut below the sort. A skewed dominant stratum at 100 TB
+    switches to the two-phase variant: count per stratum, derive a hash
+    threshold per stratum (rate = target/count), and apply it as a scan
+    filter — no per-stratum sort at all (q93 shows the threshold form).
+    """
+    from pyspark.sql.window import Window
+
+    t = prep(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        t["documents"]
+        .select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Span-level (sub-document) dedup
+# ---------------------------------------------------------------------------
+
+_SPAN = 16  # tokens per non-overlapping span window
+
+
+@register(
+    "q105_span_dedup",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+               md5(array_to_string(list_slice(t, i * {_SPAN} + 1, i * {_SPAN} + {_SPAN}), ' ')) AS h
+        FROM toks,
+             UNNEST(generate_series(0, CAST(ceil(len(t) / {_SPAN}.0) AS BIGINT) - 1)) AS u(i)
+        WHERE len(t) > 0
+    ),
+    agg AS (
+        SELECT h, count(*) AS n_occ,
+               min(doc_id * 1000 + chunk_idx) AS owner_key
+        FROM spans GROUP BY h
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN a.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           CAST(sum(CASE WHEN a.owner_key // 1000 = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_owned,
+           ROUND(sum(CASE WHEN a.n_occ > 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS dup_ratio
+    FROM spans s JOIN agg a USING (h)
+    GROUP BY s.doc_id
+    """,
+)
+def q105_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (span-level) exact dedup: chunk each document into
+    non-overlapping 16-token windows, md5 each span, and report per doc
+    how many spans are globally duplicated and how many it "owns" (holds
+    the first occurrence of, by (doc_id, chunk_idx) order) — the
+    fixed-window approximation of suffix-array substring dedup that
+    corpus pipelines run to strip boilerplate shared across documents.
+
+    Scale shape: explode → groupBy(h) (md5 keys are fixed-width 32B, so
+    the shuffle carries hashes, never span text) → join back on h →
+    groupBy(doc). Hot boilerplate spans skew the h-shuffle; AQE skew-join
+    splits them, and the first groupBy's partial agg collapses repeats
+    map-side. The ownership min() uses a doc_id*1000+chunk_idx encoding
+    (chunk_idx < 1000 for any document under 16k tokens; longer docs
+    widen the factor)."""
+    t = prep(spark, sf_dir)
+    toks = generate_barrier(
+        t["documents"].select("doc_id", words("text").alias("t"))
+    ).filter(F.size("t") > 0)
+    n_chunks = F.ceil(F.size("t") / F.lit(_SPAN)).cast("int")
+    spans = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.md5(
+                    F.array_join(
+                        F.slice(F.col("t"), i * _SPAN + 1, _SPAN), " "
+                    ).cast("binary")
+                ),
+            )
+        ).alias("chunk_idx", "h"),
+    )
+    agg = spans.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min(F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("owner_key"),
+    )
+    dup = (F.col("n_occ") > 1).cast("int")
+    owned = (F.floor(F.col("owner_key") / 1000) == F.col("doc_id")).cast("int")
+    return (
+        spans.join(agg, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(dup).alias("n_dup_spans"),
+            F.sum(owned).alias("n_owned"),
+            F.round(F.sum(dup) / F.count(F.lit(1)), 4).alias("dup_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty scoring
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q106_ngram_novelty",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_sql_shingles(5)}) AS g
+        FROM documents WHERE len({_sql_shingles(5)}) > 0
+    ),
+    first_seen AS (
+        SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           ROUND(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS novelty
+    FROM sh s JOIN first_seen f USING (g)
+    GROUP BY s.doc_id
+    """,
+)
+def q106_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty scoring: for each document, the fraction of its
+    distinct word-5-grams whose first corpus occurrence (min doc_id,
+    standing in for arrival order) is this document. Streaming corpus
+    builders use this to measure marginal contribution — a doc whose
+    grams all appeared earlier adds nothing and gets dropped before
+    tokenization.
+
+    Scale shape: explode distinct shingles → groupBy(g) min — partial
+    aggregation collapses per-task repeats before the shuffle — → join
+    back on g → groupBy(doc). Same two-shuffle skeleton as q105; at
+    100 TB the first_seen side is the dedup ledger a daily pipeline
+    keeps partitioned by gram-hash range so tomorrow's increment joins
+    against it without a re-scan."""
+    t = prep(spark, sf_dir)
+    sh = generate_barrier(
+        t["documents"].select("doc_id", word_shingles("text", 5).alias("sh"))
+    )
+    sh = sh.filter(F.size("sh") > 0).select("doc_id", F.explode("sh").alias("g"))
+    first_seen = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("int")
+    return (
+        sh.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel).alias("n_novel"),
+            F.round(F.sum(novel) / F.count(F.lit(1)), 4).alias("novelty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile-threshold quality filtering
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q107_quality_quantile_filter",
+    oracle="""
+    WITH med AS (
+        SELECT lang, quantile_cont(n_chars, 0.5) AS median_chars
+        FROM documents GROUP BY lang
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           ROUND(avg(d.n_chars), 2) AS avg_chars_kept,
+           ROUND(min(m.median_chars), 1) AS median_chars
+    FROM documents d JOIN med m ON d.lang = m.lang
+    WHERE d.n_chars > m.median_chars
+    GROUP BY d.lang
+    """,
+)
+def q107_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-threshold quality filtering: compute the per-language
+    median document length, keep only documents strictly above their
+    stratum's median, and report the surviving population — the
+    'drop the bottom half by quality score' pruning step every corpus
+    pipeline runs (length is the deterministic stand-in for a model
+    score here; medians of integer data interpolate to exact .0/.5
+    values so the cross-engine comparison is binary-exact).
+
+    Scale shape: the median side aggregates to |langs| rows and
+    BROADCASTS back into the scan-side filter — at 100 TB this is one
+    pass for the thresholds (percentile_approx there; exact here for
+    the oracle) and one filtered pass for the keep-set, never a sort."""
+    t = prep(spark, sf_dir)
+    docs = t["documents"]
+    med = docs.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.5)).alias("median_chars")
+    )
+    return (
+        docs.join(F.broadcast(med), "lang")
+        .filter(F.col("n_chars") > F.col("median_chars"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars_kept"),
+            F.round(F.min("median_chars"), 1).alias("median_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution entropy
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q108_token_entropy",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lower(unnest({_SQL_TOKS})) AS w FROM documents
+    ),
+    cnt AS (
+        SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           ROUND(count(*) / CAST(sum(c) AS DOUBLE), 4) AS ttr,
+           ROUND(ln(sum(c)) - sum(c * ln(c)) / sum(c) + 0.0, 4) AS entropy
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def q108_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy + type-token ratio per
+    document — the lexical-diversity quality signal (low entropy ⇒
+    repetitive/templated text; complements q100's n-gram repetition
+    ratio). Uses the one-pass identity H = ln(n) − Σc·ln(c)/n so the
+    per-(doc,token) counts aggregate straight to the answer without a
+    second join for totals; `+ 0.0` normalizes the IEEE −0.0 a
+    single-token document would otherwise emit.
+
+    Scale shape: explode → two stacked aggregations, both with map-side
+    partial agg; the (doc_id, w) key inherits the document partitioning
+    so the second groupBy(doc_id) reuses locality under AQE."""
+    t = prep(spark, sf_dir)
+    toks = (
+        t["documents"]
+        .select("doc_id", F.explode(words("text")).alias("w0"))
+        .select("doc_id", F.lower("w0").alias("w"))
+    )
+    cnt = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    return cnt.groupBy("doc_id").agg(
+        n.alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.count(F.lit(1)) / n, 4).alias("ttr"),
+        F.round(
+            F.log(n) - F.sum(F.col("c") * F.log("c")) / n + F.lit(0.0), 4
+        ).alias("entropy"),
+    )

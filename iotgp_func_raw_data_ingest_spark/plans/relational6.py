@@ -534,3 +534,74 @@ def q97_range_frame_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value").over(w), 4).alias("trailing_avg"),
         F.count(F.lit(1)).over(w).alias("n_in_window"),
     )
+
+
+@register(
+    "q109_late_supplier_blame",
+    oracle="""
+    WITH flags AS (
+        SELECT l.l_orderkey AS orderkey, l.l_suppkey AS suppkey,
+               max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                        THEN 1 ELSE 0 END) AS is_late
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ),
+    per_order AS (
+        SELECT orderkey, count(*) AS n_supps, sum(is_late) AS n_late
+        FROM flags GROUP BY orderkey
+    )
+    SELECT f.suppkey AS s_suppkey, s.s_name,
+           CAST(count(*) AS BIGINT) AS numwait
+    FROM flags f
+    JOIN per_order p USING (orderkey)
+    JOIN supplier s ON s.s_suppkey = f.suppkey
+    WHERE f.is_late = 1 AND p.n_supps > 1 AND p.n_late = 1
+    GROUP BY f.suppkey, s.s_name
+    ORDER BY numwait DESC, s_suppkey LIMIT 25
+    """,
+)
+def q109_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): suppliers
+    with a late lineitem (shipped > 60 days after the order date — this
+    dataset has no receipt/commit dates) in multi-supplier orders where
+    no OTHER supplier was late; top 25 by blamed-order count.
+
+    Q21's textbook form is EXISTS + NOT EXISTS — two extra self-joins of
+    the largest table. This plan folds both correlated subqueries into
+    one aggregation pipeline: per-(order, supplier) late flags, then
+    per-order supplier/late counts, then the blame filter — lineitem is
+    scanned ONCE and shuffled once on orderkey (both aggs and the flag
+    join share the orderkey partitioning; the supplier dim broadcasts).
+    Same rows, one big-table exchange instead of three."""
+    t = prep(spark, sf_dir)
+    flags = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(
+            F.max(
+                (
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+                ).cast("int")
+            ).alias("is_late")
+        )
+    )
+    per_order = flags.groupBy("orderkey").agg(
+        F.count(F.lit(1)).alias("n_supps"), F.sum("is_late").alias("n_late")
+    )
+    return (
+        flags.join(per_order, "orderkey")
+        .filter((F.col("is_late") == 1) & (F.col("n_supps") > 1) & (F.col("n_late") == 1))
+        .join(
+            F.broadcast(t["supplier"]),
+            F.col("suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(25)
+    )
