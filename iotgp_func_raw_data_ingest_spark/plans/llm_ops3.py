@@ -133,7 +133,7 @@ def q105_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("chunk_idx", "h"),
-    )
+    ).repartition("h")  # one reused exchange: agg + probe share this scan
     agg = spans.groupBy("h").agg(
         F.count(F.lit(1)).alias("n_occ"),
         F.min(F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("owner_key"),
@@ -194,7 +194,16 @@ def q106_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = generate_barrier(
         t["documents"].select("doc_id", word_shingles("text", 5).alias("sh"))
     )
-    sh = sh.filter(F.size("sh") > 0).select("doc_id", F.explode("sh").alias("g"))
+    # xxhash64 the gram (8-byte fixed shuffle keys — the oracle groups by
+    # gram text; equivalence classes agree barring a ~n²/2⁶⁵ collision,
+    # see dedup.jaccard_pairs) and repartition on it so the agg and the
+    # probe side reuse ONE exchange — the shingle build runs once.
+    sh = (
+        sh.filter(F.size("sh") > 0)
+        .select("doc_id", F.explode("sh").alias("_g"))
+        .select("doc_id", F.xxhash64("_g").alias("g"))
+        .repartition("g")
+    )
     first_seen = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     novel = (F.col("first_doc") == F.col("doc_id")).cast("int")
     return (
