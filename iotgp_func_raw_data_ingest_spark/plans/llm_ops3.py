@@ -1,7 +1,9 @@
 """LLM-data-pipeline queries, part 3: corpus statistics and selection
 operators — balanced stratified sampling, span-level (sub-document)
-dedup, n-gram novelty scoring, quantile-threshold quality filtering, and
-token-distribution entropy. All JVM built-ins; every query oracle-checked.
+dedup, n-gram novelty scoring, quantile-threshold quality filtering,
+token-distribution entropy, vocabulary OOV coverage, sequence packing,
+time-decayed engagement, and similarity-graph degree distribution. All
+JVM built-ins; every query oracle-checked.
 
 Reference parity note: the reference ingest pipeline
 (src/function_app.py) has no corpus-curation surface; these operators
@@ -17,7 +19,11 @@ from pyspark.sql import functions as F
 
 from iotgp_func_raw_data_ingest_spark.operators.barrier import generate_barrier
 from iotgp_func_raw_data_ingest_spark.operators.dedup import word_shingles, words
-from iotgp_func_raw_data_ingest_spark.plans.llm_ops import _SQL_TOKS, _sql_shingles
+from iotgp_func_raw_data_ingest_spark.plans.llm_ops import (
+    _SQL_TOKS,
+    _simhash_sql,
+    _sql_shingles,
+)
 from iotgp_func_raw_data_ingest_spark.plans.registry import prep, register
 
 
@@ -317,4 +323,231 @@ def q108_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.log(n) - F.sum(F.col("c") * F.log("c")) / n + F.lit(0.0), 4
         ).alias("entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage / OOV rate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q110_vocab_oov",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lower(unnest({_SQL_TOKS})) AS w FROM documents
+    ),
+    vocab AS (
+        SELECT w FROM (
+            SELECT w, ROW_NUMBER() OVER (ORDER BY count(*) DESC, w) AS rk
+            FROM toks GROUP BY w
+        ) WHERE rk <= 16
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           ROUND(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.w = v.w
+    GROUP BY t.doc_id
+    """,
+)
+def q110_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage: build a top-16 token vocabulary from global
+    counts (rank ties broken by token text) and report each document's
+    out-of-vocabulary token rate — the tokenizer-prep diagnostic that
+    decides whether a vocab needs widening before training.
+
+    Scale shape: the vocab side aggregates to |vocab| rows (map-side
+    partial agg makes the count shuffle carry ≤ |distinct tokens| rows
+    per task) and BROADCASTS into a left join against the token stream —
+    the corpus is never shuffled on the token key for the probe. The
+    global rank over the aggregated counts is |vocab|-sized, not
+    corpus-sized."""
+    from pyspark.sql.window import Window
+
+    t = prep(spark, sf_dir)
+    toks = (
+        t["documents"]
+        .select("doc_id", F.explode(words("text")).alias("w0"))
+        .select("doc_id", F.lower("w0").alias("w"))
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.desc("n"), F.asc("w"))
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("w", rk.alias("rk"))
+        .filter(F.col("rk") <= 16)
+        .select("w", F.lit(1).alias("_in_vocab"))
+    )
+    oov = F.col("_in_vocab").isNull().cast("int")
+    return (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(oov).alias("n_oov"),
+            F.round(F.sum(oov) / F.count(F.lit(1)), 4).alias("oov_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing layout
+# ---------------------------------------------------------------------------
+
+_PACK = 2048  # tokens per packed training sequence
+
+
+@register(
+    "q111_sequence_packing",
+    oracle=f"""
+    WITH counts AS (
+        SELECT doc_id, len({_SQL_TOKS}) AS n_tokens FROM documents
+    ),
+    offs AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS off
+        FROM counts
+    )
+    SELECT CAST(off // {_PACK} AS BIGINT) AS pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM offs GROUP BY 1
+    """,
+)
+def q111_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing layout: concatenate documents in doc_id order
+    and split into 2048-token training sequences; each document belongs
+    to the pack where it starts (running-offset // 2048). Reports pack
+    occupancy — the packing plan a trainer's data loader materializes.
+
+    The global running sum is a single-partition window at this output
+    granularity; the 100 TB variant computes per-partition token sums,
+    broadcasts the |partitions|-sized prefix offsets back, and adds them
+    to partition-local cumsums — two narrow passes, no global sort
+    (doc_id order is the partition order of the source layout)."""
+    from pyspark.sql.window import Window
+
+    t = prep(spark, sf_dir)
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    offs = t["documents"].select(
+        "doc_id",
+        F.size(words("text")).alias("n_tokens"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("off"),
+    )
+    return (
+        offs.groupBy(F.floor(F.col("off") / _PACK).alias("pack_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed engagement
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q112_decayed_engagement",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(sum(value * exp(-ln(2) *
+                 (epoch_us(TIMESTAMP '2024-02-01 00:00:00') - epoch_us(ts))
+                 / (7.0 * 86400 * 1000000))), 2) AS decayed_score
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q112_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed engagement score per user: each event's value decays
+    with a 7-day half-life from a fixed reference instant — the
+    recency-weighted feature a ranking/training pipeline derives from an
+    event log (exponential decay composes under addition, so tomorrow's
+    score is today's × 2^(−Δ/halflife) + the new events: incrementally
+    maintainable without re-scanning history).
+
+    Scale shape: pure scan + one aggregation on user_id; the decay
+    weight is a JVM-side expression pipelined with the scan."""
+    t = prep(spark, sf_dir)
+    ref_us = F.unix_micros(F.to_timestamp(F.lit("2024-02-01 00:00:00")))
+    half_life_us = 7.0 * 86400 * 1_000_000
+    import math
+
+    weight = F.exp(
+        (ref_us - F.unix_micros(F.col("ts"))) / F.lit(-half_life_us / math.log(2.0))
+    )
+    return (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value") * weight), 2).alias("decayed_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity-graph degree distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q113_simgraph_degree",
+    oracle=f"""
+    WITH fps AS ({_simhash_sql()}),
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM fps a JOIN fps b ON a.id < b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ),
+    ends AS (
+        SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs
+    ),
+    deg AS (
+        SELECT id, count(*) AS degree FROM ends GROUP BY id
+    )
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def q113_simgraph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the SimHash near-duplicate graph (Hamming
+    ≤ 3 edges): how many documents have 1, 2, … near-neighbors. The
+    shape of this histogram is the standard pre-flight check before
+    connected-components clustering (q69) — a heavy tail means a giant
+    component and motivates stricter thresholds or edge capping.
+
+    Scale shape: edges come from the byte-band pigeonhole candidate
+    join (operators/dedup.py — inverted-index cost, never O(n²)); the
+    degree count then shuffles (node_id) pairs only, and the final
+    histogram is |max_degree| rows."""
+    from iotgp_func_raw_data_ingest_spark.operators import dedup as D
+
+    t = prep(spark, sf_dir)
+    pairs = D.simhash_pairs(t["documents"], "doc_id", "text", max_hamming=3)
+    ends = pairs.select(F.col("id_a").alias("id")).unionAll(
+        pairs.select(F.col("id_b").alias("id"))
+    )
+    return (
+        ends.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
     )
