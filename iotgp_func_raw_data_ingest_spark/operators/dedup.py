@@ -439,20 +439,32 @@ def cluster_neardups(
     Iterative fixpoints aren't SQL-expressible one-shot → rows-only in
     the correctness gate; golden tests pin known component structures.
     """
+    # explode-of-both-directions, NOT union-of-two-selects: a union would
+    # embed the pairs subplan (the whole similarity pipeline) twice in the
+    # edge plan and evaluate it twice when edges materialize.
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                    F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
     )
     # Fast path: near-dup EDGE sets are derived metadata, orders of
     # magnitude smaller than the corpus (they're the output of the LSH /
     # inverted-index stage). When they fit comfortably on the driver,
     # union-find beats ~3 distributed rounds × several jobs each.
-    # Cache: the edge subplan (the whole similarity pipeline) must not
-    # recompute for count + collect / each propagation round.
+    # Cache: the edge subplan must not recompute for the probe / each
+    # propagation round. The size probe is limit(max+1).collect() — ONE
+    # job that doubles as the fast path's input — instead of a count()
+    # pass followed by a separate collect().
     edges = edges.cache()
-    n_edges = edges.count()
-    if n_edges <= driver_path_max_edges:
+    rows = edges.limit(driver_path_max_edges + 1).collect()
+    if len(rows) <= driver_path_max_edges:
         parent: dict = {}
 
         def find(x):
@@ -463,7 +475,6 @@ def cluster_neardups(
                 parent[x], x = root, parent[x]
             return root
 
-        rows = edges.collect()
         for r in rows:
             ra, rb = find(r.src), find(r.dst)
             if ra != rb:
