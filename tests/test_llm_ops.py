@@ -236,3 +236,82 @@ def test_decoder_hook_used_when_wired(monkeypatch):
     assert len(M._decode_one(b"abc", "image")) == M.FEATURE_DIM  # stub path
     monkeypatch.setattr(M, "_real_decoder", lambda: (lambda payload, kind: [1.0, 2.0]))
     assert M._decode_one(b"abc", "image") == [1.0, 2.0]
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics invariants (q105/q106/q108/q111 building blocks) the
+# row-level oracle comparison can't express as properties
+# ---------------------------------------------------------------------------
+
+
+def test_span_dedup_exact_duplicate_doc_fully_duplicated(spark):
+    from iotgp_func_raw_data_ingest_spark.plans.llm_ops3 import q105_span_dedup
+
+    # doc 0 and doc 1 identical (> 16 tokens so they produce ≥ 2 spans);
+    # doc 2 unrelated
+    text = " ".join(f"w{i % 7}x{i}" for i in range(40))
+    other = " ".join(f"z{i}" for i in range(40))
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(0, text), (1, text), (2, other)], "doc_id long, text string"
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r.doc_id: r for r in q105_span_dedup(spark, d).collect()}
+    # every span of the duplicated pair is globally duplicated
+    assert out[0].dup_ratio == 1.0 and out[1].dup_ratio == 1.0
+    assert out[2].dup_ratio == 0.0
+    # first copy owns all its spans; the second owns none
+    assert out[0].n_owned == out[0].n_spans
+    assert out[1].n_owned == 0
+
+
+def test_token_entropy_bounds(spark):
+    from iotgp_func_raw_data_ingest_spark.plans.llm_ops3 import q108_token_entropy
+    import math
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [
+                (0, "same same same same"),          # zero entropy
+                (1, "a b c d"),                      # uniform → ln(4)
+            ],
+            "doc_id long, text string",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r.doc_id: r for r in q108_token_entropy(spark, d).collect()}
+    assert out[0].entropy == 0.0  # and not -0.0: IEEE sign normalized
+    assert str(out[0].entropy) == "0.0"
+    assert out[1].entropy == round(math.log(4), 4)
+    assert out[1].ttr == 1.0
+
+
+def test_sequence_packing_conserves_tokens(spark):
+    from iotgp_func_raw_data_ingest_spark.plans.llm_ops3 import q111_sequence_packing
+    import tempfile, os
+
+    docs = [(i, " ".join(f"t{j}" for j in range(30 + (i % 5)))) for i in range(200)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        packs = q111_sequence_packing(spark, d).collect()
+    total_tokens = sum(30 + (i % 5) for i in range(200))
+    assert sum(p.n_tokens for p in packs) == total_tokens
+    assert sum(p.n_docs for p in packs) == 200
+    # packs are contiguous doc-id ranges: sorted by pack_id, first/last chain
+    packs = sorted(packs, key=lambda p: p.pack_id)
+    for a, b in zip(packs, packs[1:]):
+        assert a.last_doc + 1 == b.first_doc
+
+
+def test_simgraph_degree_counts_edges_twice(spark, near_dup_docs):
+    from iotgp_func_raw_data_ingest_spark.operators import dedup as DD
+
+    pairs = DD.simhash_pairs(near_dup_docs, "doc_id", "text", max_hamming=3)
+    n_edges = pairs.count()
+    ends = pairs.select(F.col("id_a").alias("id")).unionAll(
+        pairs.select(F.col("id_b").alias("id"))
+    )
+    deg = ends.groupBy("id").agg(F.count(F.lit(1)).alias("degree")).collect()
+    assert sum(r.degree for r in deg) == 2 * n_edges
