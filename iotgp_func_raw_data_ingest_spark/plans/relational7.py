@@ -177,3 +177,53 @@ def q116_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+@register(
+    "q117_event_window_dedup",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 600000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN gap_us IS NOT NULL AND gap_us <= 600000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_suppressed
+    FROM g GROUP BY event_type
+    """,
+)
+def q117_event_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debounce: suppress events that repeat the same
+    (user, event_type) within 10 minutes of the previous raw occurrence
+    — the lag-gap dedup every event pipeline applies to retries and
+    double-fires before aggregation. (This is the stateless variant:
+    gap vs the previous RAW event. Suppressing relative to the last
+    KEPT event is a chained fixpoint — that semantics lives in
+    streaming/stateful.py where per-key state makes it one pass.)
+
+    Scale shape: one shuffle on (user_id, event_type), per-partition
+    sorted lag, then a tiny per-type rollup. The window key matches the
+    natural event-log bucketing so a date-partitioned lake gives
+    near-sorted input."""
+    from pyspark.sql.window import Window
+
+    t = prep(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    kept = (gap.isNull() | (gap > 600_000_000)).cast("int")
+    return (
+        t["events"]
+        .select("event_type", kept.alias("_kept"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_kept").alias("n_kept"),
+            (F.count(F.lit(1)) - F.sum("_kept")).alias("n_suppressed"),
+        )
+    )
