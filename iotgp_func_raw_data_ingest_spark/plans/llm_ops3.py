@@ -542,9 +542,10 @@ def q113_simgraph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = prep(spark, sf_dir)
     pairs = D.simhash_pairs(t["documents"], "doc_id", "text", max_hamming=3)
-    ends = pairs.select(F.col("id_a").alias("id")).unionAll(
-        pairs.select(F.col("id_b").alias("id"))
-    )
+    # explode(array(...)) counts both endpoints in ONE evaluation of the
+    # pair join; unionAll of two projections re-ran the whole candidate
+    # pipeline per branch (no exchange reuse across the union).
+    ends = pairs.select(F.explode(F.array("id_a", "id_b")).alias("id"))
     return (
         ends.groupBy("id")
         .agg(F.count(F.lit(1)).alias("degree"))
