@@ -315,3 +315,60 @@ def test_simgraph_degree_counts_edges_twice(spark, near_dup_docs):
     )
     deg = ends.groupBy("id").agg(F.count(F.lit(1)).alias("degree")).collect()
     assert sum(r.degree for r in deg) == 2 * n_edges
+
+
+def test_doc_chunking_covers_and_overlaps(spark):
+    from iotgp_func_raw_data_ingest_spark.plans.relational8 import q124_doc_chunking
+    import tempfile, os
+
+    # lengths straddling the window/stride boundaries: shorter than one
+    # window, exactly one window, exactly window+stride, and a long tail
+    lengths = [1, 100, 512, 513, 896, 897, 5000]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, "x" * n, n) for i, n in enumerate(lengths)],
+            "doc_id long, text string, n_chars long",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        rows = q124_doc_chunking(spark, d).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, n in enumerate(lengths):
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        assert len(chunks) == (n + 383) // 384
+        # full coverage: first starts at 0, last ends at n, no gaps
+        assert chunks[0].start_char == 0
+        assert chunks[-1].end_char == n
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.start_char < a.end_char or a.end_char - b.start_char >= 0
+            assert b.start_char == a.start_char + 384
+        # every chunk is non-empty and at most the window size
+        assert all(0 < c.end_char - c.start_char <= 512 for c in chunks)
+
+
+def test_dominant_supplier_is_majority_shipper(spark):
+    from iotgp_func_raw_data_ingest_spark.plans.relational8 import (
+        q123_dominant_suppliers,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    winners = {r.s_suppkey for r in q123_dominant_suppliers(spark, sf).collect()}
+    # replay the definition independently: per (part, supplier) shipped
+    # qty within the window, winner iff 2*qty > part total
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf}/part.parquet")
+    rows = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("2000-01-01"))
+            & (F.col("l_shipdate") < F.lit("2001-01-01"))
+        )
+        .join(part.filter(F.col("p_name").like("%widget%")), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .collect()
+    )
+    totals: dict[int, float] = {}
+    for r in rows:
+        totals[r.l_partkey] = totals.get(r.l_partkey, 0.0) + r.q
+    expect = {r.l_suppkey for r in rows if 2 * r.q > totals[r.l_partkey]}
+    assert winners == expect and winners
