@@ -237,3 +237,64 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def kmeans_refine(
+    df: DataFrame,
+    centroids: DataFrame,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's KMeans refinement, ``iters`` fixed iterations: assign every
+    vector to its nearest (max-cosine) centroid, then recompute each
+    centroid as the mean of its members. Fixed iteration count keeps the
+    plan static and the result deterministic — the convergence-test loop
+    of a production fit belongs in an offline driver program (pyspark.ml
+    KMeans); this operator is the deterministic, oracle-checkable core.
+
+    Arithmetic is fixed-point so both the plan and its SQL replay agree
+    bit-for-bit: per-dimension member sums use exact int64 1e-6 units
+    (order-free — float summation order differs between engines AND
+    between runs of the same engine under AQE), and the refreshed
+    component is the e6-rounded mean divided back to double. Empty cells
+    drop (standard Lloyd behavior).
+
+    Scale shape per iteration: centroids broadcast onto the corpus
+    (map-side argmax via ``ivf_assign``), one shuffle keyed
+    (cell, dim) whose cardinality is k·dim regardless of corpus size,
+    and a k-row rebuild. Corpus size only affects the map side.
+
+    ``centroids`` schema: (centroid_id, centroid_vec) → same out.
+    """
+    cents = centroids
+    for _ in range(iters):
+        assigned = ivf_assign(df, cents, id_col, vec_col)  # (id, vec, cell)
+        comps = (
+            assigned.select("cell", F.posexplode("vec").alias("dim", "val"))
+            .groupBy("cell", "dim")
+            .agg(
+                F.sum(F.round(F.col("val").cast("double") * 1e6).cast("long")).alias(
+                    "s_e6"
+                ),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "cell",
+                "dim",
+                # e6-rounded mean: exact int both engines, /1e6 back to double
+                (
+                    F.round(F.col("s_e6") / F.col("n").cast("double")).cast("long")
+                    / 1e6
+                ).alias("comp"),
+            )
+        )
+        cents = (
+            comps.groupBy(F.col("cell").alias("centroid_id"))
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "comp"))).alias("dc"))
+            .select(
+                "centroid_id",
+                F.transform("dc", lambda x: x["comp"]).alias("centroid_vec"),
+            )
+        )
+    return cents

@@ -552,3 +552,108 @@ def q113_simgraph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("degree")
         .agg(F.count(F.lit(1)).alias("n_nodes"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMeans centroid refinement (the IVF index-build step)
+# ---------------------------------------------------------------------------
+
+_KM_ASSIGN = """
+    SELECT vec_id, v, cid AS cell FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                            c.cid
+               ) AS rn
+        FROM e CROSS JOIN {cents} c
+    ) WHERE rn = 1
+"""
+
+_KM_MEANS = """
+    SELECT a.cell, d.dim,
+           CAST(ROUND(SUM(CAST(ROUND(a.v[d.dim] * 1000000) AS BIGINT))
+                      / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS comp_e6
+    FROM {assign} a
+    CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS dim) d
+    GROUP BY a.cell, d.dim
+"""
+
+
+@register(
+    "q125_kmeans_refine",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+    a1 AS ({_KM_ASSIGN.format(cents="c0")}),
+    m1 AS ({_KM_MEANS.format(assign="a1")}),
+    c1 AS (
+        SELECT cell AS cid, list(comp_e6 / 1000000.0 ORDER BY dim) AS cv
+        FROM m1 GROUP BY cell
+    ),
+    a2 AS ({_KM_ASSIGN.format(cents="c1")}),
+    m2 AS ({_KM_MEANS.format(assign="a2")}),
+    c2 AS (
+        SELECT cell AS cid, list(comp_e6 / 1000000.0 ORDER BY dim) AS cv
+        FROM m2 GROUP BY cell
+    ),
+    af AS ({_KM_ASSIGN.format(cents="c2")}),
+    counts AS (SELECT cell, count(*) AS n FROM af GROUP BY cell),
+    norms AS (
+        SELECT cell AS cid,
+               ROUND(sqrt(CAST(SUM(comp_e6 * comp_e6) AS DOUBLE)) / 1000000.0,
+                     6) AS c_norm
+        FROM m2 GROUP BY cell
+    )
+    SELECT n.cid AS centroid_id,
+           CAST(c.n AS BIGINT) AS n_assigned,
+           n.c_norm
+    FROM norms n JOIN counts c ON c.cell = n.cid
+    """,
+)
+def q125_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations refining the 16 deterministic seed centroids
+    (operators/similarity.py kmeans_refine), then the refreshed cells'
+    population and centroid L2 norm — the index-build step that turns
+    q86's stand-in centroids into a fitted IVF coarse quantizer. Fixed
+    iteration count + fixed-point member means keep the whole fit
+    replayable in SQL (the oracle unrolls both iterations as CTEs).
+
+    Scale shape per iteration: broadcast the k centroids, map-side
+    argmax assignment, ONE shuffle whose key space is (cell, dim) —
+    k·64 groups regardless of corpus size — and a k-row rebuild. The
+    final norm/count roll-ups are k rows. Corpus size touches only the
+    map side, which is how Lloyd's survives a 100 TB embedding table
+    (pyspark.ml KMeans runs the same loop with driver-collected
+    centroids; keeping them as a broadcast relation makes the fit a
+    single lazy plan the oracle can replay)."""
+    from iotgp_func_raw_data_ingest_spark.operators import similarity as S
+
+    t = prep(spark, sf_dir)
+    emb = t["embeddings"].select("vec_id", "embedding")
+    init = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    refined = S.kmeans_refine(emb, init, iters=2)
+    counts = (
+        S.ivf_assign(emb, refined)
+        .groupBy(F.col("cell").alias("centroid_id"))
+        .agg(F.count(F.lit(1)).alias("n_assigned"))
+    )
+    comp_e6 = F.transform(
+        "centroid_vec", lambda x: F.round(x * 1e6).cast("long")
+    )
+    sq_e12 = F.aggregate(
+        comp_e6, F.lit(0).cast("long"), lambda acc, v: acc + v * v
+    )
+    norms = refined.select(
+        "centroid_id",
+        F.round(F.sqrt(sq_e12.cast("double")) / 1e6, 6).alias("c_norm"),
+    )
+    return norms.join(counts, "centroid_id").select(
+        "centroid_id", "n_assigned", "c_norm"
+    )
