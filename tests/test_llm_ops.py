@@ -372,3 +372,36 @@ def test_dominant_supplier_is_majority_shipper(spark):
         totals[r.l_partkey] = totals.get(r.l_partkey, 0.0) + r.q
     expect = {r.l_suppkey for r in rows if 2 * r.q > totals[r.l_partkey]}
     assert winners == expect and winners
+
+
+def test_kmeans_refine_recovers_separated_clusters(spark):
+    from iotgp_func_raw_data_ingest_spark.operators import similarity as S
+
+    # two orthogonal-direction clusters with small within-cluster jitter;
+    # seeds start OFF-center (one member each) and must move to the means
+    rows = []
+    for i in range(20):
+        rows.append((i, [1.0, 0.02 * (i % 5), 0.0, 0.0]))
+    for i in range(20, 40):
+        rows.append((i, [0.0, 0.0, 1.0, 0.02 * (i % 5)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    init = df.filter(F.col("vec_id").isin(0, 20)).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    refined = {
+        r.centroid_id: r.centroid_vec
+        for r in S.kmeans_refine(df, init, iters=2).collect()
+    }
+    assert set(refined) == {0, 20}
+    # each refined centroid is the mean of its cluster (e6 fixed-point)
+    exp_jitter = sum(0.02 * (i % 5) for i in range(5)) * 4 / 20  # = 0.04
+    assert abs(refined[0][0] - 1.0) < 1e-9
+    assert abs(refined[0][1] - exp_jitter) < 1e-6
+    assert refined[0][2] == 0.0 and refined[0][3] == 0.0
+    assert abs(refined[20][2] - 1.0) < 1e-9
+    assert abs(refined[20][3] - exp_jitter) < 1e-6
+    # assignment against refined centroids keeps the clusters intact
+    cells = {r.id: r.cell for r in S.ivf_assign(df, S.kmeans_refine(df, init, iters=1)).collect()}
+    assert all(cells[i] == 0 for i in range(20))
+    assert all(cells[i] == 20 for i in range(20, 40))
