@@ -638,7 +638,10 @@ def q125_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("centroid_vec"),
     )
-    refined = S.kmeans_refine(emb, init, iters=2)
+    # both the population count and the norm branch from `refined`;
+    # checkpoint the 16-row fit so the 2-iteration corpus lineage runs
+    # once, not once per consumer (lazy: no job until first use)
+    refined = S.kmeans_refine(emb, init, iters=2).localCheckpoint(eager=False)
     counts = (
         S.ivf_assign(emb, refined)
         .groupBy(F.col("cell").alias("centroid_id"))
