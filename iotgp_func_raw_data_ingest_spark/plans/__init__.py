@@ -32,26 +32,51 @@ def _reorder() -> None:
     checks the FIRST 50 entries in dict-insertion order each round) covers
     the queries that do not yet have a driver-green row.
 
-    Round-2 window: the ingest + LLM-pipeline surface (q26-q41), the late
-    relational additions (q67-q97), and the three round-1 reds fixed this
-    round (q44/q61/q62) — exactly 50. Queries green in CORRECTNESS_r01.json
-    rotate to the back; they keep full local-replica coverage in
-    tests/test_oracle_parity.py.
+    The window is computed, not pinned: we read the committed
+    ``CORRECTNESS_r*.json`` results at the repo root and sort
+
+    1. queries with no driver-green row anywhere (new or previously red),
+    2. events-based queries whose only green predates the driver's
+       timestamp re-encoding of events.parquet (ns → µs-NTZ between r01
+       and r02) — their old green is stale evidence,
+    3. everything else, least-recently-verified first.
+
+    Any query added in a future round lands in bucket 1 automatically.
+    If no correctness files are found (fresh checkout), the order falls
+    back to query-number order, which is the round-1 window.
     """
+    import json
+    import re
+    from pathlib import Path
 
-    def sort_key(name: str) -> tuple[int, str]:
-        import re
+    green_in: dict[str, int] = {}  # name -> latest round with a hash-green row
+    root = Path(__file__).resolve().parents[2]
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", path.name)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                green_in[name] = max(green_in.get(name, 0), rnd)
 
-        qnum = int(re.match(r"q(\d+)", name).group(1))
-        if 26 <= qnum <= 41:  # ingest + LLM flagship surface
-            return (0, name)
-        if 67 <= qnum <= 97:  # round-1 late additions
-            return (1, name)
-        if qnum in (44, 61, 62):  # round-1 canonicalizer reds, fixed
-            return (2, name)
-        if qnum == 59 or qnum >= 98:  # rewritten/new this round; round-3 window
-            return (3, name)
-        return (4, name)  # driver-green in round 1
+    # events.parquet changed encoding after round 1; r01-only greens on it
+    # no longer prove anything about current data.
+    stale_events_r01 = {
+        "q23_events_hourly", "q45_asof_join", "q46_range_join",
+        "q47_sessionize", "q48_latest_event_per_user",
+        "q51_sliding_window", "q65_session_window",
+    }
+
+    def sort_key(name: str) -> tuple[int, int, str]:
+        rnd = green_in.get(name, 0)
+        if rnd == 0:
+            return (0, 0, name)  # never driver-green
+        if rnd <= 1 and name in stale_events_r01:
+            return (1, 0, name)  # green only against the pre-µs data
+        return (2, rnd, name)  # verified; least-recently first
 
     order = sorted(QUERIES, key=sort_key)
     for d in (QUERIES, ORACLES):

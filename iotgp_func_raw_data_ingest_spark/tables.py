@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLE_NAMES = (
     "region",
@@ -34,15 +34,25 @@ TABLE_NAMES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; with spark.sql.legacy.parquet.nanosAsLong (set in
-        # session.py and plans.registry.prep) it arrives as epoch-nanos
-        # LongType. Convert ns → µs with integer division (double division
-        # would lose precision at 1.7e18) — test data is µs-aligned, so
-        # this is lossless and matches DuckDB's value to the microsecond.
+        # The driver has shipped events.ts under two parquet encodings so
+        # far; normalize BOTH to a session-tz TIMESTAMP so every downstream
+        # plan can rely on unix_micros(ts) / time-windowing semantics:
+        #
+        # - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; with
+        #   spark.sql.legacy.parquet.nanosAsLong (set in session.py and
+        #   plans.registry.prep) it arrives as epoch-nanos LongType.
+        #   Convert ns → µs with integer division (double division would
+        #   lose precision at 1.7e18) — test data is µs-aligned, so this
+        #   is lossless and matches DuckDB to the microsecond.
+        # - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+        #   TIMESTAMP_NTZ. Cast to TIMESTAMP: the wall-clock fields are
+        #   reinterpreted in the session timezone, which registry.prep pins
+        #   to UTC — identical instants to what DuckDB reads.
         field = dict((f.name, f.dataType) for f in df.schema.fields).get("ts")
         if isinstance(field, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(field, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
