@@ -21,9 +21,11 @@ from iotgp_func_raw_data_ingest_spark.plans import relational5  # noqa: E402,F40
 from iotgp_func_raw_data_ingest_spark.plans import relational6  # noqa: E402,F401
 from iotgp_func_raw_data_ingest_spark.plans import relational7  # noqa: E402,F401
 from iotgp_func_raw_data_ingest_spark.plans import relational8  # noqa: E402,F401
+from iotgp_func_raw_data_ingest_spark.plans import relational9  # noqa: E402,F401
 from iotgp_func_raw_data_ingest_spark.plans import llm_ops  # noqa: E402,F401
 from iotgp_func_raw_data_ingest_spark.plans import llm_ops2  # noqa: E402,F401
 from iotgp_func_raw_data_ingest_spark.plans import llm_ops3  # noqa: E402,F401
+from iotgp_func_raw_data_ingest_spark.plans import llm_ops4  # noqa: E402,F401
 from iotgp_func_raw_data_ingest_spark.plans import ingest_queries  # noqa: E402,F401
 
 

@@ -1,0 +1,221 @@
+"""Round-3 event-stream and order-flow analytics: per-user anomaly
+detection, event-type transition matrices, shipping-span distribution,
+and signup→purchase conversion latency.
+
+Same determinism discipline as llm_ops4: membership/ordering decisions
+ride on integer arithmetic (counts, epoch-microsecond integer division);
+doubles only appear as rounded output columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from iotgp_func_raw_data_ingest_spark.plans.registry import prep, register
+
+
+@register(
+    "q131_event_anomaly",
+    oracle="""
+    WITH stats AS (
+        SELECT user_id,
+               avg(value)        AS mu,
+               stddev_pop(value) AS sigma,
+               count(*)          AS n
+        FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.event_type,
+           ROUND(e.value, 4) AS value,
+           ROUND((e.value - s.mu) / s.sigma, 2) AS z
+    FROM events e JOIN stats s USING (user_id)
+    WHERE s.n >= 10 AND s.sigma > 0
+      AND abs(e.value - s.mu) >= 3 * s.sigma
+    """,
+)
+def q131_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user outlier events: |value − μ_user| ≥ 3σ_user (population σ,
+    users with ≥10 events). The 3σ band is wide enough that the two
+    engines' float-summation-order difference (~1e-13 relative on μ/σ)
+    cannot flip membership of real data; z is ROUNDed to 2 for output.
+    Same float discipline that keeps q79_grouped_zscore green.
+
+    100 TB shape: one groupBy(user_id) with partial aggregation for the
+    stats, then a same-key join that reuses the hash partitioning — two
+    scans, one shuffle exchange. No windows over the raw event stream."""
+    t = prep(spark, sf_dir)
+    e = t["events"]
+    stats = e.groupBy("user_id").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_pop("value").alias("sigma"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        e.join(stats, "user_id")
+        .filter(
+            (F.col("n") >= 10)
+            & (F.col("sigma") > 0)
+            & (F.abs(F.col("value") - F.col("mu")) >= 3 * F.col("sigma"))
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 2).alias("z"),
+        )
+    )
+
+
+@register(
+    "q132_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    cnt AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    )
+    SELECT from_type, to_type, n,
+           ROUND(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 4) AS p
+    FROM cnt
+    """,
+)
+def q132_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix: per user, order events
+    by (ts, event_id) — the id tiebreak makes simultaneous events
+    deterministic — take lead(event_type), count (from, to) pairs, and
+    normalize to row-stochastic probabilities with one division over
+    integer counts.
+
+    100 TB shape: the lead window shuffles once on user_id (bounded
+    per-user sequences), the transition count aggregates to a ≤
+    |types|² relation, and the normalizing window runs on that tiny
+    matrix — corpus rows pass through exactly one exchange."""
+    t = prep(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    cnt = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wsum = Window.partitionBy("from_type")
+    return cnt.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wsum).cast("double"), 4).alias("p"),
+    )
+
+
+@register(
+    "q133_ship_span_distribution",
+    oracle="""
+    WITH spans AS (
+        SELECT l_orderkey,
+               date_diff('day', min(l_shipdate), max(l_shipdate)) AS span_days,
+               count(*) AS n_lines
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(span_days // 7 AS BIGINT) AS span_weeks,
+           CAST(count(*) AS BIGINT)       AS n_orders,
+           CAST(min(span_days) AS BIGINT) AS min_days,
+           CAST(max(span_days) AS BIGINT) AS max_days,
+           ROUND(avg(n_lines), 2)         AS avg_lines
+    FROM spans GROUP BY span_days // 7
+    """,
+)
+def q133_ship_span_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order fulfillment spread: days between an order's first and last
+    line shipment, bucketed into weeks — the multi-shipment latency
+    distribution. All bucket math is integer (datediff → div 7); only
+    avg_lines is a rounded output double over small integer counts.
+
+    100 TB shape: one groupBy(l_orderkey) with partial min/max/count
+    (map-side combine does most of the work since lineitem is
+    effectively clustered by orderkey), then a ≤hundreds-key histogram
+    aggregation."""
+    t = prep(spark, sf_dir)
+    spans = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(
+            F.datediff(F.max("l_shipdate"), F.min("l_shipdate")).alias("span_days"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    return (
+        spans.groupBy((F.col("span_days") / 7).cast("long").alias("span_weeks"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("span_days").cast("long").alias("min_days"),
+            F.max("span_days").cast("long").alias("max_days"),
+            F.round(F.avg("n_lines"), 2).alias("avg_lines"),
+        )
+    )
+
+
+@register(
+    "q138_signup_to_purchase",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, min(ts) AS signup_ts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS purchase_ts
+        FROM events e JOIN s USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+        GROUP BY e.user_id
+    )
+    SELECT s.user_id, s.signup_ts, p.purchase_ts,
+           CAST((epoch_us(p.purchase_ts) - epoch_us(s.signup_ts)) // 60000000 AS BIGINT)
+               AS latency_min
+    FROM s JOIN p USING (user_id)
+    """,
+)
+def q138_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency: per user, first signup → first subsequent
+    purchase, latency in whole minutes via integer division of epoch
+    microseconds (NOT calendar boundary counting, which DuckDB's
+    date_diff does — the two disagree across minute boundaries).
+    Complements q87's funnel counts with the time-to-convert relation.
+
+    100 TB shape: two filtered groupBy(user_id) aggregations and two
+    same-key joins — all four operators share the user_id hash
+    partitioning, so AQE plans a single exchange on the events scan;
+    the signup relation re-join is semi-join-sized."""
+    t = prep(spark, sf_dir)
+    e = t["events"]
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        s.join(p, "user_id")
+        .select(
+            "user_id",
+            "signup_ts",
+            "purchase_ts",
+            ((F.unix_micros("purchase_ts") - F.unix_micros("signup_ts")) / 60000000)
+            .cast("long")
+            .alias("latency_min"),
+        )
+    )

@@ -49,6 +49,99 @@ def envelopes_from_kafka(
     )
 
 
+def parse_eventhubs_connection_string(conn: str) -> dict[str, str]:
+    """Parse an Event Hubs connection string into its parts.
+
+    Format (public Azure docs):
+    ``Endpoint=sb://<ns>.servicebus.windows.net/;SharedAccessKeyName=<k>;
+    SharedAccessKey=<secret>;EntityPath=<hub>``.
+
+    Fails fast on a missing Endpoint — same eager-validation posture as
+    EngineConfig (reference `src/function_app.py:24-58`)."""
+    parts: dict[str, str] = {}
+    for seg in conn.split(";"):
+        seg = seg.strip()
+        if seg and "=" in seg:
+            k, v = seg.split("=", 1)
+            parts[k] = v
+    endpoint = parts.get("Endpoint", "")
+    if not endpoint.startswith("sb://"):
+        raise ValueError("connection string must contain Endpoint=sb://<namespace>...")
+    host = endpoint.removeprefix("sb://").strip("/")
+    return {
+        "host": host,
+        "namespace": host.split(".", 1)[0],
+        "entity_path": parts.get("EntityPath", ""),
+        "key_name": parts.get("SharedAccessKeyName", ""),
+        "key": parts.get("SharedAccessKey", ""),
+    }
+
+
+def eventhubs_kafka_options(conn: str, topic: str | None = None) -> dict[str, str]:
+    """Reader options for Event Hubs' Kafka-compatible endpoint (port
+    9093, SASL PLAIN with the literal ``$ConnectionString`` user — the
+    mapping Microsoft documents publicly). This is the portable surface:
+    any stock Spark distribution with the Kafka connector can consume an
+    Event Hub through it, no Azure-specific jar required."""
+    p = parse_eventhubs_connection_string(conn)
+    subscribe = topic or p["entity_path"]
+    if not subscribe:
+        raise ValueError("no topic: pass one or use a connection string with EntityPath")
+    jaas = (
+        "org.apache.kafka.common.security.plain.PlainLoginModule required "
+        f'username="$ConnectionString" password="{conn}";'
+    )
+    return {
+        "kafka.bootstrap.servers": f"{p['host']}:9093",
+        "subscribe": subscribe,
+        "kafka.security.protocol": "SASL_SSL",
+        "kafka.sasl.mechanism": "PLAIN",
+        "kafka.sasl.jaas.config": jaas,
+        "kafka.request.timeout.ms": "60000",
+        "kafka.session.timeout.ms": "30000",
+    }
+
+
+def eventhubs_native_options(
+    conn: str, consumer_group: str = "$Default", starting_position: str = "latest"
+) -> dict[str, str]:
+    """Reader options for the native ``format("eventhubs")`` connector
+    (com.microsoft.azure:azure-eventhubs-spark). Kept as a pure option
+    builder so the mapping is unit-testable without the connector jar on
+    the classpath; ``envelopes_from_eventhubs`` applies it."""
+    parse_eventhubs_connection_string(conn)  # fail fast on malformed input
+    return {
+        "eventhubs.connectionString": conn,
+        "eventhubs.consumerGroup": consumer_group,
+        "eventhubs.startingPosition": starting_position,
+    }
+
+
+def envelopes_from_eventhubs(
+    spark: SparkSession,
+    connection_string: str,
+    consumer_group: str = "$Default",
+    native: bool = False,
+) -> DataFrame:
+    """Streaming source against an Event Hub — reference S1
+    (`src/function_app.py:302-310`'s event_hub_message_trigger).
+
+    Default is the Kafka endpoint (portable, no extra jar); pass
+    ``native=True`` to use the azure-eventhubs-spark connector, whose
+    ``body`` column is bytes → decoded UTF-8 exactly like the reference's
+    ``get_body().decode("utf-8")``. Both yield the same one-column
+    ``body: string`` contract."""
+    if native:
+        reader = spark.readStream.format("eventhubs")
+        for k, v in eventhubs_native_options(connection_string, consumer_group).items():
+            reader = reader.option(k, v)
+        return reader.load().select(F.col("body").cast("string").alias("body"))
+    reader = spark.readStream.format("kafka")
+    for k, v in eventhubs_kafka_options(connection_string).items():
+        reader = reader.option(k, v)
+    return reader.load().select(F.col("value").cast("string").alias("body"))
+
+
 def envelopes_stream_from_text(spark: SparkSession, path: str) -> DataFrame:
     """Streaming file source for local dev: drop newline-delimited body
     files into ``path`` and they are ingested exactly-once."""

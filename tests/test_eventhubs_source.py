@@ -1,0 +1,62 @@
+"""Event Hubs source surface: connection-string parsing and the two
+reader-option mappings (Kafka endpoint / native connector). The option
+builders are pure functions, so the full mapping is testable without an
+Event Hubs connector jar or a live namespace."""
+
+from __future__ import annotations
+
+import pytest
+
+from iotgp_func_raw_data_ingest_spark.sources.envelopes import (
+    eventhubs_kafka_options,
+    eventhubs_native_options,
+    parse_eventhubs_connection_string,
+)
+
+CONN = (
+    "Endpoint=sb://myns.servicebus.windows.net/;"
+    "SharedAccessKeyName=listen;SharedAccessKey=sekrit=extra;EntityPath=telemetry"
+)
+
+
+def test_parse_connection_string():
+    p = parse_eventhubs_connection_string(CONN)
+    assert p["host"] == "myns.servicebus.windows.net"
+    assert p["namespace"] == "myns"
+    assert p["entity_path"] == "telemetry"
+    assert p["key_name"] == "listen"
+    # value containing '=' splits once, not greedily
+    assert p["key"] == "sekrit=extra"
+
+
+def test_parse_rejects_missing_endpoint():
+    with pytest.raises(ValueError, match="Endpoint"):
+        parse_eventhubs_connection_string("SharedAccessKeyName=x;SharedAccessKey=y")
+
+
+def test_kafka_options_mapping():
+    o = eventhubs_kafka_options(CONN)
+    assert o["kafka.bootstrap.servers"] == "myns.servicebus.windows.net:9093"
+    assert o["subscribe"] == "telemetry"
+    assert o["kafka.security.protocol"] == "SASL_SSL"
+    assert o["kafka.sasl.mechanism"] == "PLAIN"
+    assert 'username="$ConnectionString"' in o["kafka.sasl.jaas.config"]
+    assert CONN in o["kafka.sasl.jaas.config"]
+
+
+def test_kafka_options_topic_override_and_missing_topic():
+    assert eventhubs_kafka_options(CONN, topic="other")["subscribe"] == "other"
+    no_entity = "Endpoint=sb://ns.servicebus.windows.net/;SharedAccessKeyName=k;SharedAccessKey=v"
+    with pytest.raises(ValueError, match="topic"):
+        eventhubs_kafka_options(no_entity)
+
+
+def test_native_options_mapping():
+    o = eventhubs_native_options(CONN, consumer_group="ingest", starting_position="earliest")
+    assert o == {
+        "eventhubs.connectionString": CONN,
+        "eventhubs.consumerGroup": "ingest",
+        "eventhubs.startingPosition": "earliest",
+    }
+    with pytest.raises(ValueError):
+        eventhubs_native_options("not-a-connection-string")
