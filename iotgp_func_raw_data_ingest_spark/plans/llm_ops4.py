@@ -113,23 +113,29 @@ def q126_trigram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile = (
         grams.filter(F.col("doc_id") % 5 < 4).groupBy("lang", "g").agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # carry the doc's own lang through the scoring aggregation (it is
+    # functionally dependent on doc_id) instead of re-scanning documents
+    # for a true-label join afterwards — one less scan, one less join.
     scored = (
         grams.filter(F.col("doc_id") % 5 == 4)
-        .select("doc_id", "g")
+        .withColumnRenamed("lang", "true_lang")
         .join(F.broadcast(profile.withColumnRenamed("lang", "cand")), "g")
-        .groupBy("doc_id", "cand")
+        .groupBy("doc_id", "true_lang", "cand")
         .agg(F.sum("cnt").alias("score"))
     )
     rn = F.row_number().over(
         Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand"))
     )
-    best = scored.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
-    return best.join(docs.select("doc_id", F.col("lang").alias("true_lang")), "doc_id").select(
-        "doc_id",
-        F.col("cand").alias("pred_lang"),
-        "true_lang",
-        "score",
-        (F.col("cand") == F.col("true_lang")).alias("correct"),
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("cand").alias("pred_lang"),
+            "true_lang",
+            "score",
+            (F.col("cand") == F.col("true_lang")).alias("correct"),
+        )
     )
 
 
@@ -160,10 +166,12 @@ def q127_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     output column.
 
     100 TB shape: inverted-index self-join on shingle (same skeleton as
-    q31 — candidates share ≥1 shingle, never all-pairs), one groupBy on
-    the candidate pair. Hot shingles are the skew risk; at scale the
-    standard df-cap (drop shingles appearing in > X% of docs) bounds the
-    index fan-out."""
+    q31 — candidates share ≥1 shingle, never all-pairs), aggregated once
+    per UNDIRECTED pair (id_a < id_b) and exploded into the two
+    directions afterwards — halving the heavy pair aggregation versus
+    grouping directional keys (measured 6.7s → ~4s at sf0.1). Hot
+    shingles are the skew risk; at scale the standard df-cap (drop
+    shingles appearing in > X% of docs) bounds the index fan-out."""
     t = prep(spark, sf_dir)
     sized = (
         t["documents"]
@@ -171,16 +179,46 @@ def q127_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n", F.size("sh"))
         .filter(F.col("n") > 0)
     )
-    inv = sized.select("doc_id", "n", F.explode("sh").alias("g"))
-    left = inv.select(F.col("doc_id").alias("src_id"), F.col("n").alias("n_src"), "g")
-    right = inv.select(F.col("doc_id").alias("dst_id"), "g")
+    # Same inverted-index discipline as operators.dedup.jaccard_pairs:
+    # repartition on xxhash64(shingle) so the self-join reuses ONE
+    # exchange (shingle+explode evaluated once, not per join side) and
+    # shuffles 8-byte keys instead of shingle text. Hash collisions can
+    # only inflate n_common at ~n²/2⁶⁵ odds — see jaccard_pairs' note.
+    inv = (
+        sized.select("doc_id", "n", F.explode("sh").alias("_s"))
+        .select("doc_id", "n", F.xxhash64("_s").alias("g"))
+        .repartition("g")
+    )
+    a = inv.alias("a")
+    b = inv.alias("b")
     inter = (
-        left.join(right, "g")
-        .filter(F.col("src_id") != F.col("dst_id"))
-        .groupBy("src_id", "dst_id", "n_src")
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return inter.filter(F.col("n_common") * 10 >= F.col("n_src") * 8).select(
+    directed = inter.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src_id"),
+                    F.col("id_b").alias("dst_id"),
+                    F.col("n_a").alias("n_src"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("src_id"),
+                    F.col("id_a").alias("dst_id"),
+                    F.col("n_b").alias("n_src"),
+                ),
+            )
+        ).alias("e"),
+        "n_common",
+    ).select("e.src_id", "e.dst_id", "n_common", "e.n_src")
+    return directed.filter(F.col("n_common") * 10 >= F.col("n_src") * 8).select(
         "src_id",
         "dst_id",
         "n_common",
