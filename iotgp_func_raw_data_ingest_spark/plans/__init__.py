@@ -26,6 +26,7 @@ from iotgp_func_raw_data_ingest_spark.plans import llm_ops  # noqa: E402,F401
 from iotgp_func_raw_data_ingest_spark.plans import llm_ops2  # noqa: E402,F401
 from iotgp_func_raw_data_ingest_spark.plans import llm_ops3  # noqa: E402,F401
 from iotgp_func_raw_data_ingest_spark.plans import llm_ops4  # noqa: E402,F401
+from iotgp_func_raw_data_ingest_spark.plans import llm_ops5  # noqa: E402,F401
 from iotgp_func_raw_data_ingest_spark.plans import ingest_queries  # noqa: E402,F401
 
 
@@ -37,13 +38,18 @@ def _reorder() -> None:
     The window is computed, not pinned: we read the committed
     ``CORRECTNESS_r*.json`` results at the repo root and sort
 
-    1. queries with no driver-green row anywhere (new or previously red),
+    1. queries with no driver-green row anywhere (new or previously red)
+       from the tranches already due (q ≤ 138),
     2. events-based queries whose only green predates the driver's
        timestamp re-encoding of events.parquet (ns → µs-NTZ between r01
        and r02) — their old green is stale evidence,
-    3. everything else, least-recently-verified first.
+    3. never-green queries from the NEXT tranche (q ≥ 139): they queue
+       behind the due work so adding coverage late in a round cannot
+       evict a stale re-check from the current 50-query window,
+    4. everything else, least-recently-verified first.
 
-    Any query added in a future round lands in bucket 1 automatically.
+    Any query added in a future round lands in bucket 1 or 3
+    automatically (move the tranche boundary when a new tranche ships).
     If no correctness files are found (fresh checkout), the order falls
     back to query-number order, which is the round-1 window.
     """
@@ -74,11 +80,13 @@ def _reorder() -> None:
 
     def sort_key(name: str) -> tuple[int, int, str]:
         rnd = green_in.get(name, 0)
+        qnum = int(re.match(r"q(\d+)", name).group(1))
         if rnd == 0:
-            return (0, 0, name)  # never driver-green
+            # next-round tranche queues behind the due work
+            return (0, 0, name) if qnum <= 138 else (2, 0, name)
         if rnd <= 1 and name in stale_events_r01:
             return (1, 0, name)  # green only against the pre-µs data
-        return (2, rnd, name)  # verified; least-recently first
+        return (3, rnd, name)  # verified; least-recently first
 
     order = sorted(QUERIES, key=sort_key)
     for d in (QUERIES, ORACLES):

@@ -165,6 +165,99 @@ def q133_ship_span_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q141_value_deciles",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, value,
+               ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id)
+                   AS decile
+        FROM events
+    )
+    SELECT event_type, CAST(decile AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(min(value), 4) AS lo,
+           ROUND(max(value), 4) AS hi
+    FROM d GROUP BY event_type, decile
+    """,
+)
+def q141_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value deciles via ntile(10): decile boundaries and
+    populations — the monitoring histogram for metric drift. ntile
+    assigns by integer row position over a total order made unique with
+    the event_id tiebreak, so both engines produce identical buckets
+    even for tied values; lo/hi are raw parquet doubles rounded for
+    output only.
+
+    100 TB shape: the window partitions by event_type (few, large
+    partitions — the skew risk). At scale swap the exact ntile for
+    approx_percentile boundaries broadcast back as range predicates
+    (one pass, no per-type total order); the exact form here is the
+    oracle-checkable semantics."""
+    t = prep(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    d = t["events"].select("event_type", "value", F.ntile(10).over(w).alias("decile"))
+    return d.groupBy("event_type", "decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 4).alias("lo"),
+        F.round(F.max("value"), 4).alias("hi"),
+    )
+
+
+@register(
+    "q144_single_source_parts",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey,
+               count(DISTINCT l_suppkey) AS n_suppliers,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents,
+               count(*) AS n_lines
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_partkey, p.p_name, p.p_brand,
+           CAST(ps.n_lines AS BIGINT) AS n_lines,
+           ROUND(ps.revenue_cents / 100.0, 2) AS exposure
+    FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE ps.n_suppliers = 1 AND ps.revenue_cents >= 5000000
+    """,
+)
+def q144_single_source_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain risk: parts shipped by exactly ONE supplier with
+    material revenue exposure (≥ $50k) — the single-point-of-failure
+    report. Revenue is summed in integer cents (round half-up both
+    engines) so the threshold compare is exact; the dollar figure is
+    derived by one division at the end.
+
+    100 TB shape: groupBy(l_partkey) with a per-group distinct count
+    (low per-part supplier cardinality → in-memory hash set per group;
+    Spark auto-expands to the two-level distinct aggregate if not), then
+    a broadcast-sized join against part filtered rows only."""
+    t = prep(spark, sf_dir)
+    ps = (
+        t["lineitem"]
+        .groupBy("l_partkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .filter((F.col("n_suppliers") == 1) & (F.col("revenue_cents") >= 5000000))
+    )
+    return ps.join(
+        t["part"].select("p_partkey", "p_name", "p_brand"),
+        ps.l_partkey == F.col("p_partkey"),
+    ).select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        "n_lines",
+        F.round(F.col("revenue_cents") / 100.0, 2).alias("exposure"),
+    )
+
+
+@register(
     "q138_signup_to_purchase",
     oracle="""
     WITH s AS (
