@@ -13,7 +13,9 @@ MAX_BATCH_SIZE chunks, and uploads one parquet per chunk
 - atomic visibility → Spark's commit protocol (strictly better than the
   reference's non-atomic ``overwrite=True`` blob puts, :230).
 
-Two write modes:
+Physical format is pluggable (LAKE_FORMATS: parquet default, orc,
+json/csv interchange) and ``compact_lake_table`` provides the
+small-files maintenance rewrite. Two write modes:
 
 - **generic**: one distributed write of the full batch; rows stay
   ``map<string,string>``. Scales to any number of routes; schema
@@ -43,15 +45,46 @@ from pyspark.sql import functions as F
 from iotgp_func_raw_data_ingest_spark.config import EngineConfig
 
 
-def write_lake_generic(routed: DataFrame, cfg: EngineConfig, path: str | None = None) -> str:
-    """One distributed partitioned write; rows stay map<string,string>."""
+# Formats the lake writer/reader supports out of the box (all bundled
+# with stock Spark — no extra jars). Parquet is the default and the
+# reference-parity format; ORC for Hive-ecosystem consumers; json/csv
+# as interchange escape hatches (row formats — no pushdown/pruning, so
+# not for the hot path at scale).
+LAKE_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def _writer(df: DataFrame, cfg: EngineConfig, fmt: str):
+    w = df.write.mode("append").option("maxRecordsPerFile", cfg.max_batch_size)
+    if fmt in ("parquet", "orc"):
+        w = w.option("compression", cfg.parquet_compression)
+    if fmt == "csv":
+        w = w.option("header", "true")
+    return w.format(fmt)
+
+
+def _check_format(fmt: str) -> str:
+    if fmt not in LAKE_FORMATS:
+        raise ValueError(f"lake format must be one of {LAKE_FORMATS}, got {fmt!r}")
+    return fmt
+
+
+def write_lake_generic(
+    routed: DataFrame, cfg: EngineConfig, path: str | None = None, fmt: str = "parquet"
+) -> str:
+    """One distributed partitioned write; rows stay map<string,string>.
+
+    ``fmt`` picks the physical format (LAKE_FORMATS); json/csv stringify
+    the row map via to_json because row formats have no native map type.
+    """
+    _check_format(fmt)
     target = path or cfg.output_path
+    out = routed
+    if fmt in ("json", "csv"):
+        out = routed.withColumn("row", F.to_json("row"))
     (
-        routed.write.mode("append")
-        .option("maxRecordsPerFile", cfg.max_batch_size)
-        .option("compression", cfg.parquet_compression)
+        _writer(out, cfg, fmt)
         .partitionBy("folder", "source_db", "table")
-        .parquet(target)
+        .save(target)
     )
     return target
 
@@ -76,6 +109,7 @@ def write_lake_typed(
     cfg: EngineConfig,
     path: str | None = None,
     failed_routes: list[tuple[tuple[str, str, str], str]] | None = None,
+    fmt: str = "parquet",
 ) -> list[str]:
     """Reference-parity layout: one directory per route with real string
     columns (union of keys, missing → null) and ≤ max_batch_size rows per
@@ -86,6 +120,7 @@ def write_lake_typed(
     is skipped with a warning and the remaining routes are still written.
     Pass ``failed_routes`` to receive ``(route, error)`` for each failure.
     """
+    _check_format(fmt)
     target = (path or cfg.output_path).rstrip("/")
     if cfg.output_prefix:
         target = f"{target}/{cfg.output_prefix.strip('/')}"
@@ -105,12 +140,7 @@ def write_lake_typed(
                 *[F.col("row").getItem(k).alias(k) for k in keys]
             )
             try:
-                (
-                    projected.write.mode("append")
-                    .option("maxRecordsPerFile", cfg.max_batch_size)
-                    .option("compression", cfg.parquet_compression)
-                    .parquet(dest)
-                )
+                _writer(projected, cfg, fmt).save(dest)
             except Exception as exc:  # noqa: BLE001 - route isolation
                 warnings.warn(
                     f"route {(folder, source_db, table)} failed, continuing: {exc}",
@@ -127,10 +157,91 @@ def write_lake_typed(
 
 
 def read_lake_table(
-    spark: SparkSession, lake_path: str, folder: str, source_db: str, table: str
+    spark: SparkSession,
+    lake_path: str,
+    folder: str,
+    source_db: str,
+    table: str,
+    fmt: str = "parquet",
 ) -> DataFrame:
     """Read one logical table back, merging schemas across batches (the
     reference's per-batch union-of-keys drift is resolved at read time)."""
-    return spark.read.option("mergeSchema", "true").parquet(
-        f"{lake_path.rstrip('/')}/{folder}/{source_db}/{table}"
+    _check_format(fmt)
+    path = f"{lake_path.rstrip('/')}/{folder}/{source_db}/{table}"
+    r = spark.read
+    if fmt == "parquet":
+        r = r.option("mergeSchema", "true")
+    if fmt == "csv":
+        r = r.option("header", "true")
+    return r.format(fmt).load(path)
+
+
+def compact_lake_table(
+    spark: SparkSession,
+    lake_path: str,
+    folder: str,
+    source_db: str,
+    table: str,
+    cfg: EngineConfig,
+    target_records_per_file: int | None = None,
+    fmt: str = "parquet",
+) -> tuple[int, int]:
+    """Small-files compaction for one route directory — the maintenance
+    operator every streaming-ingested lake needs: micro-batch appends
+    leave thousands of tiny files per route, and at 100 TB the NameNode/
+    listing and per-file open costs dominate reads long before the data
+    does.
+
+    Rewrites the directory into ``ceil(rows / target)`` files of up to
+    ``target`` records each (default 10× the ingest batch size), via a
+    temp directory + two Hadoop renames so a concurrent reader sees
+    either the old layout or the new one, never a half-written mix —
+    same visibility contract as Spark's own commit protocol. Returns
+    (files_before, files_after).
+
+    Scale notes: one distributed read + one round-robin repartition (the
+    only shuffle, sized by the target file count); routes compact
+    independently so a fleet-wide pass parallelizes trivially; pair with
+    a modification-time cutoff upstream to skip cold routes.
+    """
+    _check_format(fmt)
+    target = target_records_per_file or cfg.max_batch_size * 10
+    if target <= 0:
+        raise ValueError("target_records_per_file must be > 0")
+    path = f"{lake_path.rstrip('/')}/{folder}/{source_db}/{table}"
+
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hconf = jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(hconf)
+    files_before = sum(
+        1 for f in fs.listStatus(hpath) if f.getPath().getName().startswith("part-")
     )
+
+    df = read_lake_table(spark, lake_path, folder, source_db, table, fmt=fmt)
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target))  # ceil
+    tmp = f"{path}.compact-tmp"
+    old = f"{path}.compact-old"
+    compacted = df.repartition(n_files)
+    w = compacted.write.mode("overwrite").option("maxRecordsPerFile", target)
+    if fmt in ("parquet", "orc"):
+        w = w.option("compression", cfg.parquet_compression)
+    if fmt == "csv":
+        w = w.option("header", "true")
+    w.format(fmt).save(tmp)
+
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+    old_p = jvm.org.apache.hadoop.fs.Path(old)
+    if not fs.rename(hpath, old_p):
+        raise IOError(f"compaction swap failed: could not move {path} aside")
+    if not fs.rename(tmp_p, hpath):
+        fs.rename(old_p, hpath)  # roll back
+        raise IOError(f"compaction swap failed: could not move {tmp} into place")
+    fs.delete(old_p, True)
+
+    files_after = sum(
+        1 for f in fs.listStatus(hpath) if f.getPath().getName().startswith("part-")
+    )
+    return files_before, files_after
