@@ -11,7 +11,11 @@ from pyspark.sql import functions as F
 
 from iotgp_func_raw_data_ingest_spark.operators import dedup as D
 from iotgp_func_raw_data_ingest_spark.operators.textstats import fingerprint
-from iotgp_func_raw_data_ingest_spark.plans.llm_ops import _minhash_sql, _sql_shingles
+from iotgp_func_raw_data_ingest_spark.plans.llm_ops import (
+    _minhash_sql,
+    _sql_shingles,
+    _SQL_TOKS,
+)
 from iotgp_func_raw_data_ingest_spark.plans.registry import prep, register
 
 
@@ -117,6 +121,125 @@ def q146_duplication_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dup).alias("n_duplicated"),
             F.round(F.sum(dup) / F.count(F.lit(1)).cast("double"), 4).alias("dup_rate"),
         )
+    )
+
+
+@register(
+    "q148_vocab_coverage_curve",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_SQL_TOKS}) AS token FROM documents),
+    freq AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token),
+    ranked AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, token) AS r,
+               CAST(sum(n) OVER (ORDER BY n DESC, token
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_n
+        FROM freq
+    ),
+    total AS (SELECT CAST(sum(n) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v FROM freq)
+    SELECT k AS vocab_size,
+           CAST((SELECT max(cum_n) FROM ranked WHERE r <= k) AS BIGINT) AS covered,
+           total.t AS total_tokens,
+           ROUND((SELECT max(cum_n) FROM ranked WHERE r <= k)
+                 / CAST(total.t AS DOUBLE), 4) AS coverage,
+           total.v AS full_vocab
+    FROM (SELECT unnest([10, 50, 100, 500, 1000]) AS k), total
+    WHERE k <= total.v
+    """,
+)
+def q148_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: for candidate vocab sizes k, what share
+    of all token OCCURRENCES the top-k most frequent tokens cover — the
+    table that sizes a tokenizer vocabulary (the knee of this curve is
+    where OOV rate stops paying for vocab slots). Ranks tie-break on the
+    token string; cumulative counts are integers divided once.
+
+    100 TB shape: word-count partial agg, rank window over the small
+    distinct-vocab relation (vocab ≪ corpus), and the k-probe is a
+    5-row broadcast against that relation — corpus rows shuffle once."""
+    t = prep(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    tok = t["documents"].select(F.explode(D.words("text")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    ranked = freq.select(
+        F.row_number().over(w).alias("r"),
+        F.sum("n")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_n"),
+    )
+    totals = freq.agg(
+        F.sum("n").alias("t"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    total_tokens, full_vocab = int(totals.t), int(totals.v)
+    ks = spark.createDataFrame(
+        [(k,) for k in (10, 50, 100, 500, 1000) if k <= full_vocab], "vocab_size long"
+    )
+    covered = (
+        ranked.join(F.broadcast(ks), ranked.r <= ks.vocab_size)
+        .groupBy("vocab_size")
+        .agg(F.max("cum_n").alias("covered"))
+    )
+    return covered.select(
+        "vocab_size",
+        "covered",
+        F.lit(total_tokens).alias("total_tokens"),
+        F.round(F.col("covered") / F.lit(float(total_tokens)), 4).alias("coverage"),
+        F.lit(full_vocab).alias("full_vocab"),
+    )
+
+
+@register(
+    "q149_doc_length_gini",
+    oracle="""
+    WITH ranked AS (
+        SELECT n_chars,
+               row_number() OVER (ORDER BY n_chars, doc_id) AS r
+        FROM documents
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS total,
+               CAST(sum(r * n_chars) AS BIGINT) AS weighted
+        FROM ranked
+    )
+    SELECT n AS n_docs, total AS total_chars,
+           ROUND((2.0 * weighted) / (n * CAST(total AS DOUBLE))
+                 - (n + 1.0) / n, 4) AS gini
+    FROM agg
+    """,
+)
+def q149_doc_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of document lengths — the corpus-balance scalar
+    (0 = uniform lengths, →1 = a few giants hold all the chars) used to
+    detect concatenation bugs or boilerplate floods upstream. Computed
+    with the rank formula G = 2·Σ(r·xᵣ)/(n·Σx) − (n+1)/n: every
+    aggregate is an exact integer; two float divisions at the end.
+
+    100 TB shape: the rank over n_chars is the only global order; at
+    scale replace row_number with a two-phase rank (per-partition ranks
+    + broadcast offsets, same trick as q134's prefix sum) — the
+    aggregation itself is a 1-row reduce."""
+    t = prep(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    ranked = t["documents"].select(
+        "n_chars", F.row_number().over(Window.orderBy("n_chars", "doc_id")).alias("r")
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("total"),
+        F.sum(F.col("r") * F.col("n_chars")).alias("weighted"),
+    )
+    return agg.select(
+        F.col("n").alias("n_docs"),
+        F.col("total").alias("total_chars"),
+        F.round(
+            (2.0 * F.col("weighted")) / (F.col("n") * F.col("total").cast("double"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            4,
+        ).alias("gini"),
     )
 
 
