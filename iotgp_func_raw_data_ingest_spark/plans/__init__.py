@@ -22,6 +22,7 @@ from iotgp_func_raw_data_ingest_spark.plans import relational6  # noqa: E402,F40
 from iotgp_func_raw_data_ingest_spark.plans import relational7  # noqa: E402,F401
 from iotgp_func_raw_data_ingest_spark.plans import relational8  # noqa: E402,F401
 from iotgp_func_raw_data_ingest_spark.plans import relational9  # noqa: E402,F401
+from iotgp_func_raw_data_ingest_spark.plans import relational10  # noqa: E402,F401
 from iotgp_func_raw_data_ingest_spark.plans import llm_ops  # noqa: E402,F401
 from iotgp_func_raw_data_ingest_spark.plans import llm_ops2  # noqa: E402,F401
 from iotgp_func_raw_data_ingest_spark.plans import llm_ops3  # noqa: E402,F401
