@@ -151,6 +151,113 @@ def q151_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q153_order_status_aging",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31'))
+                // count(*) AS BIGINT) AS avg_age_days,
+           CAST(max(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31'))
+                AS BIGINT) AS oldest_age_days
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def q153_order_status_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-book aging: per (status, priority), order count, mean and
+    max age in days against the dataset horizon — the backlog table an
+    operations review reads. Ages are integer day-diffs; the mean is
+    integer floor division, so no float crosses an engine boundary.
+
+    100 TB shape: single groupBy over a ≤ 3×5 key space — pure map-side
+    partial aggregation, one tiny shuffle."""
+    t = prep(spark, sf_dir)
+    age = F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date"))
+    return (
+        t["orders"]
+        .select("o_orderstatus", "o_orderpriority", age.alias("age"))
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("age").alias("_sum_age"),
+            F.max("age").cast("long").alias("oldest_age_days"),
+        )
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "n_orders",
+            F.expr("_sum_age div n_orders").alias("avg_age_days"),
+            "oldest_age_days",
+        )
+    )
+
+
+@register(
+    "q154_error_burst_detection",
+    oracle="""
+    WITH h AS (
+        SELECT date_trunc('hour', ts) AS hour_ts,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_errors
+        FROM events GROUP BY date_trunc('hour', ts)
+    ),
+    g AS (
+        SELECT CAST(sum(n_errors) AS BIGINT) AS tot_err,
+               CAST(sum(n_events) AS BIGINT) AS tot_all
+        FROM h
+    )
+    SELECT h.hour_ts, h.n_events, h.n_errors,
+           ROUND(h.n_errors / CAST(h.n_events AS DOUBLE), 4) AS error_share
+    FROM h, g
+    WHERE h.n_errors * g.tot_all * 2 > g.tot_err * h.n_events * 3
+      AND h.n_events >= 5
+    """,
+)
+def q154_error_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-burst detection: hours whose error share exceeds 1.5× the
+    global error rate (≥5 events) — the alerting query behind an ingest
+    health monitor. The burst predicate is an exact integer
+    cross-multiplication (n_err·tot_all·2 > tot_err·n_events·3), so no
+    float ratio decides membership; the share column is output-only.
+
+    100 TB shape: one hour-bucket aggregation (partial agg, ≤ hours
+    keys), the global totals reduce that relation to one broadcast row,
+    and the burst filter runs on the hourly relation — the raw stream
+    is scanned once. Streaming twin: the same predicate over a
+    watermarked tumbling-window aggregate."""
+    t = prep(spark, sf_dir)
+    h = (
+        t["events"]
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+                "n_errors"
+            ),
+        )
+    )
+    g = h.agg(
+        F.sum("n_errors").alias("tot_err"), F.sum("n_events").alias("tot_all")
+    )
+    return (
+        h.crossJoin(F.broadcast(g))
+        .filter(
+            (F.col("n_errors") * F.col("tot_all") * 2 > F.col("tot_err") * F.col("n_events") * 3)
+            & (F.col("n_events") >= 5)
+        )
+        .select(
+            "hour_ts",
+            "n_events",
+            "n_errors",
+            F.round(F.col("n_errors") / F.col("n_events").cast("double"), 4).alias(
+                "error_share"
+            ),
+        )
+    )
+
+
+@register(
     "q152_customer_rfm",
     oracle="""
     WITH base AS (
