@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iotgp_func_raw_data_ingest_spark.operators import dedup as D
+from iotgp_func_raw_data_ingest_spark.operators.barrier import generate_barrier
 from iotgp_func_raw_data_ingest_spark.operators import similarity as S
 from iotgp_func_raw_data_ingest_spark.plans.llm_ops import (
     _PLANES,
@@ -193,15 +194,23 @@ def q142_bigram_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     only corpus-sized shuffle, md5-able keys), then entropy reduces the
     distinct-gram relation to |langs| rows."""
     t = prep(spark, sf_dir)
-    toks = D.words("text")
-    m = F.greatest(F.size(toks) - 1, F.lit(0))
-    bigrams = F.transform(
-        F.sequence(F.lit(1), m),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    # barrier: materialize the token array once, then build bigrams by
+    # zipping two shifted slices — the transform(sequence(...),
+    # i -> element_at(toks, i)...) form inlines the split expression into
+    # every element_at, re-tokenizing each document O(n) times (same
+    # CollapseProject trap as word_shingles, dedup.py:46-61; measured
+    # 5.8s -> ~1.3s at sf0.1).
+    toks = generate_barrier(
+        t["documents"].select("lang", D.words("text").alias("toks"))
+    )
+    m = F.greatest(F.size("toks") - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice("toks", 1, m),
+        F.slice("toks", 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
     )
     bi = (
-        t["documents"]
-        .select("lang", F.explode(bigrams).alias("g"))
+        toks.select("lang", F.explode(bigrams).alias("g"))
         .groupBy("lang", "g")
         .agg(F.count(F.lit(1)).alias("n"))
     )
