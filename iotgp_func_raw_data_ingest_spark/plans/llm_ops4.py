@@ -386,20 +386,50 @@ def q134_systematic_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFra
     proportional to length' primitive; q93 is its unweighted cousin.
 
     100 TB shape: the global running sum is the textbook two-phase
-    prefix-sum — per-partition subtotals (one tiny driver collect),
-    then each partition adds its offset map-side; no global sort, no
-    single-partition window. At driver-table scale the window form used
-    here compiles to one exchange."""
+    prefix-sum, implemented as such: range-partition by doc_id, local
+    window per partition (parallel), per-partition subtotals reduced to
+    a #partitions-row relation whose running sum yields each partition's
+    offset, broadcast back and added map-side. No single-partition
+    window over the corpus, no scalar collect — the only ordered window
+    over one partition is the subtotal relation (#partitions rows). The
+    stride scalar rides along via crossJoin(broadcast(total))."""
     t = prep(spark, sf_dir)
-    docs = t["documents"]
-    total = docs.agg(F.sum("n_chars")).collect()[0][0]
-    stride = int(total) // 50
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    c = docs.select("doc_id", "n_chars", F.sum("n_chars").over(w).alias("cum"))
-    lo = ((F.col("cum") - F.col("n_chars")) / stride).cast("long")
-    hi = (F.col("cum") / stride).cast("long")
+    docs = t["documents"].select("doc_id", "n_chars")
+    ranged = docs.repartitionByRange(32, "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    lw = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("lcum", F.sum("n_chars").over(lw))
+    subs = ranged.groupBy("pid").agg(F.sum("n_chars").alias("sub"))
+    # One pass over the #partitions-row subtotal relation yields both the
+    # per-partition offset (running sum minus own subtotal) and the grand
+    # total (unbounded window) — the only single-partition window in the
+    # plan, and it sees 32 rows, not the corpus.
+    ow = Window.orderBy("pid")
+    offs = subs.select(
+        "pid",
+        (
+            F.sum("sub").over(
+                ow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - F.col("sub")
+        ).alias("off"),
+        F.sum("sub")
+        .over(ow.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("gtotal"),
+    )
     return (
-        c.withColumn("tickets", hi - lo)
+        local.join(F.broadcast(offs), "pid")
+        .withColumn("cum", F.col("lcum") + F.col("off"))
+        .withColumn("stride", F.expr("gtotal div 50"))
+        .withColumn(
+            "tickets",
+            F.expr("cum div stride") - F.expr("(cum - n_chars) div stride"),
+        )
         .filter(F.col("tickets") > 0)
         .select("doc_id", "n_chars", "cum", "tickets")
     )
