@@ -169,24 +169,33 @@ def q148_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("cum_n"),
     )
+    # totals ride along as a broadcast 1-row relation instead of a scalar
+    # collect — both this agg and `ranked` hang off the same freq groupBy
+    # exchange, so ReuseExchange makes the corpus scan+shuffle happen
+    # once (previously the collect forced a second full pass).
     totals = freq.agg(
-        F.sum("n").alias("t"), F.count(F.lit(1)).alias("v")
-    ).collect()[0]
-    total_tokens, full_vocab = int(totals.t), int(totals.v)
+        F.sum("n").alias("total_tokens"), F.count(F.lit(1)).alias("full_vocab")
+    )
     ks = spark.createDataFrame(
-        [(k,) for k in (10, 50, 100, 500, 1000) if k <= full_vocab], "vocab_size long"
+        [(k,) for k in (10, 50, 100, 500, 1000)], "vocab_size long"
     )
     covered = (
         ranked.join(F.broadcast(ks), ranked.r <= ks.vocab_size)
         .groupBy("vocab_size")
         .agg(F.max("cum_n").alias("covered"))
     )
-    return covered.select(
-        "vocab_size",
-        "covered",
-        F.lit(total_tokens).alias("total_tokens"),
-        F.round(F.col("covered") / F.lit(float(total_tokens)), 4).alias("coverage"),
-        F.lit(full_vocab).alias("full_vocab"),
+    return (
+        covered.crossJoin(F.broadcast(totals))
+        .filter(F.col("vocab_size") <= F.col("full_vocab"))
+        .select(
+            "vocab_size",
+            "covered",
+            "total_tokens",
+            F.round(
+                F.col("covered") / F.col("total_tokens").cast("double"), 4
+            ).alias("coverage"),
+            "full_vocab",
+        )
     )
 
 
