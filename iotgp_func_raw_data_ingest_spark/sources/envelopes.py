@@ -77,12 +77,19 @@ def parse_eventhubs_connection_string(conn: str) -> dict[str, str]:
     }
 
 
-def eventhubs_kafka_options(conn: str, topic: str | None = None) -> dict[str, str]:
+def eventhubs_kafka_options(
+    conn: str, topic: str | None = None, consumer_group: str | None = None
+) -> dict[str, str]:
     """Reader options for Event Hubs' Kafka-compatible endpoint (port
     9093, SASL PLAIN with the literal ``$ConnectionString`` user — the
     mapping Microsoft documents publicly). This is the portable surface:
     any stock Spark distribution with the Kafka connector can consume an
-    Event Hub through it, no Azure-specific jar required."""
+    Event Hub through it, no Azure-specific jar required.
+
+    ``consumer_group`` maps to ``kafka.group.id`` — Event Hubs' Kafka
+    surface honors consumer-group names, so the Event Hubs
+    ``$Default``-style group semantics carry over. Left unset, Spark
+    generates its own group id per query (its default)."""
     p = parse_eventhubs_connection_string(conn)
     subscribe = topic or p["entity_path"]
     if not subscribe:
@@ -91,7 +98,7 @@ def eventhubs_kafka_options(conn: str, topic: str | None = None) -> dict[str, st
         "org.apache.kafka.common.security.plain.PlainLoginModule required "
         f'username="$ConnectionString" password="{conn}";'
     )
-    return {
+    opts = {
         "kafka.bootstrap.servers": f"{p['host']}:9093",
         "subscribe": subscribe,
         "kafka.security.protocol": "SASL_SSL",
@@ -100,6 +107,9 @@ def eventhubs_kafka_options(conn: str, topic: str | None = None) -> dict[str, st
         "kafka.request.timeout.ms": "60000",
         "kafka.session.timeout.ms": "30000",
     }
+    if consumer_group is not None and consumer_group != "$Default":
+        opts["kafka.group.id"] = consumer_group
+    return opts
 
 
 def eventhubs_native_options(
@@ -137,7 +147,8 @@ def envelopes_from_eventhubs(
             reader = reader.option(k, v)
         return reader.load().select(F.col("body").cast("string").alias("body"))
     reader = spark.readStream.format("kafka")
-    for k, v in eventhubs_kafka_options(connection_string).items():
+    opts = eventhubs_kafka_options(connection_string, consumer_group=consumer_group)
+    for k, v in opts.items():
         reader = reader.option(k, v)
     return reader.load().select(F.col("value").cast("string").alias("body"))
 

@@ -194,9 +194,12 @@ def compact_lake_table(
 
     Rewrites the directory into ``ceil(rows / target)`` files of up to
     ``target`` records each (default 10× the ingest batch size), via a
-    temp directory + two Hadoop renames so a concurrent reader sees
-    either the old layout or the new one, never a half-written mix —
-    same visibility contract as Spark's own commit protocol. Returns
+    temp directory + two Hadoop renames. A concurrent reader never sees
+    a half-written mix of old and new files, but MAY transiently see a
+    missing path in the instant between the two renames (retry the
+    read); a crash in that window strands the data at
+    ``<path>.compact-old``, which the next invocation detects and
+    restores before doing anything else. Returns
     (files_before, files_after).
 
     Scale notes: one distributed read + one round-robin repartition (the
@@ -215,6 +218,26 @@ def compact_lake_table(
     hconf = jsc.hadoopConfiguration()
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(hconf)
+    tmp = f"{path}.compact-tmp"
+    old = f"{path}.compact-old"
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+    old_p = jvm.org.apache.hadoop.fs.Path(old)
+
+    # Crash recovery: a previous run that died between the two renames
+    # leaves the data at <path>.compact-old with nothing at <path> —
+    # restore it. A leftover .compact-old WITH the route path present
+    # means the prior swap completed but its cleanup didn't; drop it.
+    if fs.exists(old_p):
+        if not fs.exists(hpath):
+            if not fs.rename(old_p, hpath):
+                raise IOError(
+                    f"compaction recovery failed: could not restore {old} to {path}"
+                )
+        else:
+            fs.delete(old_p, True)
+    if fs.exists(tmp_p):  # half-written output from a crashed run
+        fs.delete(tmp_p, True)
+
     files_before = sum(
         1 for f in fs.listStatus(hpath) if f.getPath().getName().startswith("part-")
     )
@@ -222,8 +245,6 @@ def compact_lake_table(
     df = read_lake_table(spark, lake_path, folder, source_db, table, fmt=fmt)
     n_rows = df.count()
     n_files = max(1, -(-n_rows // target))  # ceil
-    tmp = f"{path}.compact-tmp"
-    old = f"{path}.compact-old"
     compacted = df.repartition(n_files)
     w = compacted.write.mode("overwrite").option("maxRecordsPerFile", target)
     if fmt in ("parquet", "orc"):
@@ -232,8 +253,6 @@ def compact_lake_table(
         w = w.option("header", "true")
     w.format(fmt).save(tmp)
 
-    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
-    old_p = jvm.org.apache.hadoop.fs.Path(old)
     if not fs.rename(hpath, old_p):
         raise IOError(f"compaction swap failed: could not move {path} aside")
     if not fs.rename(tmp_p, hpath):

@@ -44,6 +44,14 @@ def test_kafka_options_mapping():
     assert CONN in o["kafka.sasl.jaas.config"]
 
 
+def test_kafka_options_consumer_group():
+    # explicit group maps to kafka.group.id (Event Hubs' Kafka surface
+    # honors group names); $Default / unset leave Spark's per-query group
+    assert eventhubs_kafka_options(CONN, consumer_group="ingest")["kafka.group.id"] == "ingest"
+    assert "kafka.group.id" not in eventhubs_kafka_options(CONN)
+    assert "kafka.group.id" not in eventhubs_kafka_options(CONN, consumer_group="$Default")
+
+
 def test_kafka_options_topic_override_and_missing_topic():
     assert eventhubs_kafka_options(CONN, topic="other")["subscribe"] == "other"
     no_entity = "Endpoint=sb://ns.servicebus.windows.net/;SharedAccessKeyName=k;SharedAccessKey=v"

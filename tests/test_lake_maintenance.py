@@ -86,3 +86,59 @@ def test_compact_lake_table(spark, tmp_path):
     # swap is clean: no temp/old directories left behind
     leftovers = glob.glob(f"{dirs[0]}.compact-*")
     assert leftovers == []
+
+
+def test_compact_recovers_stranded_old_dir(spark, tmp_path):
+    """A crash between compaction's two renames leaves the data at
+    <path>.compact-old and nothing at the route path; the next
+    invocation must restore it before compacting (sources/lake.py
+    recovery block)."""
+    import os
+
+    n = 200
+    body = envelope({"i": list(range(n))})
+    routed = ingest_pipeline(envelopes_from_list(spark, [body]))
+    cfg = EngineConfig(output_path=str(tmp_path / "lake_r"), max_batch_size=50)
+    dirs = write_lake_typed(routed.repartition(1), cfg)
+    route = dirs[0]
+    # simulate the crash window: route moved aside, nothing in its place
+    os.rename(route, f"{route}.compact-old")
+    assert not os.path.exists(route)
+
+    fb, fa = compact_lake_table(
+        spark, cfg.output_path, "landing", "db", "tbl", cfg,
+        target_records_per_file=1000,
+    )
+    assert fa == 1
+    back = read_lake_table(spark, cfg.output_path, "landing", "db", "tbl")
+    assert sorted(int(r.i) for r in back.collect()) == list(range(n))
+    assert glob.glob(f"{route}.compact-*") == []
+
+
+def test_compact_drops_stale_leftovers(spark, tmp_path):
+    """Leftover .compact-old alongside a live route path (prior swap
+    completed, cleanup died) and a half-written .compact-tmp are both
+    removed on the next run."""
+    import os
+
+    n = 100
+    body = envelope({"i": list(range(n))})
+    routed = ingest_pipeline(envelopes_from_list(spark, [body]))
+    cfg = EngineConfig(output_path=str(tmp_path / "lake_s"), max_batch_size=50)
+    dirs = write_lake_typed(routed.repartition(1), cfg)
+    route = dirs[0]
+    os.makedirs(f"{route}.compact-old")
+    with open(f"{route}.compact-old/part-stale.parquet", "w") as f:
+        f.write("junk")
+    os.makedirs(f"{route}.compact-tmp")
+    with open(f"{route}.compact-tmp/part-half.parquet", "w") as f:
+        f.write("junk")
+
+    fb, fa = compact_lake_table(
+        spark, cfg.output_path, "landing", "db", "tbl", cfg,
+        target_records_per_file=1000,
+    )
+    assert fa == 1
+    back = read_lake_table(spark, cfg.output_path, "landing", "db", "tbl")
+    assert sorted(int(r.i) for r in back.collect()) == list(range(n))
+    assert glob.glob(f"{route}.compact-*") == []

@@ -29,11 +29,24 @@ def load_timings(path: str) -> dict[str, float]:
     except ValueError:
         pass
     # tolerate escaped quotes: driver captures embed the bench line as an
-    # escaped string inside a "tail" field
-    return {
-        m.group(1): float(m.group(2))
-        for m in re.finditer(r'\\?"(q\d+[a-z0-9_]*)\\?":\s*(-?[\d.]+)', raw)
-    }
+    # escaped string inside a "tail" field. The value must be a complete
+    # number followed by a JSON delimiter — a fragment cut mid-number
+    # ("q5": 0.) is dropped rather than silently parsed as 0.0, and a
+    # duplicated key (two captures concatenated) is reported, keeping the
+    # first occurrence.
+    out: dict[str, float] = {}
+    dups = 0
+    for m in re.finditer(
+        r'\\?"(q\d+[a-z0-9_]*)\\?":\s*(-?\d+(?:\.\d+)?)(?=\s*\\?[,}])', raw
+    ):
+        k = m.group(1)
+        if k in out:
+            dups += 1
+            continue
+        out[k] = float(m.group(2))
+    if dups:
+        print(f"note: {path}: {dups} duplicate query keys scraped; kept first each")
+    return out
 
 
 def main() -> int:
@@ -41,6 +54,8 @@ def main() -> int:
         print(__doc__)
         return 2
     old, new = load_timings(sys.argv[1]), load_timings(sys.argv[2])
+    if len(old) != len(new):
+        print(f"note: scraped query counts differ: old={len(old)} new={len(new)}")
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
     overlap = [k for k in new if k in old and old[k] > 0 and new[k] > 0]
     regressions = sorted(
