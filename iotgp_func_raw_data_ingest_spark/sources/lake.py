@@ -89,6 +89,53 @@ def write_lake_generic(
     return target
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, hpath, hpath.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+
+
+def write_route_meta(spark: SparkSession, dest: str, meta: dict) -> None:
+    """Write the route's ``_meta.json`` sidecar — the Spark-side analog
+    of the reference's parquet footer KV metadata (kind / row_count /
+    batch_number / route identity, src/function_app.py:389-414). Spark's
+    writer offers no per-file footer hook, and chunking happens via
+    maxRecordsPerFile rather than an explicit batch loop, so the batch
+    metadata lives route-level in one sidecar: same facts, one place.
+    The underscore prefix keeps every Spark/Hadoop reader from treating
+    it as data. Goes through the Hadoop FS API, so it lands on whatever
+    filesystem the lake uses (local, HDFS, object store)."""
+    import json as _json
+
+    jvm, _, fs = _hadoop_fs(spark, dest)
+    p = jvm.org.apache.hadoop.fs.Path(f"{dest.rstrip('/')}/_meta.json")
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(_json.dumps(meta, sort_keys=True).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_route_meta(spark: SparkSession, dest: str) -> dict | None:
+    """Read a route's ``_meta.json`` sidecar; None if absent."""
+    import json as _json
+
+    jvm, _, fs = _hadoop_fs(spark, dest)
+    p = jvm.org.apache.hadoop.fs.Path(f"{dest.rstrip('/')}/_meta.json")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        data = bytes(
+            spark.sparkContext._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    return _json.loads(data.decode("utf-8"))
+
+
 def routed_keys(routed: DataFrame) -> dict[tuple[str, str, str], list[str]]:
     """Union of observed row keys per route — the distributed equivalent of
     the reference's `_merge_columnars` key union (:177-191). One Spark job;
@@ -125,8 +172,13 @@ def write_lake_typed(
     if cfg.output_prefix:
         target = f"{target}/{cfg.output_prefix.strip('/')}"
     keysets = routed_keys(routed)
+    counts: dict[tuple[str, str, str], int] = {}
     if keysets:
         routed = routed.cache()
+        # one extra job for ALL routes (output = #routes rows) — feeds the
+        # row_count field of each route's _meta.json sidecar
+        for r in routed.groupBy("folder", "source_db", "table").count().collect():
+            counts[(r.folder, r.source_db, r.table)] = r["count"]
     written: list[str] = []
     try:
         for (folder, source_db, table), keys in keysets.items():
@@ -150,6 +202,22 @@ def write_lake_typed(
                     failed_routes.append(((folder, source_db, table), str(exc)))
                 continue
             written.append(dest)
+            # reference-parity metadata (kind/row_count/batch identity,
+            # src/function_app.py:389-414) as a route-level sidecar;
+            # batch_number is subsumed by maxRecordsPerFile chunking
+            write_route_meta(
+                routed.sparkSession,
+                dest,
+                {
+                    "kind": "decoded_payload",
+                    "row_count": counts.get((folder, source_db, table), 0),
+                    "folder": folder,
+                    "source_db": source_db,
+                    "table": table,
+                    "max_records_per_file": cfg.max_batch_size,
+                    "format": fmt,
+                },
+            )
     finally:
         if keysets:
             routed.unpersist()
@@ -253,12 +321,17 @@ def compact_lake_table(
         w = w.option("header", "true")
     w.format(fmt).save(tmp)
 
+    meta = read_route_meta(spark, path)  # carry the sidecar across the swap
     if not fs.rename(hpath, old_p):
         raise IOError(f"compaction swap failed: could not move {path} aside")
     if not fs.rename(tmp_p, hpath):
         fs.rename(old_p, hpath)  # roll back
         raise IOError(f"compaction swap failed: could not move {tmp} into place")
     fs.delete(old_p, True)
+    if meta is not None:
+        meta["row_count"] = n_rows
+        meta["max_records_per_file"] = target
+        write_route_meta(spark, path, meta)
 
     files_after = sum(
         1 for f in fs.listStatus(hpath) if f.getPath().getName().startswith("part-")

@@ -142,3 +142,40 @@ def test_compact_drops_stale_leftovers(spark, tmp_path):
     back = read_lake_table(spark, cfg.output_path, "landing", "db", "tbl")
     assert sorted(int(r.i) for r in back.collect()) == list(range(n))
     assert glob.glob(f"{route}.compact-*") == []
+
+
+def test_route_meta_sidecar(spark, tmp_path):
+    """write_lake_typed emits a _meta.json per route (the Spark-side
+    analog of the reference's parquet footer KV metadata,
+    src/function_app.py:389-414), Spark readers ignore it, and
+    compaction carries it across the swap with updated fields."""
+    from iotgp_func_raw_data_ingest_spark.sources.lake import read_route_meta
+
+    n = 120
+    body = envelope({"i": list(range(n))})
+    routed = ingest_pipeline(envelopes_from_list(spark, [body]))
+    cfg = EngineConfig(output_path=str(tmp_path / "lake_m"), max_batch_size=50)
+    dirs = write_lake_typed(routed.repartition(1), cfg)
+    meta = read_route_meta(spark, dirs[0])
+    assert meta == {
+        "kind": "decoded_payload",
+        "row_count": n,
+        "folder": "landing",
+        "source_db": "db",
+        "table": "tbl",
+        "max_records_per_file": 50,
+        "format": "parquet",
+    }
+    # the sidecar is invisible to the table reader
+    assert read_lake_table(spark, cfg.output_path, "landing", "db", "tbl").count() == n
+
+    compact_lake_table(
+        spark, cfg.output_path, "landing", "db", "tbl", cfg,
+        target_records_per_file=1000,
+    )
+    meta2 = read_route_meta(spark, dirs[0])
+    assert meta2["row_count"] == n
+    assert meta2["max_records_per_file"] == 1000
+    assert meta2["kind"] == "decoded_payload"
+    # missing sidecar reads as None
+    assert read_route_meta(spark, str(tmp_path / "nope")) is None
