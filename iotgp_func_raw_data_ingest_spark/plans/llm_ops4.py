@@ -19,6 +19,7 @@ from pyspark.sql.window import Window
 
 from iotgp_func_raw_data_ingest_spark.operators import textstats as T
 from iotgp_func_raw_data_ingest_spark.operators.dedup import word_shingles, words
+from iotgp_func_raw_data_ingest_spark.operators.prefix import partitioned_prefix_sum
 from iotgp_func_raw_data_ingest_spark.operators.textstats import fingerprint
 from iotgp_func_raw_data_ingest_spark.plans.registry import prep, register
 
@@ -386,46 +387,21 @@ def q134_systematic_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFra
     proportional to length' primitive; q93 is its unweighted cousin.
 
     100 TB shape: the global running sum is the textbook two-phase
-    prefix-sum, implemented as such: range-partition by doc_id, local
-    window per partition (parallel), per-partition subtotals reduced to
-    a #partitions-row relation whose running sum yields each partition's
-    offset, broadcast back and added map-side. No single-partition
-    window over the corpus, no scalar collect — the only ordered window
-    over one partition is the subtotal relation (#partitions rows). The
-    stride scalar rides along via crossJoin(broadcast(total))."""
+    prefix-sum (operators/prefix.py): range-partition by doc_id, local
+    windows in parallel, per-partition offsets + grand total from one
+    ordered window over the #partitions-row subtotal relation, broadcast
+    back. No single-partition window over the corpus, no scalar collect
+    — the stride scalar rides along as the broadcast total column."""
     t = prep(spark, sf_dir)
-    docs = t["documents"].select("doc_id", "n_chars")
-    ranged = docs.repartitionByRange(32, "doc_id").withColumn(
-        "pid", F.spark_partition_id()
-    )
-    lw = (
-        Window.partitionBy("pid")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = ranged.withColumn("lcum", F.sum("n_chars").over(lw))
-    subs = ranged.groupBy("pid").agg(F.sum("n_chars").alias("sub"))
-    # One pass over the #partitions-row subtotal relation yields both the
-    # per-partition offset (running sum minus own subtotal) and the grand
-    # total (unbounded window) — the only single-partition window in the
-    # plan, and it sees 32 rows, not the corpus.
-    ow = Window.orderBy("pid")
-    offs = subs.select(
-        "pid",
-        (
-            F.sum("sub").over(
-                ow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            )
-            - F.col("sub")
-        ).alias("off"),
-        F.sum("sub")
-        .over(ow.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-        .alias("gtotal"),
+    c = partitioned_prefix_sum(
+        t["documents"].select("doc_id", "n_chars"),
+        "doc_id",
+        "n_chars",
+        out_col="cum",
+        total_col="gtotal",
     )
     return (
-        local.join(F.broadcast(offs), "pid")
-        .withColumn("cum", F.col("lcum") + F.col("off"))
-        .withColumn("stride", F.expr("gtotal div 50"))
+        c.withColumn("stride", F.expr("gtotal div 50"))
         .withColumn(
             "tickets",
             F.expr("cum div stride") - F.expr("(cum - n_chars) div stride"),
