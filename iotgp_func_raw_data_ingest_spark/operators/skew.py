@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _salt(unique_col: Column, n_salts: int) -> Column:
@@ -69,3 +70,53 @@ def salted_join(
         s_replicated,
         (F.col(key_large) == F.col(key_small)) & (l_salted["_salt"] == s_replicated["_salt"]),
     ).drop("_salt")
+
+# ---------------------------------------------------------------------------
+# Heavy-hitter audit
+# ---------------------------------------------------------------------------
+#
+# Before choosing between AQE skew split, salting, or broadcast, you need
+# to KNOW the key distribution. heavy_hitters is the planning query that
+# feeds the choice (q155 exposes it on lineitem's supplier key).
+
+
+def heavy_hitters(df: DataFrame, key_col: str, k: int = 20) -> DataFrame:
+    """Top-k keys by row count with their share of all rows and their
+    skew factor (count / mean-count-per-key).
+
+    Output columns: ``key`` (audited value, cast to string so the audit
+    is key-type agnostic), ``n_rows``, ``share`` (of total rows, 4dp),
+    ``skew`` (ratio to the mean key, 4dp), ``rank``.
+
+    The final rank runs over the aggregated (key-cardinality-sized)
+    relation; Spark's InferWindowGroupLimit rewrites the
+    ``row_number() <= k`` predicate into a per-partition top-k +
+    merge (WindowGroupLimit in the plan), so even a billion-key audit
+    never funnels all keys through one task.
+    """
+    counts = (
+        df.select(F.col(key_col).cast("string").alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    # total rows + key cardinality fold in via a broadcast single-row agg,
+    # so the corpus is scanned once (same shape as q148's totals fold).
+    totals = counts.agg(
+        F.sum("n_rows").alias("_total"), F.count(F.lit(1)).alias("_nkeys")
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.col("n_rows").desc(), F.col("key"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), 4).alias("share"),
+            F.round(
+                F.col("n_rows") * F.col("_nkeys") / F.col("_total"), 4
+            ).alias("skew"),
+            rk.cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
+    )
