@@ -118,6 +118,46 @@ def write_route_meta(spark: SparkSession, dest: str, meta: dict) -> None:
         out.close()
 
 
+def _recover_swap(jvm, fs, hpath, path: str):
+    """Shared preamble for swap-based rewrites (compaction, upsert).
+
+    Crash recovery: a previous run that died between the two renames
+    leaves the data at ``<path>.compact-old`` with nothing at ``<path>``
+    — restore it. A leftover .compact-old WITH the route path present
+    means the prior swap completed but its cleanup didn't; drop it. Any
+    half-written ``.compact-tmp`` is deleted. Returns
+    (tmp, old, tmp_path, old_path)."""
+    tmp = f"{path}.compact-tmp"
+    old = f"{path}.compact-old"
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+    old_p = jvm.org.apache.hadoop.fs.Path(old)
+    if fs.exists(old_p):
+        if not fs.exists(hpath):
+            if not fs.rename(old_p, hpath):
+                raise IOError(
+                    f"swap recovery failed: could not restore {old} to {path}"
+                )
+        else:
+            fs.delete(old_p, True)
+    if fs.exists(tmp_p):
+        fs.delete(tmp_p, True)
+    return tmp, old, tmp_p, old_p
+
+
+def _swap_into_place(fs, hpath, tmp_p, old_p, path: str, tmp: str) -> None:
+    """Two-rename swap with rollback: route dir → .compact-old, tmp →
+    route dir, then drop the old copy. A concurrent reader sees either
+    layout but may transiently see a missing path between the renames
+    (retry); a crash in the window is healed by ``_recover_swap`` on the
+    next invocation."""
+    if not fs.rename(hpath, old_p):
+        raise IOError(f"swap failed: could not move {path} aside")
+    if not fs.rename(tmp_p, hpath):
+        fs.rename(old_p, hpath)  # roll back
+        raise IOError(f"swap failed: could not move {tmp} into place")
+    fs.delete(old_p, True)
+
+
 def read_route_meta(spark: SparkSession, dest: str) -> dict | None:
     """Read a route's ``_meta.json`` sidecar; None if absent."""
     import json as _json
@@ -253,6 +293,7 @@ def compact_lake_table(
     cfg: EngineConfig,
     target_records_per_file: int | None = None,
     fmt: str = "parquet",
+    zorder_cols: list[str] | None = None,
 ) -> tuple[int, int]:
     """Small-files compaction for one route directory — the maintenance
     operator every streaming-ingested lake needs: micro-batch appends
@@ -281,30 +322,8 @@ def compact_lake_table(
         raise ValueError("target_records_per_file must be > 0")
     path = f"{lake_path.rstrip('/')}/{folder}/{source_db}/{table}"
 
-    jvm = spark.sparkContext._jvm
-    jsc = spark.sparkContext._jsc
-    hconf = jsc.hadoopConfiguration()
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(hconf)
-    tmp = f"{path}.compact-tmp"
-    old = f"{path}.compact-old"
-    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
-    old_p = jvm.org.apache.hadoop.fs.Path(old)
-
-    # Crash recovery: a previous run that died between the two renames
-    # leaves the data at <path>.compact-old with nothing at <path> —
-    # restore it. A leftover .compact-old WITH the route path present
-    # means the prior swap completed but its cleanup didn't; drop it.
-    if fs.exists(old_p):
-        if not fs.exists(hpath):
-            if not fs.rename(old_p, hpath):
-                raise IOError(
-                    f"compaction recovery failed: could not restore {old} to {path}"
-                )
-        else:
-            fs.delete(old_p, True)
-    if fs.exists(tmp_p):  # half-written output from a crashed run
-        fs.delete(tmp_p, True)
+    jvm, hpath, fs = _hadoop_fs(spark, path)
+    tmp, old, tmp_p, old_p = _recover_swap(jvm, fs, hpath, path)
 
     files_before = sum(
         1 for f in fs.listStatus(hpath) if f.getPath().getName().startswith("part-")
@@ -313,7 +332,15 @@ def compact_lake_table(
     df = read_lake_table(spark, lake_path, folder, source_db, table, fmt=fmt)
     n_rows = df.count()
     n_files = max(1, -(-n_rows // target))  # ceil
-    compacted = df.repartition(n_files)
+    if zorder_cols:
+        # re-cluster while rewriting: the compaction pass is the natural
+        # (and only cheap) moment to impose a multi-dimensional layout —
+        # see sources/layout.py for the data-skipping rationale
+        from iotgp_func_raw_data_ingest_spark.sources.layout import zorder
+
+        compacted = zorder(df, zorder_cols, n_files)
+    else:
+        compacted = df.repartition(n_files)
     w = compacted.write.mode("overwrite").option("maxRecordsPerFile", target)
     if fmt in ("parquet", "orc"):
         w = w.option("compression", cfg.parquet_compression)
@@ -322,12 +349,7 @@ def compact_lake_table(
     w.format(fmt).save(tmp)
 
     meta = read_route_meta(spark, path)  # carry the sidecar across the swap
-    if not fs.rename(hpath, old_p):
-        raise IOError(f"compaction swap failed: could not move {path} aside")
-    if not fs.rename(tmp_p, hpath):
-        fs.rename(old_p, hpath)  # roll back
-        raise IOError(f"compaction swap failed: could not move {tmp} into place")
-    fs.delete(old_p, True)
+    _swap_into_place(fs, hpath, tmp_p, old_p, path, tmp)
     if meta is not None:
         meta["row_count"] = n_rows
         meta["max_records_per_file"] = target
@@ -337,3 +359,72 @@ def compact_lake_table(
         1 for f in fs.listStatus(hpath) if f.getPath().getName().startswith("part-")
     )
     return files_before, files_after
+
+
+def upsert_lake_table(
+    spark: SparkSession,
+    lake_path: str,
+    folder: str,
+    source_db: str,
+    table: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    cfg: EngineConfig,
+    fmt: str = "parquet",
+) -> tuple[int, int]:
+    """Key-based merge (last-write-wins upsert) into one route directory
+    — the maintenance operator for sources that re-send corrected rows:
+    existing rows whose key appears in ``updates`` are replaced, new keys
+    are appended, everything else is carried over unchanged. Plain
+    parquet has no row-level delete, so the merge is a rewrite: carried
+    rows = existing ⟕-anti updates on the key, union the updates, write
+    to a temp dir, then the same two-rename crash-safe swap as
+    compaction (shared ``_recover_swap``/``_swap_into_place``). Returns
+    (rows_before, rows_after).
+
+    If the route directory does not exist yet the upsert degenerates to
+    a plain first write.
+
+    Scale notes: the anti-join shuffles on the key columns once;
+    broadcast kicks in automatically when ``updates`` is small (the
+    common fix-up batch case), so the rewrite cost is dominated by the
+    carried-row copy — at 100 TB you'd bound that by partitioning routes
+    further (e.g. by ingest date) and upserting only the affected
+    partitions, which is exactly how this function is scoped: per-route,
+    not per-lake. Schema drift is handled by unionByName with
+    allowMissingColumns, matching the lake's mergeSchema read contract.
+    """
+    _check_format(fmt)
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    path = f"{lake_path.rstrip('/')}/{folder}/{source_db}/{table}"
+    jvm, hpath, fs = _hadoop_fs(spark, path)
+    tmp, old, tmp_p, old_p = _recover_swap(jvm, fs, hpath, path)
+
+    if not fs.exists(hpath):
+        _writer(updates, cfg, fmt).save(path)
+        n = updates.count()
+        return 0, n
+
+    existing = read_lake_table(spark, lake_path, folder, source_db, table, fmt=fmt)
+    rows_before = existing.count()
+    carried = existing.join(
+        updates.select(*key_cols).dropDuplicates(key_cols), key_cols, "left_anti"
+    )
+    merged = carried.unionByName(updates, allowMissingColumns=True)
+    w = merged.write.mode("overwrite").option("maxRecordsPerFile", cfg.max_batch_size)
+    if fmt in ("parquet", "orc"):
+        w = w.option("compression", cfg.parquet_compression)
+    if fmt == "csv":
+        w = w.option("header", "true")
+    w.format(fmt).save(tmp)
+
+    meta = read_route_meta(spark, path)
+    _swap_into_place(fs, hpath, tmp_p, old_p, path, tmp)
+    rows_after = read_lake_table(
+        spark, lake_path, folder, source_db, table, fmt=fmt
+    ).count()
+    if meta is not None:
+        meta["row_count"] = rows_after
+        write_route_meta(spark, path, meta)
+    return rows_before, rows_after

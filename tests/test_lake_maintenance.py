@@ -179,3 +179,54 @@ def test_route_meta_sidecar(spark, tmp_path):
     assert meta2["kind"] == "decoded_payload"
     # missing sidecar reads as None
     assert read_route_meta(spark, str(tmp_path / "nope")) is None
+
+
+def test_upsert_lake_table(spark, tmp_path):
+    from iotgp_func_raw_data_ingest_spark.sources.lake import upsert_lake_table
+
+    cfg = EngineConfig(max_batch_size=1000)
+    lake = str(tmp_path / "lake_upsert")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["id", "name", "v"]
+    )
+    # first upsert into a missing route = plain write
+    before, after = upsert_lake_table(
+        spark, lake, "f", "db", "t", base, ["id"], cfg
+    )
+    assert (before, after) == (0, 3)
+
+    # replace id=2, add id=4
+    updates = spark.createDataFrame([(2, "B", 99), (4, "d", 40)], ["id", "name", "v"])
+    before, after = upsert_lake_table(
+        spark, lake, "f", "db", "t", updates, ["id"], cfg
+    )
+    assert (before, after) == (3, 4)
+    got = {
+        r.id: (r.name, r.v)
+        for r in read_lake_table(spark, lake, "f", "db", "t").collect()
+    }
+    assert got == {1: ("a", 10), 2: ("B", 99), 3: ("c", 30), 4: ("d", 40)}
+
+
+def test_upsert_handles_schema_drift(spark, tmp_path):
+    from iotgp_func_raw_data_ingest_spark.sources.lake import upsert_lake_table
+
+    cfg = EngineConfig(max_batch_size=1000)
+    lake = str(tmp_path / "lake_upsert_drift")
+    base = spark.createDataFrame([(1, "a")], ["id", "name"])
+    upsert_lake_table(spark, lake, "f", "db", "t", base, ["id"], cfg)
+    # updates carry a NEW column; carried rows get null for it
+    updates = spark.createDataFrame([(2, "b", 5)], ["id", "name", "extra"])
+    _, after = upsert_lake_table(spark, lake, "f", "db", "t", updates, ["id"], cfg)
+    assert after == 2
+    got = {r.id: r.asDict() for r in read_lake_table(spark, lake, "f", "db", "t").collect()}
+    assert got[1]["extra"] is None and got[2]["extra"] == 5
+
+
+def test_upsert_rejects_empty_keys(spark, tmp_path):
+    from iotgp_func_raw_data_ingest_spark.sources.lake import upsert_lake_table
+
+    cfg = EngineConfig(max_batch_size=1000)
+    df = spark.createDataFrame([(1,)], ["id"])
+    with pytest.raises(ValueError):
+        upsert_lake_table(spark, str(tmp_path), "f", "db", "t", df, [], cfg)
