@@ -172,3 +172,55 @@ def stream_stream_conversion_join(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def start_upsert_stream(
+    updates_stream: DataFrame,
+    lake_path: str,
+    folder: str,
+    source_db: str,
+    table: str,
+    key_cols: list[str],
+    cfg: EngineConfig,
+    checkpoint_dir: str,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """CDC-style streaming merge: each micro-batch of correction/update
+    rows is upserted by key into one lake route (last-write-wins,
+    ``sources.lake.upsert_lake_table``) instead of appended — the
+    streaming shape for sources that re-send corrected records.
+
+    Idempotence: the same committed-batch ledger as the ingest stream —
+    a replayed batch id is skipped, so at-least-once foreachBatch
+    becomes effectively-once outside the crash-between-commit-and-marker
+    window. Across batches the merge is last-write-wins; within one
+    batch duplicate keys are collapsed to a single row first
+    (dropDuplicates on the key — pre-aggregate upstream if a specific
+    row must win an intra-batch tie).
+
+    Scale: per-batch cost is the upsert's anti-join + carried-row
+    rewrite — appropriate for fix-up feeds (small batches against one
+    route), NOT for the firehose path, which appends (start_ingest_stream)
+    and reconciles via a periodic batch upsert instead.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from iotgp_func_raw_data_ingest_spark.sources.lake import upsert_lake_table
+
+        spark = batch_df.sparkSession
+        if batch_committed(spark, checkpoint_dir, batch_id):
+            return
+        batch = batch_df.dropDuplicates(key_cols)
+        upsert_lake_table(
+            spark, lake_path, folder, source_db, table, batch, key_cols, cfg
+        )
+        mark_batch_committed(spark, checkpoint_dir, batch_id)
+
+    writer = updates_stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -163,3 +163,36 @@ def test_committed_batch_ledger_skips_replay(spark, tmp_path):
     import glob as _glob
 
     assert _glob.glob(f"{cfg.output_path}/**/*.parquet", recursive=True) == []
+
+
+def test_streaming_upsert_merges_by_key(spark, tmp_path):
+    from iotgp_func_raw_data_ingest_spark.sources.lake import upsert_lake_table
+    from iotgp_func_raw_data_ingest_spark.streaming.pipeline import (
+        start_upsert_stream,
+    )
+
+    cfg = EngineConfig(max_batch_size=1000)
+    lake = str(tmp_path / "lake")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], ["id", "name", "v"]
+    )
+    upsert_lake_table(spark, lake, "f", "db", "t", base, ["id"], cfg)
+
+    src = tmp_path / "updates"
+    src.mkdir()
+    (src / "u1.json").write_text(
+        '{"id": 2, "name": "B", "v": 99}\n{"id": 3, "name": "c", "v": 30}\n'
+    )
+    updates = spark.readStream.schema("id long, name string, v long").json(str(src))
+    q = start_upsert_stream(
+        updates, lake, "f", "db", "t", ["id"], cfg, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)  # availableNow → terminates when drained
+
+    from iotgp_func_raw_data_ingest_spark.sources.lake import read_lake_table
+
+    got = {
+        r.id: (r.name, r.v)
+        for r in read_lake_table(spark, lake, "f", "db", "t").collect()
+    }
+    assert got == {1: ("a", 10), 2: ("B", 99), 3: ("c", 30)}
