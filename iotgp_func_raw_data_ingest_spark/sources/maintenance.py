@@ -1,0 +1,168 @@
+"""Lake lifecycle maintenance beyond compaction: incremental rollup
+refresh and retention enforcement.
+
+Both operators exist because at 100 TB "recompute from scratch" stops
+being a plan:
+
+- ``incremental_rollup`` maintains a time-bucketed aggregate table from
+  append increments WITHOUT rescanning history — the hypertable
+  continuous-aggregate pattern. Only re-mergeable aggregates are
+  supported (sum/count/min/max; avg = sum/count at read time), because
+  those are exactly the aggregates whose partials combine associatively
+  across refreshes.
+- ``expire_lake_partitions`` drops partition directories older than a
+  cutoff — retention is a directory delete on the partition key, never
+  a row-level scan.
+
+Spark-first: the increment aggregation is a plain groupBy (partial agg
+map-side), the merge is the lake's crash-safe upsert machinery, and
+retention leans on the partition layout that ``write_lake_generic``
+already produces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iotgp_func_raw_data_ingest_spark.config import EngineConfig
+from iotgp_func_raw_data_ingest_spark.sources.lake import (
+    _check_format,
+    _hadoop_fs,
+    read_lake_table,
+    upsert_lake_table,
+)
+
+# aggregate -> (column builder, merge builder); merge re-aggregates the
+# SAME function over partials except count, whose partials merge by sum
+MERGEABLE_AGGS = ("sum", "count", "min", "max")
+
+
+def aggregate_increment(
+    increment: DataFrame,
+    ts_col: str,
+    bucket: str,
+    dims: list[str],
+    value_col: str,
+    aggs: tuple[str, ...] = ("sum", "count", "min", "max"),
+) -> DataFrame:
+    """Aggregate one append increment to (bucket_start, dims) partials.
+
+    ``bucket`` is any ``date_trunc`` unit (hour/day/week/...). Output
+    columns: ``bucket_start`` + dims + ``<agg>_v`` per agg — a partial
+    row per (bucket, dims) that ``merge_rollup`` can combine with the
+    persisted rollup."""
+    for a in aggs:
+        if a not in MERGEABLE_AGGS:
+            raise ValueError(f"aggregate {a!r} is not re-mergeable; use {MERGEABLE_AGGS}")
+    exprs = []
+    for a in aggs:
+        col = F.count(F.lit(1)) if a == "count" else getattr(F, a)(value_col)
+        exprs.append(col.alias(f"{a}_v"))
+    return (
+        increment.groupBy(
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket_start"), *dims
+        ).agg(*exprs)
+    )
+
+
+def merge_rollup_frames(
+    existing: DataFrame, partial: DataFrame, dims: list[str], aggs: tuple[str, ...]
+) -> DataFrame:
+    """Combine a persisted rollup with a new partial on (bucket, dims):
+    sums/counts add, mins/maxes re-min/max. Buckets touched by neither
+    side pass through unchanged (full outer union + re-agg)."""
+    keys = ["bucket_start", *dims]
+    unioned = existing.unionByName(partial, allowMissingColumns=True)
+    exprs = []
+    for a in aggs:
+        col = F.sum(f"{a}_v") if a in ("sum", "count") else getattr(F, a)(f"{a}_v")
+        exprs.append(col.alias(f"{a}_v"))
+    return unioned.groupBy(*keys).agg(*exprs)
+
+
+def incremental_rollup(
+    spark: SparkSession,
+    lake_path: str,
+    folder: str,
+    source_db: str,
+    table: str,
+    increment: DataFrame,
+    ts_col: str,
+    bucket: str,
+    dims: list[str],
+    value_col: str,
+    cfg: EngineConfig,
+    aggs: tuple[str, ...] = ("sum", "count", "min", "max"),
+) -> tuple[int, int]:
+    """Refresh a persisted rollup route from one append increment.
+
+    The increment is aggregated to partials (one groupBy over the NEW
+    data only), the affected buckets are re-merged with the persisted
+    rollup, and the result lands via the crash-safe upsert swap. History
+    is never rescanned: the carried side of the upsert's anti-join is
+    the rollup (buckets × dims — small), not the raw events. Returns
+    (rows_before, rows_after) of the rollup table.
+
+    Invariant (pinned by test): N increments refreshed one at a time
+    equal a single full recompute over their union — associativity of
+    the re-mergeable aggregate set.
+    """
+    partial = aggregate_increment(increment, ts_col, bucket, dims, value_col, aggs)
+    path = f"{lake_path.rstrip('/')}/{folder}/{source_db}/{table}"
+    _, hpath, fs = _hadoop_fs(spark, path)
+    if fs.exists(hpath):
+        existing = read_lake_table(spark, lake_path, folder, source_db, table)
+        merged = merge_rollup_frames(existing, partial, dims, aggs)
+    else:
+        merged = partial
+    # every output row's key is its upsert key, so the upsert's anti-join
+    # replaces exactly the touched buckets
+    return upsert_lake_table(
+        spark,
+        lake_path,
+        folder,
+        source_db,
+        table,
+        merged,
+        ["bucket_start", *dims],
+        cfg,
+    )
+
+
+def expire_lake_partitions(
+    spark: SparkSession,
+    table_path: str,
+    partition_col: str,
+    cutoff: str,
+    fmt: str = "parquet",
+    dry_run: bool = False,
+) -> list[str]:
+    """Retention enforcement on a partitioned table: drop every
+    ``<partition_col>=<value>`` directory whose value sorts strictly
+    below ``cutoff`` (works for ISO dates and zero-padded numeric
+    partition values — the layouts the lake writes). Returns the dropped
+    (or, with ``dry_run``, would-drop) partition values.
+
+    Scale: a directory listing + per-partition recursive delete — O(no.
+    of expired partitions), independent of row count; this is the whole
+    point of partitioning by the retention key. Readers racing a delete
+    see standard Spark behavior for vanished input files; run retention
+    in the same maintenance window as compaction.
+    """
+    _check_format(fmt)
+    _, hpath, fs = _hadoop_fs(spark, table_path)
+    if not fs.exists(hpath):
+        return []
+    prefix = f"{partition_col}="
+    dropped: list[str] = []
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if not (status.isDirectory() and name.startswith(prefix)):
+            continue
+        value = name[len(prefix):]
+        if value < cutoff:
+            dropped.append(value)
+            if not dry_run:
+                fs.delete(status.getPath(), True)
+    return sorted(dropped)

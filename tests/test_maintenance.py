@@ -1,0 +1,106 @@
+"""Incremental rollup refresh + retention enforcement.
+
+The rollup invariant under test is the one that matters at 100 TB:
+N single-increment refreshes must equal one full recompute over the
+union — otherwise "incremental" silently drifts from the truth.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from iotgp_func_raw_data_ingest_spark.config import EngineConfig
+from iotgp_func_raw_data_ingest_spark.sources.lake import read_lake_table
+from iotgp_func_raw_data_ingest_spark.sources.maintenance import (
+    aggregate_increment,
+    expire_lake_partitions,
+    incremental_rollup,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(dt.datetime(2024, 1, d, h), t, float(v)) for d, h, t, v in rows],
+        "ts timestamp, event_type string, value double",
+    )
+
+
+ROWS_A = [(1, 0, "click", 1.0), (1, 1, "click", 2.0), (1, 0, "error", 5.0)]
+ROWS_B = [(1, 2, "click", 4.0), (2, 0, "click", 8.0)]
+ROWS_C = [(2, 5, "error", 1.5), (1, 3, "click", 0.5)]
+
+
+def _rollup_dict(spark, lake):
+    df = read_lake_table(spark, lake, "rollups", "db", "daily")
+    return {
+        (r["bucket_start"], r["event_type"]): (
+            r["sum_v"],
+            r["count_v"],
+            r["min_v"],
+            r["max_v"],
+        )
+        for r in df.collect()
+    }
+
+
+def test_incremental_equals_full_recompute(spark, tmp_path):
+    cfg = EngineConfig(max_batch_size=1000)
+    lake = str(tmp_path / "lake")
+    for rows in (ROWS_A, ROWS_B, ROWS_C):
+        incremental_rollup(
+            spark, lake, "rollups", "db", "daily", _events(spark, rows),
+            "ts", "day", ["event_type"], "value", cfg,
+        )
+    incremental = _rollup_dict(spark, lake)
+
+    full = {
+        (r["bucket_start"], r["event_type"]): (
+            r["sum_v"], r["count_v"], r["min_v"], r["max_v"]
+        )
+        for r in aggregate_increment(
+            _events(spark, ROWS_A + ROWS_B + ROWS_C),
+            "ts", "day", ["event_type"], "value",
+        ).collect()
+    }
+    assert incremental == full
+    # spot-check a merged bucket: Jan 1 clicks = 1+2+4+0.5 over 4 events
+    jan1 = incremental[(dt.datetime(2024, 1, 1), "click")]
+    assert jan1 == (7.5, 4, 0.5, 4.0)
+
+
+def test_rollup_rejects_non_mergeable_agg(spark):
+    with pytest.raises(ValueError):
+        aggregate_increment(
+            _events(spark, ROWS_A), "ts", "day", ["event_type"], "value",
+            aggs=("avg",),
+        )
+
+
+def test_expire_lake_partitions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("2024-01-0%d" % d, d) for d in range(1, 6)], ["day", "v"]
+    )
+    df.write.partitionBy("day").parquet(path)
+
+    would = expire_lake_partitions(spark, path, "day", "2024-01-03", dry_run=True)
+    assert would == ["2024-01-01", "2024-01-02"]
+    # dry run deleted nothing
+    assert spark.read.parquet(path).count() == 5
+
+    dropped = expire_lake_partitions(spark, path, "day", "2024-01-03")
+    assert dropped == ["2024-01-01", "2024-01-02"]
+    left = spark.read.parquet(path)
+    # partition-value inference types the strings as dates on read-back
+    assert sorted(
+        str(r.day) for r in left.select("day").distinct().collect()
+    ) == ["2024-01-03", "2024-01-04", "2024-01-05"]
+    # idempotent
+    assert expire_lake_partitions(spark, path, "day", "2024-01-03") == []
+
+
+def test_expire_missing_table_is_noop(spark, tmp_path):
+    assert expire_lake_partitions(spark, str(tmp_path / "nope"), "day", "x") == []
