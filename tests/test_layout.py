@@ -139,3 +139,24 @@ def test_compaction_with_zorder_recluster(spark, tmp_path):
     assert got.agg(F.sum("event_id")).collect()[0][0] == ev.agg(
         F.sum("event_id")
     ).collect()[0][0]
+
+
+def test_zorder_key_monotone_per_dimension(spark):
+    # Morton codes are strictly monotone in each coordinate with the
+    # other held fixed — the property that makes range pruning sound.
+    df = spark.range(256).select(
+        F.col("id").alias("a"), F.lit(7).alias("b")
+    ).unionAll(
+        spark.range(256).select(F.lit(7).alias("a"), F.col("id").alias("b"))
+    )
+    # bits=8 with domain 0..255 → rank == value exactly (span 255 maps
+    # v -> floor(v/255*255) = v), so monotonicity must be strict
+    keyed = with_zorder_key(df, ["a", "b"], bits=8).collect()
+    a_keys = [r["_zkey"] for r in sorted(
+        (r for r in keyed if r["b"] == 7 and r["a"] != 7), key=lambda r: r["a"]
+    )]
+    b_keys = [r["_zkey"] for r in sorted(
+        (r for r in keyed if r["a"] == 7 and r["b"] != 7), key=lambda r: r["b"]
+    )]
+    assert all(x < y for x, y in zip(a_keys, a_keys[1:]))
+    assert all(x < y for x, y in zip(b_keys, b_keys[1:]))
