@@ -1,0 +1,169 @@
+"""Persisted ANN index: hyperplane-bucketed embedding store with
+partition-pruned lookups.
+
+``operators/similarity.ann_topk`` computes buckets per query run — fine
+for one-shot analytics, wasteful for a serving corpus queried
+repeatedly. This module materializes the bucketing once:
+``write_ann_index`` partitions the corpus parquet BY BUCKET (so the
+bucket is directory metadata, not row data), and ``ann_lookup`` turns a
+query's bucket (plus optional multi-probe neighbors) into partition
+filter literals — the scan then reads only the probed buckets'
+directories. That is the "pre-partition corpus by hyperplane bucket"
+path DEPLOYMENT.md prescribes for similarity serving at 100 TB: lookup
+cost scales with bucket size, not corpus size.
+
+The plane literals ride with the index in an ``_index.json`` sidecar
+(same pattern as the lake's ``_meta.json``), so a reader needs no
+out-of-band configuration and a regenerated index can rotate its seed
+without breaking lookups. Bucket partition values are prefixed 'b' to
+defeat parquet partition-value type inference (an all-digit signature
+like ``01101`` would otherwise round-trip as the integer 1101).
+
+Query buckets are computed IN SPARK from the query DataFrame (not in
+driver-side Python) so the sign bits come from the exact same float →
+double arithmetic as the indexed side; only the resulting bucket
+strings (≤ |Q| × (1 + probes), tiny by contract) are collected to build
+the partition filter.
+"""
+
+from __future__ import annotations
+
+import json as _json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from iotgp_func_raw_data_ingest_spark.operators.similarity import (
+    cosine,
+    hyperplane_bucket,
+)
+from iotgp_func_raw_data_ingest_spark.sources.lake import _hadoop_fs
+
+
+def write_ann_index(
+    df: DataFrame,
+    path: str,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Materialize the bucketed index; returns the number of buckets
+    written. One pass over the corpus: bucket signature (JVM dot
+    products) + a partitioned write. Re-run to rebuild (overwrite)."""
+    bucketed = df.withColumn(
+        "bucket", F.concat(F.lit("b"), hyperplane_bucket(F.col(vec_col), planes))
+    )
+    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    spark = df.sparkSession
+    jvm, _, fs = _hadoop_fs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/_index.json")
+    out = fs.create(p, True)
+    try:
+        out.write(
+            bytearray(
+                _json.dumps(
+                    {"planes": planes, "id_col": id_col, "vec_col": vec_col},
+                    sort_keys=True,
+                ).encode("utf-8")
+            )
+        )
+    finally:
+        out.close()
+    n_buckets = sum(
+        1
+        for s in fs.listStatus(jvm.org.apache.hadoop.fs.Path(path))
+        if s.isDirectory() and s.getPath().getName().startswith("bucket=")
+    )
+    return n_buckets
+
+
+def read_index_meta(spark: SparkSession, path: str) -> dict:
+    jvm, _, fs = _hadoop_fs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/_index.json")
+    stream = fs.open(p)
+    try:
+        data = bytes(
+            spark.sparkContext._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    return _json.loads(data.decode("utf-8"))
+
+
+def _probe_buckets(bucket: str, probes: int) -> list[str]:
+    """Multi-probe LSH: the query's own bucket plus, for probes >= 1,
+    every bucket at Hamming distance 1 (one sign bit flipped) — the
+    standard recall knob: near-threshold vectors land one bit off."""
+    out = [bucket]
+    if probes >= 1:
+        body = bucket[1:]  # strip the 'b' prefix
+        for i in range(len(body)):
+            flipped = body[:i] + ("0" if body[i] == "1" else "1") + body[i + 1:]
+            out.append("b" + flipped)
+    return out
+
+
+def ann_lookup(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    probes: int = 0,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Top-k cosine neighbors per query against a persisted index.
+
+    The probed buckets become an ``isin`` partition filter — verify with
+    ``.explain()``: the scan's PartitionFilters prunes to the probed
+    directories, so lookup I/O is per-bucket, not per-corpus. Exact
+    cosine + per-query WindowGroupLimit top-k runs only on candidates.
+    """
+    meta = read_index_meta(spark, path)
+    planes = meta["planes"]
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+
+    q = queries.withColumn(
+        "qbucket",
+        F.concat(F.lit("b"), hyperplane_bucket(F.col(query_vec_col), planes)),
+    )
+    # per-query probe set; the distinct union over queries drives pruning
+    qrows = q.select(query_id_col, "qbucket").collect()
+    probe_map = {
+        r[query_id_col]: _probe_buckets(r["qbucket"], probes) for r in qrows
+    }
+    all_buckets = sorted({b for bs in probe_map.values() for b in bs})
+
+    corpus = spark.read.parquet(path).filter(F.col("bucket").isin(all_buckets))
+    # (query, probed-bucket) relation built from the collected map — tiny
+    probe_df = spark.createDataFrame(
+        [(qid, b) for qid, bs in probe_map.items() for b in bs],
+        [query_id_col, "bucket"],
+    )
+    qside = q.select(query_id_col, query_vec_col).join(
+        probe_df, query_id_col
+    )
+    joined = corpus.join(F.broadcast(qside), "bucket")
+    if exclude_self:
+        joined = joined.filter(F.col(id_col) != F.col(query_id_col))
+    sim = F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6)
+    ranked = (
+        joined.select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            sim.alias("cos_sim"),
+        )
+        .dropDuplicates([query_id_col, "neighbor_id"])
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy(query_id_col).orderBy(
+                    F.col("cos_sim").desc(), F.col("neighbor_id")
+                )
+            ),
+        )
+        .filter(F.col("rank") <= k)
+    )
+    return ranked
