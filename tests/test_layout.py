@@ -160,3 +160,17 @@ def test_zorder_key_monotone_per_dimension(spark):
     )]
     assert all(x < y for x, y in zip(a_keys, a_keys[1:]))
     assert all(x < y for x, y in zip(b_keys, b_keys[1:]))
+
+
+def test_zorder_constant_column_is_safe(spark, tmp_path):
+    # span == 0 (all values equal) must not divide by zero; the constant
+    # dimension contributes rank 0 and the other dimension still orders
+    df = spark.range(100).select(F.lit(5).alias("a"), F.col("id").alias("b"))
+    keyed = with_zorder_key(df, ["a", "b"], bits=8).collect()
+    assert len(keyed) == 100
+    keys = [r["_zkey"] for r in sorted(keyed, key=lambda r: r["b"])]
+    assert keys == sorted(keys)
+    # negative values normalize fine too
+    df2 = spark.createDataFrame([(-50, 1), (0, 2), (50, 3)], ["a", "b"])
+    ranks = {r["a"]: r["_zkey"] for r in with_zorder_key(df2, ["a"], bits=8).collect()}
+    assert ranks[-50] < ranks[0] < ranks[50]
