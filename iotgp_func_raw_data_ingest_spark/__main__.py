@@ -1,0 +1,144 @@
+"""Operational CLI: ``python -m iotgp_func_raw_data_ingest_spark <cmd>``.
+
+The reference ships as a deployed Azure Function with no local surface;
+this engine is a library first, but operators need command-line entry
+points for the everyday verbs. All commands build the scale-configured
+session from ``session.get_spark`` (AQE, Arrow, UTC) and respect
+``SPARK_GRAFT_CPUS``.
+
+Commands:
+
+- ``list [prefix]``            — registered queries (name per line)
+- ``run <query> [--sf-dir D]`` — execute one query, print rows (capped)
+- ``explain <query>``          — formatted physical plan (the
+                                 .explain('formatted') loop the build
+                                 process itself uses)
+- ``ingest <in_dir> <lake>``   — batch-ingest JSON-line envelope files
+                                 into a typed lake
+- ``compact <lake> <folder> <db> <table> [--zorder c1,c2]``
+                               — small-files compaction, optional
+                                 Z-order re-cluster
+- ``expire <table_path> <partition_col> <cutoff>``
+                               — retention: drop partitions below cutoff
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="iotgp_func_raw_data_ingest_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    p_list = sub.add_parser("list", help="list registered queries")
+    p_list.add_argument("prefix", nargs="?", default="")
+
+    p_run = sub.add_parser("run", help="run one registered query")
+    p_run.add_argument("query")
+    p_run.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_run.add_argument("--limit", type=int, default=20)
+
+    p_exp = sub.add_parser("explain", help="print the formatted plan")
+    p_exp.add_argument("query")
+    p_exp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+
+    p_ing = sub.add_parser("ingest", help="ingest JSON-line envelope files")
+    p_ing.add_argument("in_dir")
+    p_ing.add_argument("lake")
+
+    p_cmp = sub.add_parser("compact", help="compact one route directory")
+    for a in ("lake", "folder", "source_db", "table"):
+        p_cmp.add_argument(a)
+    p_cmp.add_argument("--zorder", default="")
+    p_cmp.add_argument("--target-records", type=int, default=None)
+
+    p_expire = sub.add_parser("expire", help="drop partitions below cutoff")
+    p_expire.add_argument("table_path")
+    p_expire.add_argument("partition_col")
+    p_expire.add_argument("cutoff")
+    p_expire.add_argument("--dry-run", action="store_true")
+
+    args = p.parse_args(argv)
+
+    from iotgp_func_raw_data_ingest_spark.plans import QUERIES
+
+    if args.cmd == "list":
+        for name in sorted(QUERIES):
+            if name.startswith(args.prefix):
+                print(name)
+        return 0
+
+    from iotgp_func_raw_data_ingest_spark.config import EngineConfig
+    from iotgp_func_raw_data_ingest_spark.session import get_spark
+
+    cfg = EngineConfig()
+    spark = get_spark("iotgp-cli", config=cfg)
+
+    if args.cmd in ("run", "explain"):
+        if args.query not in QUERIES:
+            print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
+            return 2
+        df = QUERIES[args.query](spark, args.sf_dir)
+        if args.cmd == "explain":
+            print(df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            ))
+        else:
+            df.show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "ingest":
+        from iotgp_func_raw_data_ingest_spark.operators.ingest import ingest_pipeline
+        from iotgp_func_raw_data_ingest_spark.sources.envelopes import (
+            envelopes_from_text,
+        )
+        from iotgp_func_raw_data_ingest_spark.sources.lake import write_lake_typed
+
+        routed = ingest_pipeline(
+            envelopes_from_text(spark, args.in_dir),
+            destination_fallback=cfg.destination_fallback,
+        )
+        written = write_lake_typed(
+            routed, EngineConfig(output_path=args.lake)
+        )
+        print("\n".join(written) or "(no routes)")
+        return 0
+
+    if args.cmd == "compact":
+        from iotgp_func_raw_data_ingest_spark.sources.lake import compact_lake_table
+
+        before, after = compact_lake_table(
+            spark,
+            args.lake,
+            args.folder,
+            args.source_db,
+            args.table,
+            cfg,
+            target_records_per_file=args.target_records,
+            zorder_cols=[c for c in args.zorder.split(",") if c] or None,
+        )
+        print(f"files: {before} -> {after}")
+        return 0
+
+    if args.cmd == "expire":
+        from iotgp_func_raw_data_ingest_spark.sources.maintenance import (
+            expire_lake_partitions,
+        )
+
+        dropped = expire_lake_partitions(
+            spark, args.table_path, args.partition_col, args.cutoff,
+            dry_run=args.dry_run,
+        )
+        verb = "would drop" if args.dry_run else "dropped"
+        print(f"{verb}: {dropped or 'nothing'}")
+        return 0
+
+    return 2  # unreachable
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
