@@ -224,3 +224,60 @@ def start_upsert_stream(
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_rollup_stream(
+    events_stream: DataFrame,
+    lake_path: str,
+    folder: str,
+    source_db: str,
+    table: str,
+    ts_col: str,
+    bucket: str,
+    dims: list[str],
+    value_col: str,
+    cfg: EngineConfig,
+    checkpoint_dir: str,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """Continuous aggregate: each micro-batch refreshes a persisted
+    time-bucketed rollup via ``sources.maintenance.incremental_rollup``
+    — the hypertable continuous-aggregate shape, kept exact for
+    re-mergeable aggregates (sum/count/min/max) without ever rescanning
+    history. Unlike a watermarked streaming agg, the persisted rollup
+    has no late-data horizon: an event arriving a week late still lands
+    in its (old) bucket because the merge is keyed, not windowed —
+    retention of old buckets is a separate ``expire_lake_partitions``
+    policy, not a state-store constraint.
+
+    Idempotence: the committed-batch ledger (as in the ingest and
+    upsert streams). A replayed batch id is skipped so its partials are
+    never double-merged.
+
+    Scale: per batch, one groupBy over the NEW rows plus an upsert
+    whose carried side is the rollup itself (buckets × dims) — batch
+    cost is independent of history size.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from iotgp_func_raw_data_ingest_spark.sources.maintenance import (
+            incremental_rollup,
+        )
+
+        spark = batch_df.sparkSession
+        if batch_committed(spark, checkpoint_dir, batch_id):
+            return
+        incremental_rollup(
+            spark, lake_path, folder, source_db, table,
+            batch_df, ts_col, bucket, dims, value_col, cfg,
+        )
+        mark_batch_committed(spark, checkpoint_dir, batch_id)
+
+    writer = events_stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -104,3 +104,44 @@ def test_expire_lake_partitions(spark, tmp_path):
 
 def test_expire_missing_table_is_noop(spark, tmp_path):
     assert expire_lake_partitions(spark, str(tmp_path / "nope"), "day", "x") == []
+
+
+def test_streaming_rollup_equals_batch_rollup(spark, tmp_path):
+    import json as _json
+
+    from iotgp_func_raw_data_ingest_spark.streaming.pipeline import (
+        start_rollup_stream,
+    )
+
+    cfg = EngineConfig(max_batch_size=1000)
+    lake = str(tmp_path / "lake")
+    src = tmp_path / "in"
+    src.mkdir()
+    for i, rows in enumerate((ROWS_A, ROWS_B, ROWS_C)):
+        lines = [
+            _json.dumps(
+                {"ts": f"2024-01-{d:02d}T{h:02d}:00:00", "event_type": t, "value": v}
+            )
+            for d, h, t, v in rows
+        ]
+        (src / f"b{i}.json").write_text("\n".join(lines) + "\n")
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).option("maxFilesPerTrigger", 1).json(str(src))
+    q = start_rollup_stream(
+        stream, lake, "rollups", "db", "daily", "ts", "day",
+        ["event_type"], "value", cfg, str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    got = _rollup_dict(spark, lake)
+    want = {
+        (r["bucket_start"], r["event_type"]): (
+            r["sum_v"], r["count_v"], r["min_v"], r["max_v"]
+        )
+        for r in aggregate_increment(
+            _events(spark, ROWS_A + ROWS_B + ROWS_C),
+            "ts", "day", ["event_type"], "value",
+        ).collect()
+    }
+    assert got == want and got
