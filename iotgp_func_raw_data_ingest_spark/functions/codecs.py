@@ -34,6 +34,24 @@ import gzip
 import json
 import zlib
 
+try:  # optional fast path: orjson parses bytes 2-5x faster than stdlib.
+    # On orjson failure we RETRY with stdlib before giving up: orjson is
+    # stricter than the reference's json.loads (it rejects NaN/Infinity
+    # literals), and the dead-letter boundary must match the reference's
+    # acceptance set exactly. Accepted payloads produce identical Python
+    # dicts/lists either way, so normalization and hashes are unaffected.
+    import orjson as _fastjson
+
+    def _json_loads(raw: bytes):
+        try:
+            return _fastjson.loads(raw)
+        except Exception:
+            return json.loads(raw.decode("utf-8"))
+
+except ImportError:  # pragma: no cover - exercised when orjson is absent
+    def _json_loads(raw: bytes):
+        return json.loads(raw.decode("utf-8"))
+
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -152,7 +170,7 @@ def decode_one(raw: bytes | None) -> list[dict] | None:
     if raw is None:
         return None
     try:
-        decoded = json.loads(_try_decompress(bytes(raw)).decode("utf-8"))
+        decoded = _json_loads(_try_decompress(bytes(raw)))
     except Exception:
         return None
     if isinstance(decoded, dict) and _is_columnar_dict(decoded):
