@@ -6,12 +6,12 @@ struct alongside; decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` so each task processes a column batch of blobs without
 JVM↔Python per-row overhead.
 
-Decoding: REAL for binary PPM (P6) and uncompressed 24-bit BMP —
-``decode_image_array`` parses those formats with numpy alone (no
-imaging library needed; byte-exact tests in
-tests/test_multimodal_decode.py) and ``extract_features_real`` emits
-true pixel-statistics features for them. Formats that genuinely need an
-imaging library (JPEG/PNG/audio/video) stay behind the
+Decoding: REAL for binary PPM (P6), uncompressed 24-bit BMP, and PCM
+WAV — ``decode_image_array`` / ``decode_audio_array`` parse those
+formats with numpy + stdlib alone (no media library needed; byte-exact
+tests in tests/test_multimodal_decode.py) and ``extract_features_real``
+emits true pixel/sample-statistics features for them. Formats that
+genuinely need a media library (JPEG/PNG/MP3/video) stay behind the
 ``_real_decoder`` deployment hook with a deterministic byte-derived
 fallback, and the DEFAULT ``extract_features`` keeps that fallback for
 everything so gate-verified outputs never depend on which decoders an
@@ -275,6 +275,10 @@ def extract_features_real(media: DataFrame) -> DataFrame:
             feats = image_stats_features(payload)
             if feats is not None:
                 return feats
+        if kind == "audio":
+            feats = audio_stats_features(payload)
+            if feats is not None:
+                return feats
         return _decode_one(payload, kind)
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -295,3 +299,62 @@ def extract_features_real(media: DataFrame) -> DataFrame:
     return media.select("media_id", "kind", "payload").mapInPandas(
         _batches, schema=FEATURES_SCHEMA
     )
+
+
+def decode_audio_array(payload: bytes):
+    """Decode an uncompressed PCM WAV (8/16-bit) into (samples, channels)
+    float64 in [-1, 1] plus the sample rate — stdlib ``wave`` + numpy,
+    no audio library needed. Returns (array, rate) or None."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if payload is None or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            n, ch, width, rate = (
+                w.getnframes(), w.getnchannels(), w.getsampwidth(), w.getframerate()
+            )
+            raw = w.readframes(n)
+    except Exception:
+        return None
+    if width == 2:
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:  # 8-bit WAV is unsigned
+        arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        return None
+    if ch > 1:
+        arr = arr.reshape(-1, ch)
+    else:
+        arr = arr.reshape(-1, 1)
+    return arr, rate
+
+
+def audio_stats_features(payload: bytes) -> list[float] | None:
+    """Real 8-dim audio features from a decodable WAV: duration_s,
+    sample rate, channels, RMS, peak, zero-crossing rate, DC offset,
+    dynamic range. None if undecodable."""
+    decoded = decode_audio_array(payload)
+    if decoded is None:
+        return None
+    import numpy as np
+
+    arr, rate = decoded
+    mono = arr.mean(axis=1)
+    n = len(mono)
+    if n == 0:
+        return None
+    zc = float(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) / max(n - 1, 1)
+    return [
+        n / float(rate),
+        float(rate),
+        float(arr.shape[1]),
+        float(np.sqrt((mono**2).mean())),
+        float(np.abs(mono).max()),
+        zc,
+        float(mono.mean()),
+        float(mono.max() - mono.min()),
+    ]

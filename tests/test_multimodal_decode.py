@@ -101,3 +101,54 @@ def test_default_path_unchanged_by_real_decoders(spark):
     )
     got = extract_features(media).collect()[0]["features"]
     assert got == pytest.approx(_decode_one(_ppm(1, 1, b"\x00\x01\x02"), "image"))
+
+
+def _wav16(rate: int, samples) -> bytes:
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes((np.asarray(samples) * 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_wav_decode_and_features():
+    from iotgp_func_raw_data_ingest_spark.operators.multimodal import (
+        audio_stats_features,
+        decode_audio_array,
+    )
+
+    # 1 second of a square-ish wave at 8 kHz: +0.5 / -0.5 alternating
+    samples = ([0.5, -0.5] * 4000)[:8000]
+    payload = _wav16(8000, samples)
+    arr, rate = decode_audio_array(payload)
+    assert rate == 8000 and arr.shape == (8000, 1)
+    dur, srate, ch, rms, peak, zcr, dc, rng = audio_stats_features(payload)
+    assert (dur, srate, ch) == (pytest.approx(1.0), 8000.0, 1.0)
+    assert rms == pytest.approx(0.5, abs=1e-3)
+    assert peak == pytest.approx(0.5, abs=1e-3)
+    assert zcr == pytest.approx(1.0, abs=1e-3)  # alternates every sample
+    assert dc == pytest.approx(0.0, abs=1e-3)
+    assert audio_stats_features(b"RIFFxxxxWAVE but broken") is None
+    assert audio_stats_features(b"not audio at all, nope") is None
+
+
+def test_extract_features_real_decodes_wav(spark):
+    from iotgp_func_raw_data_ingest_spark.operators.multimodal import (
+        extract_features_real,
+    )
+
+    payload = _wav16(4000, [0.25] * 4000)
+    media = spark.createDataFrame(
+        [(1, "audio", payload)], ["media_id", "kind", "payload"]
+    )
+    feats = extract_features_real(media).collect()[0]["features"]
+    assert feats[0] == pytest.approx(1.0)      # duration
+    assert feats[1] == pytest.approx(4000.0)   # rate
+    assert feats[3] == pytest.approx(0.25, abs=1e-3)  # rms
