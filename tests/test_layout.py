@@ -15,7 +15,6 @@ import pyarrow.parquet as pq
 import pytest
 from pyspark.sql import functions as F
 
-from iotgp_func_raw_data_ingest_spark.operators.ingest import __name__ as _  # noqa: F401
 from iotgp_func_raw_data_ingest_spark.sources.layout import (
     with_zorder_key,
     zorder,
