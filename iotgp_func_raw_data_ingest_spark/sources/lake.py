@@ -371,6 +371,7 @@ def upsert_lake_table(
     key_cols: list[str],
     cfg: EngineConfig,
     fmt: str = "parquet",
+    meta_extra: dict | None = None,
 ) -> tuple[int, int]:
     """Key-based merge (last-write-wins upsert) into one route directory
     — the maintenance operator for sources that re-send corrected rows:
@@ -393,6 +394,14 @@ def upsert_lake_table(
     partitions, which is exactly how this function is scoped: per-route,
     not per-lake. Schema drift is handled by unionByName with
     allowMissingColumns, matching the lake's mergeSchema read contract.
+
+    The ``_meta.json`` sidecar is written INTO the temp directory before
+    the swap, so metadata (including any ``meta_extra`` keys, e.g. a
+    streaming batch id) becomes visible atomically WITH the data it
+    describes — a crashed run can never leave new data carrying old
+    metadata or vice versa. Callers that need replay idempotence read
+    the sidecar back and skip when their marker is already present
+    (see streaming.pipeline.start_rollup_stream).
     """
     _check_format(fmt)
     if not key_cols:
@@ -404,6 +413,9 @@ def upsert_lake_table(
     if not fs.exists(hpath):
         _writer(updates, cfg, fmt).save(path)
         n = updates.count()
+        meta = {"row_count": n}
+        meta.update(meta_extra or {})
+        write_route_meta(spark, path, meta)
         return 0, n
 
     existing = read_lake_table(spark, lake_path, folder, source_db, table, fmt=fmt)
@@ -419,12 +431,17 @@ def upsert_lake_table(
         w = w.option("header", "true")
     w.format(fmt).save(tmp)
 
-    meta = read_route_meta(spark, path)
+    # count the merged output from the temp dir and seal the sidecar in
+    # BEFORE the swap: data + metadata become visible together
+    r = spark.read
+    if fmt == "parquet":
+        r = r.option("mergeSchema", "true")
+    if fmt == "csv":
+        r = r.option("header", "true")
+    rows_after = r.format(fmt).load(tmp).count()
+    meta = read_route_meta(spark, path) or {}
+    meta["row_count"] = rows_after
+    meta.update(meta_extra or {})
+    write_route_meta(spark, tmp, meta)
     _swap_into_place(fs, hpath, tmp_p, old_p, path, tmp)
-    rows_after = read_lake_table(
-        spark, lake_path, folder, source_db, table, fmt=fmt
-    ).count()
-    if meta is not None:
-        meta["row_count"] = rows_after
-        write_route_meta(spark, path, meta)
     return rows_before, rows_after

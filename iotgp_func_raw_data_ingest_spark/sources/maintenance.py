@@ -94,6 +94,7 @@ def incremental_rollup(
     value_col: str,
     cfg: EngineConfig,
     aggs: tuple[str, ...] = ("sum", "count", "min", "max"),
+    batch_id: int | None = None,
 ) -> tuple[int, int]:
     """Refresh a persisted rollup route from one append increment.
 
@@ -107,10 +108,26 @@ def incremental_rollup(
     Invariant (pinned by test): N increments refreshed one at a time
     equal a single full recompute over their union — associativity of
     the re-mergeable aggregate set.
+
+    Replay idempotence: pass ``batch_id`` (e.g. the foreachBatch id).
+    The id rides in the route's ``_meta.json``, which the upsert seals
+    into the swap — data and marker become visible atomically, so a
+    replay of an already-applied batch is detected and SKIPPED even if
+    the caller's own commit marker was lost to a crash. Unlike an
+    append sink (where replay means duplicate rows), a replayed merge
+    would silently double-count partials — hence the in-directory
+    marker rather than only a checkpoint-side ledger.
     """
-    partial = aggregate_increment(increment, ts_col, bucket, dims, value_col, aggs)
     path = f"{lake_path.rstrip('/')}/{folder}/{source_db}/{table}"
     _, hpath, fs = _hadoop_fs(spark, path)
+    if batch_id is not None and fs.exists(hpath):
+        from iotgp_func_raw_data_ingest_spark.sources.lake import read_route_meta
+
+        meta = read_route_meta(spark, path)
+        if meta is not None and meta.get("last_rollup_batch") == batch_id:
+            n = meta.get("row_count", -1)
+            return n, n  # already applied — replay after a crash
+    partial = aggregate_increment(increment, ts_col, bucket, dims, value_col, aggs)
     if fs.exists(hpath):
         existing = read_lake_table(spark, lake_path, folder, source_db, table)
         merged = merge_rollup_frames(existing, partial, dims, aggs)
@@ -118,6 +135,7 @@ def incremental_rollup(
         merged = partial
     # every output row's key is its upsert key, so the upsert's anti-join
     # replaces exactly the touched buckets
+    extra = {"last_rollup_batch": batch_id} if batch_id is not None else None
     return upsert_lake_table(
         spark,
         lake_path,
@@ -127,6 +145,7 @@ def incremental_rollup(
         merged,
         ["bucket_start", *dims],
         cfg,
+        meta_extra=extra,
     )
 
 

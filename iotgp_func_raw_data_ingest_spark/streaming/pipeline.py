@@ -267,9 +267,13 @@ def start_rollup_stream(
         spark = batch_df.sparkSession
         if batch_committed(spark, checkpoint_dir, batch_id):
             return
+        # batch_id rides into the rollup's _meta.json through the swap,
+        # so even a crash between the merge and this ledger marker cannot
+        # double-merge on replay (incremental_rollup skips applied ids)
         incremental_rollup(
             spark, lake_path, folder, source_db, table,
             batch_df, ts_col, bucket, dims, value_col, cfg,
+            batch_id=batch_id,
         )
         mark_batch_committed(spark, checkpoint_dir, batch_id)
 

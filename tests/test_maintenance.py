@@ -145,3 +145,27 @@ def test_streaming_rollup_equals_batch_rollup(spark, tmp_path):
         ).collect()
     }
     assert got == want and got
+
+
+def test_rollup_replay_with_batch_id_is_idempotent(spark, tmp_path):
+    # crash window simulation: the same batch applied twice (as a
+    # foreachBatch replay would) must NOT double-merge when batch_id is
+    # threaded through to the in-directory marker
+    cfg = EngineConfig(max_batch_size=1000)
+    lake = str(tmp_path / "lake")
+    incremental_rollup(
+        spark, lake, "rollups", "db", "daily", _events(spark, ROWS_A),
+        "ts", "day", ["event_type"], "value", cfg, batch_id=0,
+    )
+    first = _rollup_dict(spark, lake)
+    incremental_rollup(  # replay of batch 0
+        spark, lake, "rollups", "db", "daily", _events(spark, ROWS_A),
+        "ts", "day", ["event_type"], "value", cfg, batch_id=0,
+    )
+    assert _rollup_dict(spark, lake) == first
+    # the next batch id still applies normally
+    incremental_rollup(
+        spark, lake, "rollups", "db", "daily", _events(spark, ROWS_B),
+        "ts", "day", ["event_type"], "value", cfg, batch_id=1,
+    )
+    assert _rollup_dict(spark, lake) != first
