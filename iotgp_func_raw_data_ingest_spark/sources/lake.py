@@ -348,12 +348,15 @@ def compact_lake_table(
         w = w.option("header", "true")
     w.format(fmt).save(tmp)
 
-    meta = read_route_meta(spark, path)  # carry the sidecar across the swap
-    _swap_into_place(fs, hpath, tmp_p, old_p, path, tmp)
+    # seal the carried sidecar into the temp dir BEFORE the swap so
+    # metadata and data become visible atomically (same discipline as
+    # upsert_lake_table)
+    meta = read_route_meta(spark, path)
     if meta is not None:
         meta["row_count"] = n_rows
         meta["max_records_per_file"] = target
-        write_route_meta(spark, path, meta)
+        write_route_meta(spark, tmp, meta)
+    _swap_into_place(fs, hpath, tmp_p, old_p, path, tmp)
 
     files_after = sum(
         1 for f in fs.listStatus(hpath) if f.getPath().getName().startswith("part-")
