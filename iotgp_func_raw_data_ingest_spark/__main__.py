@@ -18,6 +18,8 @@ Commands:
 - ``compact <lake> <folder> <db> <table> [--zorder c1,c2]``
                                — small-files compaction, optional
                                  Z-order re-cluster
+- ``validate <lake>``          — health audit: sidecar row counts,
+                                 stranded swap dirs, per route
 - ``expire <table_path> <partition_col> <cutoff>``
                                — retention: drop partitions below cutoff
 """
@@ -53,6 +55,9 @@ def main(argv: list[str] | None = None) -> int:
         p_cmp.add_argument(a)
     p_cmp.add_argument("--zorder", default="")
     p_cmp.add_argument("--target-records", type=int, default=None)
+
+    p_val = sub.add_parser("validate", help="lake health audit per route")
+    p_val.add_argument("lake")
 
     p_expire = sub.add_parser("expire", help="drop partitions below cutoff")
     p_expire.add_argument("table_path")
@@ -123,6 +128,25 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(f"files: {before} -> {after}")
         return 0
+
+    if args.cmd == "validate":
+        from iotgp_func_raw_data_ingest_spark.sources.maintenance import (
+            validate_lake,
+        )
+
+        bad = 0
+        for r in validate_lake(spark, args.lake):
+            flags = []
+            if not r["rows_match"]:
+                flags.append("ROWS-MISMATCH")
+            if r["stranded"]:
+                flags.append(f"STRANDED{r['stranded']}")
+            if flags:
+                bad += 1
+            print(f"{r['route']}: rows={r['n_rows']} meta={r['meta_rows']} "
+                  f"{' '.join(flags) or 'ok'}")
+        print(f"{bad} route(s) need attention")
+        return 1 if bad else 0
 
     if args.cmd == "expire":
         from iotgp_func_raw_data_ingest_spark.sources.maintenance import (

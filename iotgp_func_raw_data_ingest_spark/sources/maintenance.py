@@ -185,3 +185,74 @@ def expire_lake_partitions(
             if not dry_run:
                 fs.delete(status.getPath(), True)
     return sorted(dropped)
+
+
+def validate_lake(spark: SparkSession, lake_path: str, fmt: str = "parquet") -> list[dict]:
+    """Lake health audit: walk every ``folder/source_db/table`` route and
+    report, per route — actual row count vs the sidecar's ``row_count``,
+    stranded swap directories (``.compact-old`` / ``.compact-tmp`` left
+    by a crash; the next maintenance op heals them, but their presence
+    means one crashed), and missing sidecars. The post-ingest invariant
+    sweep an operator runs before publishing a lake snapshot (the
+    downstream analog of q170's field-completeness audit).
+
+    Returns one dict per route:
+    ``{route, n_rows, meta_rows, rows_match, has_meta, stranded}``.
+
+    Scale: listing is O(routes); each route's count is a metadata-only
+    parquet job (footer row counts — no data scan). Routes audit
+    independently, so a fleet-wide sweep parallelizes trivially.
+    """
+    from iotgp_func_raw_data_ingest_spark.sources.lake import (
+        _check_format,
+        _hadoop_fs,
+        read_route_meta,
+    )
+
+    _check_format(fmt)
+    jvm, root, fs = _hadoop_fs(spark, lake_path)
+    if not fs.exists(root):
+        return []
+    reports: list[dict] = []
+
+    def _dirs(p):
+        return [
+            s.getPath() for s in fs.listStatus(p)
+            if s.isDirectory() and not s.getPath().getName().startswith("_")
+        ]
+
+    for folder_p in _dirs(root):
+        for db_p in _dirs(folder_p):
+            for table_p in _dirs(db_p):
+                name = table_p.getName()
+                if name.endswith(".compact-old") or name.endswith(".compact-tmp"):
+                    continue  # reported against their base route below
+                route = f"{folder_p.getName()}/{db_p.getName()}/{name}"
+                dest = f"{lake_path.rstrip('/')}/{route}"
+                stranded = [
+                    suffix
+                    for suffix in (".compact-old", ".compact-tmp")
+                    if fs.exists(jvm.org.apache.hadoop.fs.Path(dest + suffix))
+                ]
+                r = spark.read
+                if fmt == "parquet":
+                    r = r.option("mergeSchema", "true")
+                if fmt == "csv":
+                    r = r.option("header", "true")
+                try:
+                    n_rows = r.format(fmt).load(dest).count()
+                except Exception:
+                    n_rows = -1
+                meta = read_route_meta(spark, dest)
+                meta_rows = (meta or {}).get("row_count")
+                reports.append(
+                    {
+                        "route": route,
+                        "n_rows": n_rows,
+                        "meta_rows": meta_rows,
+                        "rows_match": meta_rows is None or meta_rows == n_rows,
+                        "has_meta": meta is not None,
+                        "stranded": stranded,
+                    }
+                )
+    return reports

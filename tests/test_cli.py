@@ -57,3 +57,15 @@ def test_cli_expire_dry_run(spark, tmp_path, capsys):
     assert main(["expire", path, "day", "2024-01-02", "--dry-run"]) == 0
     assert "would drop: ['2024-01-01']" in capsys.readouterr().out
     assert spark.read.parquet(path).count() == 2
+
+
+def test_cli_validate(spark, tmp_path, capsys):
+    from iotgp_func_raw_data_ingest_spark.config import EngineConfig
+    from iotgp_func_raw_data_ingest_spark.sources.lake import upsert_lake_table
+
+    lake = str(tmp_path / "lake")
+    df = spark.createDataFrame([(1, "a")], ["id", "v"])
+    upsert_lake_table(spark, lake, "f", "db", "t", df, ["id"], EngineConfig())
+    assert main(["validate", lake]) == 0
+    out = capsys.readouterr().out
+    assert "f/db/t: rows=1 meta=1 ok" in out

@@ -169,3 +169,31 @@ def test_rollup_replay_with_batch_id_is_idempotent(spark, tmp_path):
         "ts", "day", ["event_type"], "value", cfg, batch_id=1,
     )
     assert _rollup_dict(spark, lake) != first
+
+
+def test_validate_lake_reports_health(spark, tmp_path):
+    from iotgp_func_raw_data_ingest_spark.sources.lake import upsert_lake_table
+    from iotgp_func_raw_data_ingest_spark.sources.maintenance import validate_lake
+
+    cfg = EngineConfig(max_batch_size=1000)
+    lake = str(tmp_path / "lake")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    upsert_lake_table(spark, lake, "f", "db", "good", df, ["id"], cfg)
+    # a route written without a sidecar + a stranded swap dir
+    df.write.parquet(f"{lake}/f/db/plain")
+    df.write.parquet(f"{lake}/f/db/crashed.compact-old")
+    df.write.parquet(f"{lake}/f/db/crashed")
+
+    reports = {r["route"]: r for r in validate_lake(spark, lake)}
+    assert reports["f/db/good"]["rows_match"] and reports["f/db/good"]["has_meta"]
+    assert reports["f/db/good"]["n_rows"] == 2
+    assert not reports["f/db/plain"]["has_meta"]
+    assert reports["f/db/plain"]["rows_match"]  # no sidecar -> vacuously ok
+    assert reports["f/db/crashed"]["stranded"] == [".compact-old"]
+    assert "f/db/crashed.compact-old" not in reports
+
+
+def test_validate_lake_missing_root(spark, tmp_path):
+    from iotgp_func_raw_data_ingest_spark.sources.maintenance import validate_lake
+
+    assert validate_lake(spark, str(tmp_path / "nope")) == []
