@@ -167,3 +167,25 @@ def ann_lookup(
         .filter(F.col("rank") <= k)
     )
     return ranked
+
+
+def append_ann_index(df: DataFrame, path: str) -> int:
+    """Incrementally add vectors to an existing index: bucket the new
+    rows with the INDEX'S OWN planes (read from the sidecar — callers
+    cannot accidentally mix bucketing configs) and append them into the
+    per-bucket partition directories. Returns the number of rows added.
+
+    Scale: the common serving pattern — the big index rebuilds rarely
+    (write_ann_index), daily deltas append here; appends land in
+    existing bucket directories, so lookups need no awareness of index
+    generations. Periodic compaction of hot buckets rides the lake's
+    compact machinery."""
+    spark = df.sparkSession
+    meta = read_index_meta(spark, path)
+    planes = meta["planes"]
+    vec_col = meta["vec_col"]
+    bucketed = df.withColumn(
+        "bucket", F.concat(F.lit("b"), hyperplane_bucket(F.col(vec_col), planes))
+    )
+    bucketed.write.mode("append").partitionBy("bucket").parquet(path)
+    return df.count()

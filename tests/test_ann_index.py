@@ -108,3 +108,22 @@ def test_multiprobe_recall_is_monotone(spark, tmp_path):
     # flipping each sign bit probes 8 extra buckets; on this corpus that
     # must recover strictly more of the exact top-5 set than bucket-only
     assert r1 > 0.0
+
+
+def test_append_uses_index_planes_and_is_found(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    base = _corpus(spark).filter(F.col("vec_id") < 400)
+    write_ann_index(base, idx, PLANES)
+    extra = _corpus(spark).filter(F.col("vec_id") >= 400)
+    from iotgp_func_raw_data_ingest_spark.sources.ann_index import append_ann_index
+
+    added = append_ann_index(extra, idx)
+    assert added == extra.count()
+    back = spark.read.parquet(idx)
+    assert back.count() == 500
+    # an appended vector queried against the index must find itself
+    q = extra.limit(1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hits = ann_lookup(spark, idx, q, k=1).collect()
+    assert hits and hits[0]["neighbor_id"] == hits[0]["query_id"]
