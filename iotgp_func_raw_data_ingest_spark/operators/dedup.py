@@ -12,10 +12,14 @@ DataFrame built-ins (no Python in the hot path):
   across engines), banded into buckets; candidates = pairs sharing a band,
   then exact-Jaccard verification of candidates only. The 100 TB path —
   candidate generation cost is shingles×num_hashes, never O(n²).
-- **SimHash**: 32-bit weighted-bit-vote fingerprints; near-dup = Hamming
-  distance ≤ d. Candidates via 4-byte band pigeonhole (d ≤ 3 ⇒ at least
-  one of 4 bands identical — candidate generation is EXACT, not
-  probabilistic).
+- **SimHash**: weighted-bit-vote fingerprints; near-dup = Hamming
+  distance ≤ d. Candidates via band pigeonhole (d ≤ 3 ⇒ at least one of
+  4 bands identical — candidate generation is EXACT, not probabilistic).
+  32-bit (8-bit bands, 1024 buckets) for oracle-parity queries; the
+  64-bit variant (16-bit bands, 262k buckets — ``simhash64_pairs``) is
+  the at-scale path: the 32-bit band join's candidate stream grows
+  O(n²/1024) and becomes the bottleneck around 10⁷ docs (measured in
+  tools/stress_smoke.py).
 - **embedding near-dup**: cosine ≥ τ pairs via hyperplane-LSH buckets
   (operators/similarity.py) — see embedding_neardup_pairs.
 
@@ -114,7 +118,13 @@ def jaccard_pairs(
         .select("id", "n_sh", F.xxhash64("_s").alias("shingle"))
         .repartition("shingle")
     )
-    a = inv.alias("a")
+    # Pin the self-join to SHUFFLE_HASH: both sides share the exchange
+    # above, so SHJ is free — but left unpinned, AQE's runtime estimate
+    # of the (compressed) exploded relation can flip this to a broadcast
+    # join, which both discards the exchange reuse AND builds the entire
+    # inverted index on the driver (observed OOM at 2M docs in
+    # tools/stress_smoke.py before the hint).
+    a = inv.alias("a").hint("shuffle_hash")
     b = inv.alias("b")
     pairs = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
@@ -239,7 +249,9 @@ def minhash_lsh_pairs(
     ).select(
         "id", F.xxhash64("_bucket").alias("bucket")
     ).repartition("bucket")  # one reused exchange for both self-join sides
-    a = bucket.alias("a")
+    # shuffle_hash pin: see jaccard_pairs — an AQE broadcast flip here
+    # builds the banded relation (corpus × bands rows) on the driver
+    a = bucket.alias("a").hint("shuffle_hash")
     b = bucket.alias("b")
     cands = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
@@ -247,9 +259,17 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     sets = sigs.select("id", "shingles", F.size("shingles").alias("n_sh"))
+    # shuffle_hash pin on the CANDIDATE side of the verify joins: the
+    # pair relation is the natural (small) build side, but Catalyst's
+    # static size estimate of the shingle-array relation can instead
+    # elect to BROADCAST `sets` — i.e. materialize the entire corpus's
+    # shingle sets on the driver (observed OOM at 2M docs in
+    # tools/stress_smoke.py). SHJ keyed on id streams the corpus side.
     cands = (
-        cands.join(sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"),
-                               F.col("n_sh").alias("n_a")), "id_a")
+        cands.hint("shuffle_hash")
+        .join(sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"),
+                          F.col("n_sh").alias("n_a")), "id_a")
+        .hint("shuffle_hash")
         .join(sets.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"),
                           F.col("n_sh").alias("n_b")), "id_b")
     )
@@ -323,7 +343,9 @@ def simhash_pairs(
             ])
         ).alias("band"),
     ).repartition("band")  # one reused exchange for both self-join sides
-    a = banded.alias("a")
+    # shuffle_hash pin: see jaccard_pairs — an AQE broadcast flip here
+    # builds the banded relation (corpus × 4 rows) on the driver
+    a = banded.alias("a").hint("shuffle_hash")
     b = banded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     # Hamming-filter BEFORE the pair dedup: hamming is a function of the
@@ -333,6 +355,89 @@ def simhash_pairs(
     # candidates; filtering first shrinks the dedup shuffle from that
     # firehose to the actual near-dup set (measured at sf0.1: q34
     # 4.4s→1.9s, q113 6.7s→1.8s).
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash as two 32-bit halves (``sim_hi``, ``sim_lo``) —
+    the halves come from two independent md5-derived token hashes (hex
+    chars 1-8 and 9-16), avoiding signed-64-bit overflow in either
+    engine while doubling the fingerprint width. Same one-explode /
+    one-aggregate shape as the 32-bit ``simhash``."""
+    h2 = F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 9, 8), 16, 10).cast(
+        "long"
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(words(text_col)).alias("tok")
+    ).select(
+        "id", _token_hash32(F.col("tok")).alias("h1"), h2.alias("h2")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col(c), p).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{c}_{p}")
+        for c in ("h1", "h2")
+        for p in range(32)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    def _half(c):
+        fp = None
+        for p in range(32):
+            bit = F.when(F.col(f"v_{c}_{p}") >= 0, F.lit(1 << p).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            fp = bit if fp is None else fp + bit
+        return fp
+    return agg.select("id", _half("h2").alias("sim_hi"), _half("h1").alias("sim_lo"))
+
+
+def simhash64_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs under 64-bit SimHash — the AT-SCALE variant.
+
+    The 32-bit ``simhash_pairs`` byte-bands give only 4×256 = 1024
+    buckets, so its candidate set grows O(n²/1024): measured in
+    tools/stress_smoke.py, the band join streams ~2×10⁹ candidate rows
+    at 500k docs and ~3×10¹⁰ at 2M — exact, but a wall around 10⁷ docs.
+    Here the pigeonhole bands are 4 × 16-bit slices (any ≤3 bit flips
+    leave ≥1 of 4 disjoint 16-bit bands intact), giving 4×65536 buckets
+    — candidates shrink by ~64× and keep shrinking relative to n as the
+    corpus grows past the band-count crossover. Completeness guarantee
+    is identical (max_hamming ≤ 3); the fingerprint is finer, so ≤3 of
+    64 bits is a TIGHTER similarity cut than ≤3 of 32.
+    """
+    if max_hamming > 3:
+        raise ValueError("16-bit-band pigeonhole guarantee requires max_hamming <= 3")
+    fps = simhash64(df, id_col, text_col)
+    halves = [
+        F.shiftright(F.col("sim_hi"), 16).bitwiseAND(F.lit(0xFFFF)),
+        F.col("sim_hi").bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright(F.col("sim_lo"), 16).bitwiseAND(F.lit(0xFFFF)),
+        F.col("sim_lo").bitwiseAND(F.lit(0xFFFF)),
+    ]
+    banded = fps.select(
+        "id",
+        "sim_hi",
+        "sim_lo",
+        F.explode(
+            F.array(*[(F.lit(i * 65536) + h).cast("int") for i, h in enumerate(halves)])
+        ).alias("band"),
+    ).repartition("band")
+    a = banded.alias("a").hint("shuffle_hash")
+    b = banded.alias("b")
+    ham = F.bit_count(
+        F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi"))
+    ) + F.bit_count(F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo")))
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
         .select(

@@ -107,3 +107,39 @@ def test_minhash_candidates_are_subset_of_sharing_pairs(spark):
         want = _py_jaccard_pairs(docs, 3, 0.3)
         for pair, j in got.items():
             assert pair in want and want[pair] == j
+
+
+def _py_simhash64(text: str) -> tuple[int, int]:
+    import hashlib
+
+    votes = [0] * 64
+    for tok in text.split():
+        hx = hashlib.md5(tok.encode()).hexdigest()
+        h1, h2 = int(hx[:8], 16), int(hx[8:16], 16)
+        for p in range(32):
+            votes[p] += 1 if (h1 >> p) & 1 else -1
+            votes[32 + p] += 1 if (h2 >> p) & 1 else -1
+    lo = sum(1 << p for p in range(32) if votes[p] >= 0)
+    hi = sum(1 << p for p in range(32) if votes[32 + p] >= 0)
+    return hi, lo
+
+
+def test_simhash64_pairs_matches_bruteforce(spark):
+    from iotgp_func_raw_data_ingest_spark.operators.dedup import simhash64_pairs
+
+    for seed in (9, 21):
+        docs = _corpus(seed)
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash64_pairs(df, "doc_id", "text", max_hamming=3).collect()
+        }
+        fp = {i: _py_simhash64(t) for i, t in docs}
+        want = {}
+        for (ia, _), (ib, _) in itertools.combinations(docs, 2):
+            hi_a, lo_a = fp[ia]
+            hi_b, lo_b = fp[ib]
+            d = bin(hi_a ^ hi_b).count("1") + bin(lo_a ^ lo_b).count("1")
+            if d <= 3:
+                want[(ia, ib)] = d
+        assert got == want, f"seed {seed}: {got} != {want}"
