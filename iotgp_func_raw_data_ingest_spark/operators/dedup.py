@@ -118,12 +118,13 @@ def jaccard_pairs(
         .select("id", "n_sh", F.xxhash64("_s").alias("shingle"))
         .repartition("shingle")
     )
-    # Pin the self-join to SHUFFLE_HASH: both sides share the exchange
-    # above, so SHJ is free — but left unpinned, AQE's runtime estimate
-    # of the (compressed) exploded relation can flip this to a broadcast
-    # join, which both discards the exchange reuse AND builds the entire
-    # inverted index on the driver (observed OOM at 2M docs in
-    # tools/stress_smoke.py before the hint).
+    # SHUFFLE_HASH pin: the shingle key is high-cardinality, so SHJ
+    # per-partition builds are small and the pin prevents AQE from
+    # falling back to a sort-merge join whose sort SPILLS the wide
+    # candidate stream (measured 1.9 GB spill unpinned vs 0 pinned at
+    # 2M docs, equal wall). The byte-BAND self-joins (simhash) are the
+    # opposite case — tiny key domain, huge per-key crosses — and stay
+    # unpinned there (broadcast beats SHJ 6× on that shape).
     a = inv.alias("a").hint("shuffle_hash")
     b = inv.alias("b")
     pairs = (
@@ -249,8 +250,9 @@ def minhash_lsh_pairs(
     ).select(
         "id", F.xxhash64("_bucket").alias("bucket")
     ).repartition("bucket")  # one reused exchange for both self-join sides
-    # shuffle_hash pin: see jaccard_pairs — an AQE broadcast flip here
-    # builds the banded relation (corpus × bands rows) on the driver
+    # pinned like jaccard_pairs' shingle join: xxhash64 band keys are
+    # high-cardinality (unlike simhash byte bands), and pinning measured
+    # 42s vs 57s at 2M docs with zero spill
     a = bucket.alias("a").hint("shuffle_hash")
     b = bucket.alias("b")
     cands = (
@@ -343,9 +345,13 @@ def simhash_pairs(
             ])
         ).alias("band"),
     ).repartition("band")  # one reused exchange for both self-join sides
-    # shuffle_hash pin: see jaccard_pairs — an AQE broadcast flip here
-    # builds the banded relation (corpus × 4 rows) on the driver
-    a = banded.alias("a").hint("shuffle_hash")
+    # UNPINNED by measurement: the band key domain is tiny (4×256), so
+    # the join is dominated by per-key crosses; letting AQE broadcast
+    # the banded relation ran 6× faster than pinned SHJ at 2M docs
+    # (32s vs 207s, tools/stress_smoke.py) with no driver risk (the
+    # relation is narrow fixed-width rows and AQE sizes it from real
+    # shuffle stats).
+    a = banded.alias("a")
     b = banded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     # Hamming-filter BEFORE the pair dedup: hamming is a function of the
@@ -433,7 +439,7 @@ def simhash64_pairs(
             F.array(*[(F.lit(i * 65536) + h).cast("int") for i, h in enumerate(halves)])
         ).alias("band"),
     ).repartition("band")
-    a = banded.alias("a").hint("shuffle_hash")
+    a = banded.alias("a")  # unpinned: see simhash_pairs' band-join note
     b = banded.alias("b")
     ham = F.bit_count(
         F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi"))
