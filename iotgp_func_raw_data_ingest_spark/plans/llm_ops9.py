@@ -67,8 +67,10 @@ def q173_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: one barrier-materialized token pass feeds both the
     unigram and bigram counts; the only corpus-sized shuffles are the
     two gram groupBys (partial-agg, text keys collapse map-side); the
-    PMI join probes the unigram relation (vocab-sized) twice and the
-    top-50 is a WindowGroupLimit."""
+    PMI join probes the unigram relation twice (AQE broadcasts it while
+    it fits; at a web-scale vocabulary it degrades to a shuffled join on
+    the word — never a forced driver materialization) and the top-50 is
+    a WindowGroupLimit."""
     t = prep(spark, sf_dir)
     toks = generate_barrier(
         t["documents"].select(D.words("text").alias("t"))
@@ -91,10 +93,15 @@ def q173_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ng") >= 5)
     )
     parts = F.split("g", " ")
+    # the unigram joins are NOT forced broadcast: the vocabulary is
+    # broadcast-sized at gate SFs (AQE will pick BHJ on its own) but a
+    # web-scale vocabulary is not — forcing it would materialize the
+    # vocab on the driver, the exact hazard the dedup verify joins pin
+    # against. Only the 1-row total is explicitly broadcast.
     j = (
         bi.withColumn("wa", parts[0]).withColumn("wb", parts[1])
-        .join(F.broadcast(uni.withColumnRenamed("w", "wa").withColumnRenamed("nw", "na")), "wa")
-        .join(F.broadcast(uni.withColumnRenamed("w", "wb").withColumnRenamed("nw", "nb")), "wb")
+        .join(uni.withColumnRenamed("w", "wa").withColumnRenamed("nw", "na"), "wa")
+        .join(uni.withColumnRenamed("w", "wb").withColumnRenamed("nw", "nb"), "wb")
         .crossJoin(F.broadcast(tot))
     )
     pmi = F.round(
