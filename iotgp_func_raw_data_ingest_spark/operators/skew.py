@@ -113,8 +113,13 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int = 20) -> DataFrame:
             "key",
             "n_rows",
             F.round(F.col("n_rows") / F.col("_total"), 4).alias("share"),
+            # n_rows casts to double FIRST: a long product overflows int64
+            # exactly at the web-scale corpora this audit targets (1e12-row
+            # hot key × 1e8 keys), while the result only feeds a 4dp round
+            # — double precision is ample, and below 2^53 the product is
+            # exact, so test-SF oracle hashes are unchanged.
             F.round(
-                F.col("n_rows") * F.col("_nkeys") / F.col("_total"), 4
+                F.col("n_rows").cast("double") * F.col("_nkeys") / F.col("_total"), 4
             ).alias("skew"),
             rk.cast("long").alias("rank"),
         )

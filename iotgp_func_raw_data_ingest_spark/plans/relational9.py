@@ -31,15 +31,15 @@ from iotgp_func_raw_data_ingest_spark.plans.registry import prep, register
            ROUND((e.value - s.mu) / s.sigma, 2) AS z
     FROM events e JOIN stats s USING (user_id)
     WHERE s.n >= 10 AND s.sigma > 0
-      AND abs(e.value - s.mu) >= 3 * s.sigma
+      AND ROUND(abs(e.value - s.mu) - 3 * s.sigma, 6) >= 0
     """,
 )
 def q131_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user outlier events: |value − μ_user| ≥ 3σ_user (population σ,
-    users with ≥10 events). The 3σ band is wide enough that the two
-    engines' float-summation-order difference (~1e-13 relative on μ/σ)
-    cannot flip membership of real data; z is ROUNDed to 2 for output.
-    Same float discipline that keeps q79_grouped_zscore green.
+    users with ≥10 events). The membership predicate is pre-rounded at
+    1e-6 on BOTH engines (the q131/q158 boundary convention) so a
+    last-ulp difference in the engines' float summation order can never
+    flip a row exactly on the 3σ boundary; z is ROUNDed to 2 for output.
 
     100 TB shape: one groupBy(user_id) with partial aggregation for the
     stats, then a same-key join that reuses the hash partitioning — two
@@ -56,7 +56,12 @@ def q131_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             (F.col("n") >= 10)
             & (F.col("sigma") > 0)
-            & (F.abs(F.col("value") - F.col("mu")) >= 3 * F.col("sigma"))
+            & (
+                F.round(
+                    F.abs(F.col("value") - F.col("mu")) - 3 * F.col("sigma"), 6
+                )
+                >= 0
+            )
         )
         .select(
             "event_id",

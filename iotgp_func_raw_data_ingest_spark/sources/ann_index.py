@@ -92,14 +92,26 @@ def read_index_meta(spark: SparkSession, path: str) -> dict:
 
 
 def _probe_buckets(bucket: str, probes: int) -> list[str]:
-    """Multi-probe LSH: the query's own bucket plus, for probes >= 1,
-    every bucket at Hamming distance 1 (one sign bit flipped) — the
-    standard recall knob: near-threshold vectors land one bit off."""
+    """Multi-probe LSH: ``probes`` is the Hamming RADIUS — the query's
+    own bucket plus every bucket within ``probes`` sign-bit flips, the
+    standard recall knob (near-threshold vectors land a few bits off).
+    probes=0 → exact bucket only; probes=1 → +nbits buckets; probes=2 →
+    +C(nbits,2) more, and so on. The probe-set size is sum_{d<=probes}
+    C(nbits,d) — with the small plane counts an index uses (8-16 bits)
+    that stays in the hundreds, and it only widens the partition-pruning
+    ``isin`` filter, never the per-bucket scan cost."""
+    from itertools import combinations
+
+    if probes < 0:
+        raise ValueError(f"probes must be >= 0, got {probes}")
+    body = bucket[1:]  # strip the 'b' prefix
     out = [bucket]
-    if probes >= 1:
-        body = bucket[1:]  # strip the 'b' prefix
-        for i in range(len(body)):
-            flipped = body[:i] + ("0" if body[i] == "1" else "1") + body[i + 1:]
+    for d in range(1, min(probes, len(body)) + 1):
+        for idxs in combinations(range(len(body)), d):
+            flipped = "".join(
+                ("0" if c == "1" else "1") if i in idxs else c
+                for i, c in enumerate(body)
+            )
             out.append("b" + flipped)
     return out
 

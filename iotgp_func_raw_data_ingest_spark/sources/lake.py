@@ -387,7 +387,14 @@ def upsert_lake_table(
     (rows_before, rows_after).
 
     If the route directory does not exist yet the upsert degenerates to
-    a plain first write.
+    a first write — still staged through the temp dir with the sidecar
+    sealed in, made visible by a single atomic rename, so the crash-safety
+    contract below holds on the very first batch too.
+
+    Duplicate keys inside one ``updates`` batch are collapsed
+    (``dropDuplicates(key_cols)``) before merging; rows within a batch
+    carry no order, so the surviving duplicate is arbitrary — callers
+    that need a specific winner must pre-deduplicate.
 
     Scale notes: the anti-join shuffles on the key columns once;
     broadcast kicks in automatically when ``updates`` is small (the
@@ -413,18 +420,33 @@ def upsert_lake_table(
     jvm, hpath, fs = _hadoop_fs(spark, path)
     tmp, old, tmp_p, old_p = _recover_swap(jvm, fs, hpath, path)
 
+    # Last-write-wins must hold WITHIN a batch too: duplicate keys inside
+    # one ``updates`` frame collapse to a single (arbitrary, since rows
+    # within a batch carry no order) winner, so the route never holds two
+    # rows for one key. Callers that care which duplicate survives must
+    # pre-deduplicate; the streaming CDC wrapper does.
+    updates = updates.dropDuplicates(key_cols)
+
     if not fs.exists(hpath):
-        _writer(updates, cfg, fmt).save(path)
+        # First write uses the same discipline as the rewrite path: data +
+        # sealed sidecar land in the temp dir, then ONE rename makes both
+        # visible atomically (no prior dir exists, so no two-rename swap
+        # is needed). A crash before the rename leaves only a .compact-tmp
+        # that _recover_swap deletes — a replayed batch can never find
+        # data without its meta_extra marker and double-apply.
+        _writer(updates, cfg, fmt).save(tmp)
         n = updates.count()
         meta = {"row_count": n}
         meta.update(meta_extra or {})
-        write_route_meta(spark, path, meta)
+        write_route_meta(spark, tmp, meta)
+        if not fs.rename(tmp_p, hpath):
+            raise IOError(f"first write failed: could not move {tmp} to {path}")
         return 0, n
 
     existing = read_lake_table(spark, lake_path, folder, source_db, table, fmt=fmt)
     rows_before = existing.count()
     carried = existing.join(
-        updates.select(*key_cols).dropDuplicates(key_cols), key_cols, "left_anti"
+        updates.select(*key_cols), key_cols, "left_anti"
     )
     merged = carried.unionByName(updates, allowMissingColumns=True)
     w = merged.write.mode("overwrite").option("maxRecordsPerFile", cfg.max_batch_size)
