@@ -197,15 +197,27 @@ def write_lake_typed(
     path: str | None = None,
     failed_routes: list[tuple[tuple[str, str, str], str]] | None = None,
     fmt: str = "parquet",
+    max_concurrent_routes: int = 8,
 ) -> list[str]:
     """Reference-parity layout: one directory per route with real string
     columns (union of keys, missing → null) and ≤ max_batch_size rows per
-    file. Returns the written directories.
+    file. Returns the written directories (in route order).
 
     Per-route catch-continue (reference E2, src/function_app.py:416-417):
     a poison route (e.g. a row key that is an invalid parquet column name)
     is skipped with a warning and the remaining routes are still written.
     Pass ``failed_routes`` to receive ``(route, error)`` for each failure.
+
+    Per-route schemas differ (each projects its own key union), so one
+    ``partitionBy`` write cannot cover all routes — each route is its own
+    Spark job. Those jobs are independent, and Spark's scheduler is
+    thread-safe, so they are SUBMITTED from a thread pool
+    (``max_concurrent_routes`` wide) rather than serially from the
+    driver loop: at thousands of routes the wall-clock is bounded by
+    cluster throughput, not by the driver serializing one tiny job after
+    another. Each worker touches only its own route directory, failures
+    stay isolated per-future, and the shared cached input makes the
+    per-route filter a cache scan, not a re-read.
     """
     _check_format(fmt)
     target = (path or cfg.output_path).rstrip("/")
@@ -219,45 +231,55 @@ def write_lake_typed(
         # row_count field of each route's _meta.json sidecar
         for r in routed.groupBy("folder", "source_db", "table").count().collect():
             counts[(r.folder, r.source_db, r.table)] = r["count"]
+
+    def _write_route(route: tuple[str, str, str], keys: list[str]) -> str:
+        folder, source_db, table = route
+        dest = f"{target}/{folder}/{source_db}/{table}"
+        part = routed.filter(
+            (F.col("folder") == folder)
+            & (F.col("source_db") == source_db)
+            & (F.col("table") == table)
+        )
+        projected = part.select(*[F.col("row").getItem(k).alias(k) for k in keys])
+        _writer(projected, cfg, fmt).save(dest)
+        # reference-parity metadata (kind/row_count/batch identity,
+        # src/function_app.py:389-414) as a route-level sidecar;
+        # batch_number is subsumed by maxRecordsPerFile chunking
+        write_route_meta(
+            routed.sparkSession,
+            dest,
+            {
+                "kind": "decoded_payload",
+                "row_count": counts.get(route, 0),
+                "folder": folder,
+                "source_db": source_db,
+                "table": table,
+                "max_records_per_file": cfg.max_batch_size,
+                "format": fmt,
+            },
+        )
+        return dest
+
     written: list[str] = []
     try:
-        for (folder, source_db, table), keys in keysets.items():
-            dest = f"{target}/{folder}/{source_db}/{table}"
-            part = routed.filter(
-                (F.col("folder") == folder)
-                & (F.col("source_db") == source_db)
-                & (F.col("table") == table)
-            )
-            projected = part.select(
-                *[F.col("row").getItem(k).alias(k) for k in keys]
-            )
-            try:
-                _writer(projected, cfg, fmt).save(dest)
-            except Exception as exc:  # noqa: BLE001 - route isolation
-                warnings.warn(
-                    f"route {(folder, source_db, table)} failed, continuing: {exc}",
-                    stacklevel=2,
-                )
-                if failed_routes is not None:
-                    failed_routes.append(((folder, source_db, table), str(exc)))
-                continue
-            written.append(dest)
-            # reference-parity metadata (kind/row_count/batch identity,
-            # src/function_app.py:389-414) as a route-level sidecar;
-            # batch_number is subsumed by maxRecordsPerFile chunking
-            write_route_meta(
-                routed.sparkSession,
-                dest,
-                {
-                    "kind": "decoded_payload",
-                    "row_count": counts.get((folder, source_db, table), 0),
-                    "folder": folder,
-                    "source_db": source_db,
-                    "table": table,
-                    "max_records_per_file": cfg.max_batch_size,
-                    "format": fmt,
-                },
-            )
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool_size = max(1, min(max_concurrent_routes, len(keysets) or 1))
+        with ThreadPoolExecutor(max_workers=pool_size) as pool:
+            futures = {
+                route: pool.submit(_write_route, route, keys)
+                for route, keys in keysets.items()
+            }
+            for route, fut in futures.items():  # keysets order — deterministic
+                try:
+                    written.append(fut.result())
+                except Exception as exc:  # noqa: BLE001 - route isolation
+                    warnings.warn(
+                        f"route {route} failed, continuing: {exc}",
+                        stacklevel=2,
+                    )
+                    if failed_routes is not None:
+                        failed_routes.append((route, str(exc)))
     finally:
         if keysets:
             routed.unpersist()

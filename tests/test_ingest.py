@@ -325,3 +325,54 @@ def test_clean_base64_mime_chunked_fast_path(spark):
     body = json.dumps({"Source": "db.tbl", "Destination": "landing", "Data": chunked})
     rows = run(spark, [body])
     assert [r[3]["v"] for r in rows] == [str(i) for i in range(40)]
+
+
+def test_route_writes_submitted_concurrently(spark, tmp_path, monkeypatch):
+    """write_lake_typed submits independent per-route jobs from a thread
+    pool (Spark's scheduler is thread-safe) — at thousands of routes the
+    driver must not serialize one job after another. Observed overlap of
+    the save() calls proves concurrent submission; per-route isolation
+    and real output are covered by the e2e tests above."""
+    import threading
+    import time as _time
+
+    from iotgp_func_raw_data_ingest_spark.sources import lake
+
+    n_routes = 6
+    bodies = [
+        envelope([{"v": i}], source=f"db{i}.tbl") for i in range(n_routes)
+    ]
+    routed = ingest_pipeline(envelopes_from_list(spark, bodies))
+    cfg = EngineConfig(output_path=str(tmp_path / "lake"))
+
+    lock = threading.Lock()
+    active = {"now": 0, "peak": 0}
+    real_writer = lake._writer
+
+    class _SlowWriter:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def save(self, dest):
+            with lock:
+                active["now"] += 1
+                active["peak"] = max(active["peak"], active["now"])
+            try:
+                _time.sleep(0.3)  # hold the slot so overlap is observable
+                self._inner.save(dest)
+            finally:
+                with lock:
+                    active["now"] -= 1
+
+    monkeypatch.setattr(
+        lake, "_writer", lambda df, c, fmt: _SlowWriter(real_writer(df, c, fmt))
+    )
+    dirs = write_lake_typed(routed, cfg)
+    assert len(dirs) == n_routes
+    assert active["peak"] >= 2, f"route writes ran serially (peak={active['peak']})"
+    # a serial pool still honors the contract when capped at 1
+    cfg2 = EngineConfig(output_path=str(tmp_path / "lake2"))
+    dirs2 = write_lake_typed(routed, cfg2, max_concurrent_routes=1)
+    assert sorted(d.rsplit("/", 3)[-3:] for d in dirs2) == sorted(
+        d.rsplit("/", 3)[-3:] for d in dirs
+    )
