@@ -483,16 +483,22 @@ def blocked_levenshtein_pairs(
     on ``text_col`` is ≤ ``max_dist`` — the classic record-linkage shape
     (fuzzy key dedup with a blocking key).
 
-    Scale design, max_dist=1 (the common fuzzy-key case): FastSS-style
-    deletion neighborhoods — lev(u,v) ≤ 1 iff u and v share a member of
-    {s} ∪ {s minus one char}, so candidates come from an inverted-index
-    self-join on (block, variant): O(n·len) index entries, never a
-    quadratic block join. Exact `levenshtein` (threshold form — banded
-    O(d·len) with early exit) verifies candidates. For max_dist > 1 it
-    falls back to the quadratic-within-block join, where the blocking
-    key is the knob: pick one with bounded group size (prefix, phonetic
-    code, LSH bucket) and the quadratic stays local. Everything is JVM
-    built-ins — whole-stage codegen, no Python.
+    Scale design, max_dist ≤ 2 (the common fuzzy-key radii): FastSS
+    deletion neighborhoods — lev(u,v) ≤ d implies u and v share a member
+    of D_≤d(s) = {s with up to d chars deleted} (an aligned edit script
+    is undone by deleting the edited positions from each side), so
+    candidates come from an inverted-index self-join on (block, variant):
+    O(n·len^d) index entries, never a quadratic block join. Exact
+    `levenshtein` (threshold form — banded O(d·len) with early exit)
+    verifies candidates, so the deletion condition only needs to be
+    necessary, which it is. Depth 2 squares the per-string variant count
+    (≈ len²/2) — sized for SHORT keys (names, SKUs, titles), the
+    record-linkage case this operator exists for; don't point it at
+    document bodies. For max_dist > 2 it falls back to the
+    quadratic-within-block join, where the blocking key is the knob:
+    pick one with bounded group size (prefix, phonetic code, LSH bucket)
+    and the quadratic stays local. Everything is JVM built-ins —
+    whole-stage codegen, no Python.
     """
     side = df.select(
         F.col(id_col).alias("id"),
@@ -505,38 +511,73 @@ def blocked_levenshtein_pairs(
         F.col("b.id").alias("id_b"),
         dist.cast("int").alias("dist"),
     ]
-    if max_dist == 1:
+    if max_dist in (1, 2):
         txt = F.col("txt")
-        variants = F.array_union(
-            F.array(txt),
+        n = F.length(txt)
+        empty = F.array().cast("array<string>")
+        del1 = F.when(
+            n >= 1,
             F.transform(
-                F.sequence(F.lit(1), F.length(txt)),
-                lambda i: F.concat(txt.substr(F.lit(1), i - 1), txt.substr(i + 1, F.length(txt))),
+                F.sequence(F.lit(1), n),
+                lambda i: F.concat(txt.substr(F.lit(1), i - 1), txt.substr(i + 1, n)),
             ),
-        )
+        ).otherwise(empty)
+        variants = F.array_union(F.array(txt), del1)
+        if max_dist == 2:
+            # delete positions i < j: prefix ⊕ middle (between them) ⊕ tail
+            del2 = F.when(
+                n >= 2,
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), n - 1),
+                        lambda i: F.transform(
+                            F.sequence(i + 1, n),
+                            lambda j: F.concat(
+                                txt.substr(F.lit(1), i - 1),
+                                txt.substr(i + 1, j - i - 1),
+                                txt.substr(j + 1, n - j),
+                            ),
+                        ),
+                    )
+                ),
+            ).otherwise(empty)
+            variants = F.array_union(variants, del2)
+        # NARROW index: (id, xxhash64(blk, variant)) only — 16 bytes/row.
+        # Carrying txt through the exploded index multiplies the corpus
+        # by the variant count (len²/2 at depth 2) and spilled 40 GB at
+        # 2M keys in the measured stress run; the hashed-key relation is
+        # the same discipline as the MinHash band join. Hash collisions
+        # only add candidates, which the exact verify join filters.
         inv = side.select(
-            "id", "txt", "blk", F.explode(variants).alias("var")
-        ).repartition("blk", "var")
+            "id",
+            F.explode(variants).alias("var"),
+            F.col("blk"),
+        ).select("id", F.xxhash64("blk", "var").alias("bv"))
+        # Self-join pinned to SORT-MERGE, by measurement at 2M keys: the
+        # depth-2 index is ~340M rows, and (a) a forced shuffle-hash join
+        # failed to build its hashed relation (cannotAcquireMemory), (b)
+        # left unpinned, the static planner broadcast the ENTIRE index
+        # when the input's stats were unknown (localCheckpoint/cached
+        # sources report no size) and died on driver maxResultSize. SMJ
+        # sorts narrow fixed-width (id, hash) rows and spills safely at
+        # any scale. The small verify joins below stay shuffle_hash.
         a, b = inv.alias("a"), inv.alias("b")
         cand = (
             a.join(
-                b,
-                (F.col("a.blk") == F.col("b.blk"))
-                & (F.col("a.var") == F.col("b.var"))
-                & (F.col("a.id") < F.col("b.id")),
+                b.hint("merge"),
+                (F.col("a.bv") == F.col("b.bv")) & (F.col("a.id") < F.col("b.id")),
             )
             # a pair can share several variants → dedupe before verifying
-            .groupBy(
-                F.col("a.id").alias("id_a"),
-                F.col("a.txt").alias("txt_a"),
-                F.col("b.id").alias("id_b"),
-                F.col("b.txt").alias("txt_b"),
-            )
-            .agg(F.count(F.lit(1)).alias("_n"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
         )
+        ta = side.select(F.col("id").alias("id_a"), F.col("txt").alias("txt_a"))
+        tb = side.select(F.col("id").alias("id_b"), F.col("txt").alias("txt_b"))
         vdist = F.levenshtein(F.col("txt_a"), F.col("txt_b"), max_dist).cast("int")
         return (
-            cand.select("id_a", "id_b", vdist.alias("dist"))
+            cand.join(ta.hint("shuffle_hash"), "id_a")
+            .join(tb.hint("shuffle_hash"), "id_b")
+            .select("id_a", "id_b", vdist.alias("dist"))
             .filter(F.col("dist").between(0, max_dist))
         )
     a, b = side.repartition("blk").alias("a"), side.repartition("blk").alias("b")

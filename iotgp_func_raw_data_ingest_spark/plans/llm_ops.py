@@ -172,7 +172,15 @@ def q33_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q34_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 3). Spark uses byte-band
     pigeonhole candidates (exact-complete for ≤ 3 bit flips over 4 bands);
-    the oracle brute-forces all pairs — results must be identical."""
+    the oracle brute-forces all pairs — results must be identical.
+
+    SCALE WARNING — do not copy this plan for a web-scale corpus: the
+    32-bit fingerprint has only 1024 byte-band buckets, so the candidate
+    stream grows O(n²/1024) past ~10⁷ docs (measured 207s at 2M docs vs
+    14.8s for the 64-bit variant, STRESS.md). This query is the
+    oracle-parity variant; at scale use ``simhash64_pairs``
+    (q171/q172's operator — 4×16-bit bands, 262k buckets) or
+    MinHash-LSH (q32). See DEPLOYMENT.md §simhash."""
     t = prep(spark, sf_dir)
     return D.simhash_pairs(t["documents"], "doc_id", "text", max_hamming=3).select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")

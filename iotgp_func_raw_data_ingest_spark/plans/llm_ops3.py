@@ -535,9 +535,15 @@ def q113_simgraph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     component and motivates stricter thresholds or edge capping.
 
     Scale shape: edges come from the byte-band pigeonhole candidate
-    join (operators/dedup.py — inverted-index cost, never O(n²)); the
-    degree count then shuffles (node_id) pairs only, and the final
-    histogram is |max_degree| rows."""
+    join (operators/dedup.py — inverted-index cost, never O(n²) memory);
+    the degree count then shuffles (node_id) pairs only, and the final
+    histogram is |max_degree| rows.
+
+    SCALE WARNING — as with q34, the 32-bit fingerprint's 1024 buckets
+    stream O(n²/1024) candidates past ~10⁷ docs; a web-scale degree
+    audit should build its edges with ``simhash64_pairs`` (identical
+    call shape, q171/q172) and keep the rest of this plan unchanged.
+    See DEPLOYMENT.md §simhash."""
     from iotgp_func_raw_data_ingest_spark.operators import dedup as D
 
     t = prep(spark, sf_dir)

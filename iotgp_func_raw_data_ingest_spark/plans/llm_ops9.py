@@ -237,3 +237,35 @@ def q175_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .crossJoin(F.broadcast(leaky))
     )
+
+
+@register(
+    "q176_fastss_d2_pairs",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+    FROM customer a
+    JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def q176_fastss_d2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-2 fuzzy record linkage: same-nation customer-name pairs
+    within edit distance 2, via FastSS depth-2 deletion neighborhoods
+    (operators/dedup.py blocked_levenshtein_pairs) — the inverted-index
+    self-join on (block, deletion-variant) replaces q85's d=1 radius
+    with the common fuzzy-match radius WITHOUT falling back to the
+    quadratic within-block join. The oracle is the brute-force
+    quadratic, so the gate proves the deletion-neighborhood candidate
+    set loses no pair (the q171/q172 verify pattern).
+
+    100 TB shape: index size O(n·len²/2) rows of short variant strings
+    (sized for keys, not documents), hash-joined on (block, variant) —
+    candidate volume tracks true-match density, not block². Verification
+    is the banded threshold `levenshtein(a, b, 2)`, JVM codegen
+    throughout."""
+    t = prep(spark, sf_dir)
+    return D.blocked_levenshtein_pairs(
+        t["customer"], "c_custkey", "c_name", "c_nationkey", max_dist=2
+    )

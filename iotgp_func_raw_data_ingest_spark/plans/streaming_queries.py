@@ -1,0 +1,180 @@
+"""Streaming-surface gate queries: run REAL Structured Streaming jobs
+(foreachBatch continuous aggregate, applyInPandasWithState dedup) over
+the driver's static tables split into multiple micro-batches, and return
+their final state as a batch DataFrame with a full DuckDB oracle.
+
+Until this tranche the streaming surface (streaming/pipeline.py,
+streaming/stateful.py) was pytest-only; these queries give it driver
+CORRECTNESS rows. The trick that makes streams oracle-expressible: with
+``availableNow`` triggers over a bounded input, a streaming computation
+whose result is batching-invariant (a keyed re-mergeable rollup; the
+distinct-key set of a stateful dedup) must equal the batch answer, which
+IS ANSI SQL. The gate therefore proves end-to-end exactly-once behavior:
+a double-merged batch or a dropped state row would change the hash.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iotgp_func_raw_data_ingest_spark.config import EngineConfig
+from iotgp_func_raw_data_ingest_spark.plans.registry import prep, register
+
+
+def _split_events(spark: SparkSession, sf_dir: str, out_dir: str, n_files: int) -> DataFrame:
+    """Materialize the events table as ``n_files`` parquet files so a
+    maxFilesPerTrigger=1 file stream replays it as n_files micro-batches
+    — every per-batch code path (ledger append, state update on an
+    existing key, rollup re-merge) genuinely executes."""
+    t = prep(spark, sf_dir)
+    events = t["events"]
+    events.repartition(n_files).write.mode("overwrite").parquet(out_dir)
+    return events
+
+
+class _few_shuffle_partitions:
+    """Temporarily pin spark.sql.shuffle.partitions for a streaming run.
+
+    Stateful operators and foreachBatch sinks create one state-store /
+    shuffle partition PER configured shuffle partition PER micro-batch;
+    under the driver's vanilla session (200) that is 800 checkpointed
+    state tasks for a 4-batch toy stream — measured to stall the gate.
+    The streams here start from a fresh checkpoint every invocation, so
+    the partitioning is free to choose; the conf is restored on exit
+    (results are pinned by localCheckpoint before that). At real scale
+    the session owner sizes this conf per DEPLOYMENT.md — this guard
+    only covers the gate's borrowed session."""
+
+    def __init__(self, spark: SparkSession, n: int = 8):
+        self._spark, self._n = spark, n
+
+    def __enter__(self):
+        self._old = self._spark.conf.get("spark.sql.shuffle.partitions")
+        self._spark.conf.set("spark.sql.shuffle.partitions", str(self._n))
+
+    def __exit__(self, *exc):
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._old)
+        return False
+
+
+@register(
+    "q177_streaming_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket_start,
+           event_type,
+           ROUND(SUM(value), 2) AS sum_v,
+           CAST(COUNT(*) AS BIGINT) AS count_v,
+           ROUND(MIN(value), 4) AS min_v,
+           ROUND(MAX(value), 4) AS max_v
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q177_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming continuous aggregate, gated against the batch answer:
+    the events table is re-served as a 4-file stream, each micro-batch
+    refreshes a persisted hourly (event_type) rollup through
+    ``streaming.pipeline.start_rollup_stream`` (foreachBatch →
+    incremental_rollup → crash-safe upsert swap, committed-batch
+    ledger), the DRAINED stream is restarted once against the same
+    checkpoint (the crash/restart path — no batch may re-merge), and
+    the final rollup table is returned. Because sum/count/min/max are
+    re-mergeable, the result is batching-invariant: it must hash-equal
+    the oracle's one-shot GROUP BY, so a replayed or dropped micro-batch
+    flips the gate.
+
+    100 TB shape: per micro-batch cost is one groupBy over NEW rows plus
+    an upsert whose carried side is the rollup itself (buckets × dims),
+    independent of history size — the hypertable continuous-aggregate
+    design (see start_rollup_stream's docstring)."""
+    from iotgp_func_raw_data_ingest_spark.streaming.pipeline import (
+        start_rollup_stream,
+    )
+
+    work = tempfile.mkdtemp(prefix="q177_")
+    try:
+        with _few_shuffle_partitions(spark):
+            events = _split_events(spark, sf_dir, f"{work}/in", n_files=4)
+            cfg = EngineConfig(output_path=f"{work}/lake")
+            for _restart in range(2):  # 2nd run: restart on a drained checkpoint
+                stream = (
+                    spark.readStream.schema(events.schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(f"{work}/in")
+                )
+                q = start_rollup_stream(
+                    stream,
+                    f"{work}/lake", "rollups", "events", "hourly",
+                    ts_col="ts", bucket="hour", dims=["event_type"], value_col="value",
+                    cfg=cfg, checkpoint_dir=f"{work}/ckpt",
+                )
+                q.awaitTermination()
+            rollup = spark.read.parquet(f"{work}/lake/rollups/events/hourly")
+            out = rollup.select(
+                F.col("bucket_start"),
+                "event_type",
+                F.round("sum_v", 2).alias("sum_v"),
+                F.col("count_v").cast("long").alias("count_v"),
+                F.round("min_v", 4).alias("min_v"),
+                F.round("max_v", 4).alias("max_v"),
+            )
+            # pin the tiny result (buckets × types) so the temp lake can
+            # be deleted before the caller collects
+            return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q178_streaming_dedup_keys",
+    oracle="""
+    SELECT DISTINCT event_type AS key FROM events
+    """,
+)
+def q178_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup, gated: the 4-micro-batch events stream
+    runs through ``streaming.stateful.streaming_dedup``
+    (applyInPandasWithState, TTL state) keyed by event_type; each key is
+    emitted exactly once — in whichever batch it first arrives — and
+    every later batch hits the state.exists absorb path. The emitted KEY
+    SET is batching-invariant (the per-batch first_seen_count is not —
+    it depends on how files split — so only the key column is gated):
+    it must hash-equal SELECT DISTINCT. A dropped state row would emit a
+    key twice; lost state, zero times.
+
+    100 TB shape: state is one counter per key, pruned by the
+    processing-time TTL — memory bounded by live key cardinality, not
+    stream length (streaming/stateful.py module docstring)."""
+    from iotgp_func_raw_data_ingest_spark.streaming.stateful import streaming_dedup
+
+    work = tempfile.mkdtemp(prefix="q178_")
+    try:
+        with _few_shuffle_partitions(spark):
+            events = _split_events(spark, sf_dir, f"{work}/in", n_files=4)
+            stream = (
+                spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{work}/in")
+            )
+            # ttl_ms=None: bounded availableNow replay — an armed
+            # processing-time timer would keep the query alive forever
+            # (see streaming_dedup's docstring)
+            deduped = streaming_dedup(
+                stream.select(F.col("event_type").alias("key")), "key", ttl_ms=None
+            )
+            q = (
+                deduped.writeStream.format("parquet")
+                .option("path", f"{work}/out")
+                .option("checkpointLocation", f"{work}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            out = spark.read.parquet(f"{work}/out").select("key")
+            return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -36,30 +36,51 @@ DEDUP_OUTPUT_SCHEMA = StructType(
 DEDUP_STATE_SCHEMA = StructType([StructField("seen", LongType())])
 
 
-def _dedup_fn(
-    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
-) -> Iterable[pd.DataFrame]:
-    n_new = sum(len(pdf) for pdf in pdfs)
-    if state.exists:
-        (seen,) = state.get
-        state.update((seen + n_new,))
-        return iter(())  # key already emitted once
-    state.update((n_new,))
-    state.setTimeoutDuration(24 * 3600 * 1000)
-    return iter([pd.DataFrame({"key": [key[0]], "first_seen_count": [n_new]})])
+def _make_dedup_fn(ttl_ms: int | None):
+    def _dedup_fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        n_new = sum(len(pdf) for pdf in pdfs)
+        if state.exists:
+            (seen,) = state.get
+            state.update((seen + n_new,))
+            return iter(())  # key already emitted once
+        state.update((n_new,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        return iter([pd.DataFrame({"key": [key[0]], "first_seen_count": [n_new]})])
+
+    return _dedup_fn
 
 
-def streaming_dedup(stream: DataFrame, key_col: str = "key") -> DataFrame:
+def streaming_dedup(
+    stream: DataFrame, key_col: str = "key", ttl_ms: int | None = 24 * 3600 * 1000
+) -> DataFrame:
     """Emit each key once (its first micro-batch), with the count of rows
-    that arrived in that batch; later duplicates are absorbed into state."""
+    that arrived in that batch; later duplicates are absorbed into state.
+
+    ``ttl_ms`` bounds state per key on a CONTINUOUS stream (default 24h).
+    Pass ``ttl_ms=None`` for bounded replays driven by
+    ``trigger(availableNow=True)``: with ProcessingTimeTimeout armed, the
+    engine keeps scheduling no-data micro-batches to evaluate pending
+    timers and an availableNow query NEVER terminates (measured — the
+    q178 gate stream looped hundreds of empty batches until its sink
+    tasks died); with NoTimeout it drains the input and stops. A bounded
+    replay tears its state down with the query, so the TTL buys nothing
+    there anyway."""
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return (
         stream.groupBy(key_col)
         .applyInPandasWithState(
-            _dedup_fn,
+            _make_dedup_fn(ttl_ms),
             outputStructType=DEDUP_OUTPUT_SCHEMA,
             stateStructType=DEDUP_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=timeout,
         )
     )
 

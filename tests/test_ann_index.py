@@ -103,11 +103,34 @@ def test_multiprobe_recall_is_monotone(spark, tmp_path):
         }
         return len(got & truth) / len(truth)
 
-    r0, r1 = recall(0), recall(1)
-    assert 0.0 <= r0 <= r1 <= 1.0
+    r0, r1, r2 = recall(0), recall(1), recall(2)
+    assert 0.0 <= r0 <= r1 <= r2 <= 1.0
     # flipping each sign bit probes 8 extra buckets; on this corpus that
     # must recover strictly more of the exact top-5 set than bucket-only
     assert r1 > 0.0
+
+
+def test_probes_is_hamming_radius():
+    """probes=d probes every bucket within d bit flips: sum C(n,k) for
+    k<=d buckets, all distinct, containing the exact bucket."""
+    import math
+
+    from iotgp_func_raw_data_ingest_spark.sources.ann_index import _probe_buckets
+
+    import pytest as _pytest
+
+    for d in range(4):
+        got = _probe_buckets("b0110", d)
+        want_n = sum(math.comb(4, k) for k in range(d + 1))
+        assert len(got) == len(set(got)) == want_n
+        assert got[0] == "b0110"
+        assert all(
+            sum(x != y for x, y in zip(g[1:], "0110")) <= d for g in got
+        )
+    # radius caps at the bit width; negative is rejected
+    assert len(_probe_buckets("b01", 99)) == 4
+    with _pytest.raises(ValueError):
+        _probe_buckets("b01", -1)
 
 
 def test_append_uses_index_planes_and_is_found(spark, tmp_path):

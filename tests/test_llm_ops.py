@@ -405,3 +405,30 @@ def test_kmeans_refine_recovers_separated_clusters(spark):
     cells = {r.id: r.cell for r in S.ivf_assign(df, S.kmeans_refine(df, init, iters=1)).collect()}
     assert all(cells[i] == 0 for i in range(20))
     assert all(cells[i] == 20 for i in range(20, 40))
+
+
+def test_fastss_d2_matches_quadratic(spark):
+    """The FastSS depth-2 deletion-neighborhood path must return exactly
+    what the quadratic block join finds at radius 2 — randomized short
+    keys (incl. empty and 1-char strings, the sequence()-boundary edge
+    cases) over a small alphabet so near-pairs are dense."""
+    import random
+
+    rng = random.Random(176)
+    rows = [
+        (i, "".join(rng.choice("abc") for _ in range(rng.randint(0, 6))),
+         f"g{rng.randint(0, 2)}")
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, grp string")
+    fast = {
+        (r.id_a, r.id_b, r.dist)
+        for r in D.blocked_levenshtein_pairs(df, "id", "name", "grp", max_dist=2).collect()
+    }
+    # max_dist=3 takes the quadratic-join fallback; filter to radius 2
+    quad = {
+        (r.id_a, r.id_b, r.dist)
+        for r in D.blocked_levenshtein_pairs(df, "id", "name", "grp", max_dist=3).collect()
+        if r.dist <= 2
+    }
+    assert fast == quad and len(fast) > 50

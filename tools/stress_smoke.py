@@ -71,6 +71,35 @@ def synth_docs(spark, n_docs: int):
     )
 
 
+def synth_keys(spark, n_keys: int):
+    """Short record-linkage keys (names/SKUs, 10-20 chars) with a
+    blocking column — the corpus shape blocked_levenshtein_pairs exists
+    for. 2% are radius-1 perturbations of their predecessor and 1% are
+    radius-2, so the FastSS index has real matches at both depths."""
+    words_lit = F.array(*[F.lit(w) for w in WORDS])
+    base_id = F.when(F.col("id") % 50 == 1, F.col("id") - 1).otherwise(F.col("id"))
+    key = F.concat(
+        F.element_at(
+            words_lit, (F.pmod(F.hash(base_id), F.lit(len(WORDS))) + 1).cast("int")
+        ),
+        F.lit("_"),
+        F.pmod(F.hash(base_id, F.lit(3)), F.lit(100_000)).cast("string"),
+        F.lit("_"),
+        F.element_at(
+            words_lit,
+            (F.pmod(F.hash(base_id, F.lit(5)), F.lit(len(WORDS))) + 1).cast("int"),
+        ),
+    )
+    key = F.when(F.col("id") % 100 == 1, F.concat(key, F.lit("xy"))).when(
+        F.col("id") % 50 == 1, F.concat(key, F.lit("x"))
+    ).otherwise(key)
+    return spark.range(n_keys).select(
+        F.col("id").alias("rec_id"),
+        key.alias("name"),
+        F.pmod(F.hash(base_id, F.lit(9)), F.lit(500)).cast("int").alias("blk"),
+    )
+
+
 def main() -> int:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
     spark = get_spark(
@@ -78,6 +107,7 @@ def main() -> int:
     )
     docs = synth_docs(spark, n_docs)
     docs = docs.localCheckpoint(eager=True)  # generation cost out of op timings
+    keys = synth_keys(spark, n_docs).localCheckpoint(eager=True)
 
     ops = {
         "text_profile": lambda: text_profile(docs, "doc_id", "text"),
@@ -93,6 +123,9 @@ def main() -> int:
         ),
         "jaccard_pairs(exact)": lambda: D.jaccard_pairs(
             docs, "doc_id", "text", k=3, threshold=0.3
+        ),
+        "fastss_d2(blocked_levenshtein)": lambda: D.blocked_levenshtein_pairs(
+            keys, "rec_id", "name", "blk", max_dist=2
         ),
     }
     rows = []
@@ -139,6 +172,15 @@ def main() -> int:
         "through the join (pure compute, no memory risk) while the",
         "64-bit variant's 262k buckets cut that ~64× — the documented",
         "crossover for choosing simhash64_pairs at scale.",
+        "",
+        "fastss_d2 is the one operator allowed to spill here: its depth-2",
+        "deletion index is ~170 variants/key (≈340M narrow hashed rows at",
+        "2M keys), and the pinned sort-merge self-join sorts that index",
+        "through 32 fixed local partitions — the spill is bounded sort",
+        "spill of 16-byte rows, not a hash-relation OOM (the measured",
+        "failure modes of the pinned-SHJ and stats-blind-broadcast",
+        "alternatives). On a real cluster, shuffle partitions sized per",
+        "DEPLOYMENT.md keep each sort in memory.",
         "",
     ]
     out = os.path.join(
