@@ -112,6 +112,68 @@ def eventhubs_kafka_options(
     return opts
 
 
+def eventhubs_kafka_oauth_options(
+    namespace_host: str,
+    topic: str,
+    tenant_id: str,
+    client_id: str | None = None,
+    consumer_group: str | None = None,
+) -> dict[str, str]:
+    """Reader options for Event Hubs' Kafka endpoint authenticated via
+    Microsoft Entra ID (AAD) OAuth instead of a shared-access key — the
+    managed-identity-class path the reference uses (its Function App
+    authenticates with a user-assigned identity,
+    ``infra/iothub.tf:18-37`` / ``infra/function-app.tf:90-96``), which
+    the SASL-PLAIN connection-string surface cannot express.
+
+    Built entirely from public interfaces: Kafka's OAUTHBEARER mechanism
+    with the stock ``OAuthBearerLoginCallbackHandler``
+    (client-credentials grant against a token endpoint, KIP-768) and
+    Azure's documented token shape for Event Hubs — token endpoint
+    ``https://login.microsoftonline.com/<tenant>/oauth2/v2.0/token``,
+    scope ``https://<namespace host>/.default``. ``client_id`` plus the
+    ``clientSecret`` left for the deployer to inject selects a service
+    principal; on Azure compute a managed identity is exchanged through
+    the same mechanism by pointing the token endpoint at the IMDS-backed
+    identity endpoint or using a workload-identity federation — both are
+    deploy-time settings on top of these same option keys, so this
+    builder is the unit-testable core and DEPLOYMENT.md carries the
+    environment-specific remainder (no Azure endpoint is reachable from
+    the test sandbox).
+    """
+    if not namespace_host or "." not in namespace_host:
+        raise ValueError(
+            "namespace_host must be the full host, e.g. myns.servicebus.windows.net"
+        )
+    if not topic:
+        raise ValueError("topic (event hub name) is required")
+    if not tenant_id:
+        raise ValueError("tenant_id is required")
+    jaas = (
+        "org.apache.kafka.common.security.oauthbearer.OAuthBearerLoginModule required"
+        + (f' clientId="{client_id}"' if client_id else "")
+        + ";"
+    )
+    opts = {
+        "kafka.bootstrap.servers": f"{namespace_host}:9093",
+        "subscribe": topic,
+        "kafka.security.protocol": "SASL_SSL",
+        "kafka.sasl.mechanism": "OAUTHBEARER",
+        "kafka.sasl.jaas.config": jaas,
+        "kafka.sasl.login.callback.handler.class": (
+            "org.apache.kafka.common.security.oauthbearer.secured."
+            "OAuthBearerLoginCallbackHandler"
+        ),
+        "kafka.sasl.oauthbearer.token.endpoint.url": (
+            f"https://login.microsoftonline.com/{tenant_id}/oauth2/v2.0/token"
+        ),
+        "kafka.sasl.oauthbearer.scope": f"https://{namespace_host}/.default",
+    }
+    if consumer_group is not None and consumer_group != "$Default":
+        opts["kafka.group.id"] = consumer_group
+    return opts
+
+
 def eventhubs_native_options(
     conn: str, consumer_group: str = "$Default", starting_position: str = "latest"
 ) -> dict[str, str]:

@@ -68,3 +68,41 @@ def test_native_options_mapping():
     }
     with pytest.raises(ValueError):
         eventhubs_native_options("not-a-connection-string")
+
+
+def test_oauth_options_mapping():
+    """AAD/managed-identity-class auth for the Kafka surface: OAUTHBEARER
+    with the stock login callback handler (KIP-768 client-credentials),
+    Azure token endpoint + namespace-scoped audience."""
+    from iotgp_func_raw_data_ingest_spark.sources.envelopes import (
+        eventhubs_kafka_oauth_options,
+    )
+
+    opts = eventhubs_kafka_oauth_options(
+        "myns.servicebus.windows.net", "hub1", tenant_id="tid-123",
+        client_id="app-9", consumer_group="ingest",
+    )
+    assert opts["kafka.bootstrap.servers"] == "myns.servicebus.windows.net:9093"
+    assert opts["subscribe"] == "hub1"
+    assert opts["kafka.sasl.mechanism"] == "OAUTHBEARER"
+    assert (
+        opts["kafka.sasl.oauthbearer.token.endpoint.url"]
+        == "https://login.microsoftonline.com/tid-123/oauth2/v2.0/token"
+    )
+    assert opts["kafka.sasl.oauthbearer.scope"] == "https://myns.servicebus.windows.net/.default"
+    assert 'clientId="app-9"' in opts["kafka.sasl.jaas.config"]
+    assert opts["kafka.group.id"] == "ingest"
+    # no client_id -> module line still valid JAAS; $Default group omitted
+    o2 = eventhubs_kafka_oauth_options(
+        "myns.servicebus.windows.net", "hub1", tenant_id="tid-123"
+    )
+    assert "clientId" not in o2["kafka.sasl.jaas.config"]
+    assert "kafka.group.id" not in o2
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        eventhubs_kafka_oauth_options("myns", "hub1", "tid")
+    with _pytest.raises(ValueError):
+        eventhubs_kafka_oauth_options("myns.servicebus.windows.net", "", "tid")
+    with _pytest.raises(ValueError):
+        eventhubs_kafka_oauth_options("myns.servicebus.windows.net", "hub1", "")
