@@ -230,3 +230,63 @@ def test_upsert_rejects_empty_keys(spark, tmp_path):
     df = spark.createDataFrame([(1,)], ["id"])
     with pytest.raises(ValueError):
         upsert_lake_table(spark, str(tmp_path), "f", "db", "t", df, [], cfg)
+
+
+def test_upsert_first_write_is_atomic(spark, tmp_path):
+    """ADVICE r4: a crash on the FIRST write must never leave data
+    visible without its meta_extra batch marker (that window let a
+    replayed first rollup batch double-merge). The first write now
+    stages data + sealed sidecar in .compact-tmp and lands via one
+    rename — simulate the crash by checking nothing is visible at the
+    route until the rename, and that a replayed marker round-trips."""
+    from iotgp_func_raw_data_ingest_spark.sources.lake import (
+        read_route_meta,
+        upsert_lake_table,
+    )
+
+    cfg = EngineConfig(max_batch_size=1000)
+    lake = str(tmp_path / "lake_atomic")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    upsert_lake_table(
+        spark, lake, "f", "db", "t", df, ["id"], cfg,
+        meta_extra={"last_rollup_batch": 7},
+    )
+    route = f"{lake}/f/db/t"
+    # data and marker became visible together
+    meta = read_route_meta(spark, route)
+    assert meta["last_rollup_batch"] == 7 and meta["row_count"] == 2
+    import os
+
+    assert not os.path.exists(f"{route}.compact-tmp")  # staging cleaned up
+
+    # crash simulation: a half-written first attempt (tmp dir, no route)
+    # is discarded by recovery on the next call, which then lands clean
+    lake2 = str(tmp_path / "lake_atomic2")
+    route2 = f"{lake2}/f/db/t"
+    df.write.parquet(f"{route2}.compact-tmp")  # crashed before rename
+    upsert_lake_table(
+        spark, lake2, "f", "db", "t", df, ["id"], cfg,
+        meta_extra={"last_rollup_batch": 0},
+    )
+    assert read_route_meta(spark, route2)["last_rollup_batch"] == 0
+    assert not os.path.exists(f"{route2}.compact-tmp")
+    got = {r.id for r in read_lake_table(spark, lake2, "f", "db", "t").collect()}
+    assert got == {1, 2}
+
+
+def test_upsert_dedupes_intra_batch_keys(spark, tmp_path):
+    """Last-write-wins must hold WITHIN one updates batch: duplicate keys
+    collapse to a single surviving row (ADVICE r4)."""
+    from iotgp_func_raw_data_ingest_spark.sources.lake import upsert_lake_table
+
+    cfg = EngineConfig(max_batch_size=1000)
+    lake = str(tmp_path / "lake_dupes")
+    dupes = spark.createDataFrame([(1, "x"), (1, "y"), (2, "z")], ["id", "v"])
+    _, after = upsert_lake_table(spark, lake, "f", "db", "t", dupes, ["id"], cfg)
+    assert after == 2
+    rows = read_lake_table(spark, lake, "f", "db", "t").collect()
+    assert sorted(r.id for r in rows) == [1, 2]
+    # merging another duplicate-key batch still yields one row per key
+    more = spark.createDataFrame([(2, "q"), (2, "r")], ["id", "v"])
+    _, after2 = upsert_lake_table(spark, lake, "f", "db", "t", more, ["id"], cfg)
+    assert after2 == 2
