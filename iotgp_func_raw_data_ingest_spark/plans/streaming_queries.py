@@ -178,3 +178,86 @@ def q178_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q179_streaming_ingest",
+    oracle="""
+    SELECT 'assorted'              AS folder,
+           'docs'                  AS source_db,
+           lang                    AS "table",
+           CAST(doc_id AS VARCHAR) AS id,
+           lang                    AS doc_lang,
+           CAST(n_chars AS VARCHAR) AS chars
+    FROM documents WHERE doc_id <= 100
+    """,
+)
+def q179_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's PRIMARY path — per-trigger envelope ingest into the
+    typed lake (E3, src/function_app.py:302-310) — run as a REAL stream
+    and hash-gated: q28's synthesized envelope bodies are served as a
+    4-file text stream through ``streaming.pipeline.start_ingest_stream``
+    (foreachBatch → decode → route → write_lake_typed append, committed-
+    batch ledger), the drained stream is restarted once on the same
+    checkpoint (no batch may re-append), and the typed lake is read back.
+    The lake roundtrip is part of the assertion: routed rows must survive
+    the per-route key-union projection and parquet append with the exact
+    values q28's oracle states. Batch boundaries can't matter because
+    routing and the stringly projection are row-local — so the streamed
+    answer must hash-equal the batch oracle, and a replayed batch
+    (duplicate rows) or dropped batch flips the gate.
+
+    100 TB shape: identical to the batch ingest plan per micro-batch
+    (narrow decode, one route shuffle at the write); the ledger adds one
+    tiny FS check per batch. See start_ingest_stream's docstring."""
+    from iotgp_func_raw_data_ingest_spark.sources.envelopes import (
+        envelopes_stream_from_text,
+    )
+    from iotgp_func_raw_data_ingest_spark.streaming.pipeline import (
+        start_ingest_stream,
+    )
+
+    t = prep(spark, sf_dir)
+    bodies = t["documents"].filter(F.col("doc_id") <= 100).select(
+        F.to_json(
+            F.struct(
+                F.concat(F.lit("Docs."), F.col("lang")).alias("Source"),
+                F.base64(
+                    F.to_json(
+                        F.struct(
+                            F.col("doc_id").alias("id"),
+                            F.col("lang").alias("doc_lang"),
+                            F.col("n_chars").alias("chars"),
+                        )
+                    ).cast("binary")
+                ).alias("Data"),
+                F.lit("Raw").alias("MessageType"),
+            )
+        ).alias("body")
+    )
+    work = tempfile.mkdtemp(prefix="q179_")
+    try:
+        with _few_shuffle_partitions(spark):
+            bodies.repartition(4).write.mode("overwrite").text(f"{work}/in")
+            cfg = EngineConfig(output_path=f"{work}/lake")
+            for _restart in range(2):  # 2nd: restart on a drained checkpoint
+                stream = envelopes_stream_from_text(spark, f"{work}/in").selectExpr(
+                    "body"
+                )
+                q = start_ingest_stream(stream, cfg, f"{work}/ckpt")
+                q.awaitTermination()
+            back = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(f"{work}/lake/assorted/docs/*")
+            )
+            out = back.select(
+                F.lit("assorted").alias("folder"),
+                F.lit("docs").alias("source_db"),
+                F.col("doc_lang").alias("table"),
+                "id",
+                "doc_lang",
+                "chars",
+            )
+            return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
