@@ -15,6 +15,13 @@ Commands:
                                  process itself uses)
 - ``ingest <in_dir> <lake>``   — batch-ingest JSON-line envelope files
                                  into a typed lake
+- ``stream-ingest <in_dir> <lake> <checkpoint> [--once]
+                  [--trigger-seconds N]``
+                               — the deployed verb: continuously ingest
+                                 envelope files dropped into a directory
+                                 (checkpointed, exactly-once via the
+                                 committed-batch ledger); ``--once``
+                                 drains available files and exits
 - ``compact <lake> <folder> <db> <table> [--zorder c1,c2]``
                                — small-files compaction, optional
                                  Z-order re-cluster
@@ -49,6 +56,23 @@ def main(argv: list[str] | None = None) -> int:
     p_ing = sub.add_parser("ingest", help="ingest JSON-line envelope files")
     p_ing.add_argument("in_dir")
     p_ing.add_argument("lake")
+
+    p_sing = sub.add_parser(
+        "stream-ingest",
+        help="continuously ingest envelope files dropped into a directory",
+    )
+    p_sing.add_argument("in_dir")
+    p_sing.add_argument("lake")
+    p_sing.add_argument("checkpoint")
+    p_sing.add_argument(
+        "--trigger-seconds", type=int, default=10,
+        help="micro-batch cadence for daemon mode (default 10)",
+    )
+    p_sing.add_argument(
+        "--once", action="store_true",
+        help="drain what's available now (availableNow) and exit — the "
+             "backfill / catch-up verb",
+    )
 
     p_cmp = sub.add_parser("compact", help="compact one route directory")
     for a in ("lake", "folder", "source_db", "table"):
@@ -111,6 +135,28 @@ def main(argv: list[str] | None = None) -> int:
             routed, EngineConfig(output_path=args.lake)
         )
         print("\n".join(written) or "(no routes)")
+        return 0
+
+    if args.cmd == "stream-ingest":
+        from iotgp_func_raw_data_ingest_spark.sources.envelopes import (
+            envelopes_stream_from_text,
+        )
+        from iotgp_func_raw_data_ingest_spark.streaming.pipeline import (
+            start_ingest_stream,
+        )
+
+        stream = envelopes_stream_from_text(spark, args.in_dir)
+        q = start_ingest_stream(
+            stream,
+            EngineConfig(output_path=args.lake),
+            args.checkpoint,
+            trigger_seconds=None if args.once else args.trigger_seconds,
+        )
+        # --once = availableNow: drain and terminate (backfill/catch-up);
+        # otherwise a processing-time trigger runs until killed — the
+        # deployed-daemon mode. Exactly-once across restarts rides on the
+        # checkpoint + committed-batch ledger (streaming/pipeline.py).
+        q.awaitTermination()
         return 0
 
     if args.cmd == "compact":

@@ -69,3 +69,28 @@ def test_cli_validate(spark, tmp_path, capsys):
     assert main(["validate", lake]) == 0
     out = capsys.readouterr().out
     assert "f/db/t: rows=1 meta=1 ok" in out
+
+
+def test_cli_stream_ingest_once(spark, tmp_path):
+    """stream-ingest --once drains the directory through the checkpointed
+    foreachBatch sink and exits; a second --once run on the same
+    checkpoint re-appends nothing (ledger + offsets)."""
+    rows = [{"a": 1}, {"a": 2}]
+    body = json.dumps(
+        {
+            "Source": "db.tbl",
+            "Data": base64.b64encode(json.dumps(rows).encode()).decode(),
+            "MessageType": "Raw",
+        }
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "b1.txt").write_text(body + "\n")
+    lake = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    assert main(["stream-ingest", str(src), lake, ckpt, "--once"]) == 0
+    route = f"{lake}/assorted/db/tbl"
+    assert spark.read.parquet(route).count() == 2
+    # restart on the drained checkpoint: no duplicate appends
+    assert main(["stream-ingest", str(src), lake, ckpt, "--once"]) == 0
+    assert spark.read.parquet(route).count() == 2
