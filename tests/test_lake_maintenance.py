@@ -290,3 +290,31 @@ def test_upsert_dedupes_intra_batch_keys(spark, tmp_path):
     more = spark.createDataFrame([(2, "q"), (2, "r")], ["id", "v"])
     _, after2 = upsert_lake_table(spark, lake, "f", "db", "t", more, ["id"], cfg)
     assert after2 == 2
+
+
+def test_upsert_random_batches_match_dict_model(spark, tmp_path):
+    """Property: N sequential upsert batches == applying dict.update N
+    times (last write wins across batches). Batches are random but
+    intra-batch duplicate-free, so the surviving value is fully
+    determined and comparable."""
+    import random
+
+    from iotgp_func_raw_data_ingest_spark.sources.lake import upsert_lake_table
+
+    rng = random.Random(429)
+    cfg = EngineConfig(max_batch_size=1000)
+    lake = str(tmp_path / "lake_model")
+    model: dict[int, int] = {}
+    for b in range(5):
+        keys = rng.sample(range(20), rng.randint(1, 8))
+        batch = [(k, b * 100 + k) for k in keys]
+        model.update(batch)
+        df = spark.createDataFrame(batch, ["id", "v"])
+        before, after = upsert_lake_table(
+            spark, lake, "f", "db", "t", df, ["id"], cfg
+        )
+        assert after == len(model)
+    got = {
+        r.id: r.v for r in read_lake_table(spark, lake, "f", "db", "t").collect()
+    }
+    assert got == model
