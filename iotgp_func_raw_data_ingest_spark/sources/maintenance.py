@@ -7,9 +7,11 @@ being a plan:
 - ``incremental_rollup`` maintains a time-bucketed aggregate table from
   append increments WITHOUT rescanning history — the hypertable
   continuous-aggregate pattern. Only re-mergeable aggregates are
-  supported (sum/count/min/max; avg = sum/count at read time), because
-  those are exactly the aggregates whose partials combine associatively
-  across refreshes.
+  supported (sum/count/min/max; avg = sum/count at read time; and
+  approx_distinct — DataSketches HLL sketches merged by register-max
+  union, estimated only at read time via ``rollup_distinct_estimate``),
+  because those are exactly the aggregates whose partials combine
+  associatively across refreshes.
 - ``expire_lake_partitions`` drops partition directories older than a
   cutoff — retention is a directory delete on the partition key, never
   a row-level scan.
@@ -34,8 +36,11 @@ from iotgp_func_raw_data_ingest_spark.sources.lake import (
 )
 
 # aggregate -> (column builder, merge builder); merge re-aggregates the
-# SAME function over partials except count, whose partials merge by sum
-MERGEABLE_AGGS = ("sum", "count", "min", "max")
+# SAME function over partials except count (partials merge by sum) and
+# approx_distinct (partials are Apache DataSketches HLL binaries, merged
+# by register-max union — insertion- and merge-order insensitive, so any
+# increment batching converges to the identical sketch)
+MERGEABLE_AGGS = ("sum", "count", "min", "max", "approx_distinct")
 
 
 def aggregate_increment(
@@ -57,7 +62,18 @@ def aggregate_increment(
             raise ValueError(f"aggregate {a!r} is not re-mergeable; use {MERGEABLE_AGGS}")
     exprs = []
     for a in aggs:
-        col = F.count(F.lit(1)) if a == "count" else getattr(F, a)(value_col)
+        if a == "count":
+            col = F.count(F.lit(1))
+        elif a == "approx_distinct":
+            # binary HLL sketch, not an estimate: the stored rollup stays
+            # re-mergeable forever (estimate at read time via
+            # rollup_distinct_estimate). The sketch hashes INT/BIGINT/
+            # STRING/BINARY only, so values canonicalize through a string
+            # cast — fine for the id-typed columns distinct-counting
+            # targets, and deterministic for everything else.
+            col = F.hll_sketch_agg(F.col(value_col).cast("string"))
+        else:
+            col = getattr(F, a)(value_col)
         exprs.append(col.alias(f"{a}_v"))
     return (
         increment.groupBy(
@@ -76,9 +92,24 @@ def merge_rollup_frames(
     unioned = existing.unionByName(partial, allowMissingColumns=True)
     exprs = []
     for a in aggs:
-        col = F.sum(f"{a}_v") if a in ("sum", "count") else getattr(F, a)(f"{a}_v")
+        if a in ("sum", "count"):
+            col = F.sum(f"{a}_v")
+        elif a == "approx_distinct":
+            col = F.hll_union_agg(f"{a}_v")
+        else:
+            col = getattr(F, a)(f"{a}_v")
         exprs.append(col.alias(f"{a}_v"))
     return unioned.groupBy(*keys).agg(*exprs)
+
+
+def rollup_distinct_estimate(rollup: DataFrame) -> DataFrame:
+    """Read-time view of a rollup that carries an ``approx_distinct_v``
+    HLL sketch column: replace the binary with its cardinality estimate
+    (long). Kept separate from the stored table so the lake keeps the
+    re-mergeable sketch; estimates are derived, never persisted."""
+    return rollup.withColumn(
+        "approx_distinct_v", F.hll_sketch_estimate("approx_distinct_v")
+    )
 
 
 def incremental_rollup(

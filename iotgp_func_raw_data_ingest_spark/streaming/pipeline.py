@@ -239,6 +239,7 @@ def start_rollup_stream(
     cfg: EngineConfig,
     checkpoint_dir: str,
     trigger_seconds: int | None = None,
+    aggs: tuple[str, ...] = ("sum", "count", "min", "max"),
 ) -> StreamingQuery:
     """Continuous aggregate: each micro-batch refreshes a persisted
     time-bucketed rollup via ``sources.maintenance.incremental_rollup``
@@ -273,7 +274,7 @@ def start_rollup_stream(
         incremental_rollup(
             spark, lake_path, folder, source_db, table,
             batch_df, ts_col, bucket, dims, value_col, cfg,
-            batch_id=batch_id,
+            aggs=aggs, batch_id=batch_id,
         )
         mark_batch_committed(spark, checkpoint_dir, batch_id)
 

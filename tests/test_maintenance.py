@@ -197,3 +197,51 @@ def test_validate_lake_missing_root(spark, tmp_path):
     from iotgp_func_raw_data_ingest_spark.sources.maintenance import validate_lake
 
     assert validate_lake(spark, str(tmp_path / "nope")) == []
+
+
+def test_approx_distinct_rollup_is_mergeable(spark, tmp_path):
+    """approx_distinct partials are HLL sketch BINARIES: N increment
+    refreshes must union to exactly the sketch a full recompute builds
+    (register-max union is insertion/merge-order insensitive), and the
+    read-time estimate equals the exact distinct count at toy
+    cardinality."""
+    from iotgp_func_raw_data_ingest_spark.sources.maintenance import (
+        rollup_distinct_estimate,
+    )
+
+    cfg = EngineConfig(max_batch_size=1000)
+    lake = str(tmp_path / "lake_hll")
+    # value doubles as the "user id" being distinct-counted; duplicates
+    # across increments must not inflate the estimate
+    a = [(1, 0, "click", 1.0), (1, 1, "click", 2.0), (1, 2, "click", 1.0)]
+    b = [(1, 3, "click", 2.0), (1, 4, "click", 3.0), (2, 0, "click", 7.0)]
+    aggs = ("count", "approx_distinct")
+    for rows in (a, b):
+        incremental_rollup(
+            spark, lake, "rollups", "db", "daily", _events(spark, rows),
+            "ts", "day", ["event_type"], "value", cfg, aggs=aggs,
+        )
+    rolled = rollup_distinct_estimate(
+        read_lake_table(spark, lake, "rollups", "db", "daily")
+    )
+    got = {
+        (r["bucket_start"], r["event_type"]): (r["count_v"], r["approx_distinct_v"])
+        for r in rolled.collect()
+    }
+    # Jan 1 clicks: 5 rows over values {1.0, 2.0, 3.0} -> 3 distinct
+    assert got[(dt.datetime(2024, 1, 1), "click")] == (5, 3)
+    assert got[(dt.datetime(2024, 1, 2), "click")] == (1, 1)
+
+    # incremental sketch == full-recompute sketch, byte-for-byte
+    full = aggregate_increment(
+        _events(spark, a + b), "ts", "day", ["event_type"], "value", aggs=aggs
+    )
+    full_bytes = {
+        (r["bucket_start"], r["event_type"]): bytes(r["approx_distinct_v"])
+        for r in full.collect()
+    }
+    inc_bytes = {
+        (r["bucket_start"], r["event_type"]): bytes(r["approx_distinct_v"])
+        for r in read_lake_table(spark, lake, "rollups", "db", "daily").collect()
+    }
+    assert inc_bytes == full_bytes
