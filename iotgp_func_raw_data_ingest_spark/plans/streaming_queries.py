@@ -261,3 +261,74 @@ def q179_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q180_distinct_rollup_accuracy",
+    oracle="""
+    SELECT date_trunc('day', ts) AS bucket_start,
+           event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS within_5pct
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q180_distinct_rollup_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL approx-distinct rollup under the gate, via the error-bound
+    boolean pattern (how the other sketches in this registry hash-match):
+    events are split into 3 deterministic increments (event_id % 3), each
+    refreshed into a persisted daily (event_type) rollup carrying
+    DataSketches HLL binaries (sources/maintenance.py approx_distinct),
+    and the read-time estimate is compared against the exact
+    COUNT(DISTINCT user_id) — the gated claim is the per-bucket exact
+    count plus `within_5pct`, which a broken merge (double-counted or
+    dropped increment) or a mis-union would flip. lgK=12 HLL stays in
+    sparse (effectively exact) mode at these cardinalities, so the 5%
+    band (floored at 1) is robustly deterministic, and the bound itself
+    is the documented estimator error at ANY cardinality.
+
+    100 TB shape: this is the "distinct users per bucket, refreshed
+    incrementally forever" workload — per batch, one groupBy over new
+    rows producing fixed-width sketches, an upsert whose carried side is
+    buckets × dims, and NO rescan of history; the sketch union replaces
+    the unbounded distinct-set state an exact incremental count would
+    need."""
+    from iotgp_func_raw_data_ingest_spark.sources.lake import read_lake_table
+    from iotgp_func_raw_data_ingest_spark.sources.maintenance import (
+        incremental_rollup,
+        rollup_distinct_estimate,
+    )
+
+    t = prep(spark, sf_dir)
+    events = t["events"]
+    work = tempfile.mkdtemp(prefix="q180_")
+    try:
+        with _few_shuffle_partitions(spark):
+            cfg = EngineConfig(output_path=f"{work}/lake")
+            for part in range(3):
+                incremental_rollup(
+                    spark, f"{work}/lake", "rollups", "events", "daily_users",
+                    events.filter(F.col("event_id") % 3 == part),
+                    "ts", "day", ["event_type"], "user_id", cfg,
+                    aggs=("count", "approx_distinct"), batch_id=part,
+                )
+            rolled = rollup_distinct_estimate(
+                read_lake_table(spark, f"{work}/lake", "rollups", "events", "daily_users")
+            ).select("bucket_start", "event_type", F.col("approx_distinct_v").alias("est"))
+            exact = events.groupBy(
+                F.date_trunc("day", F.col("ts")).alias("bucket_start"),
+                "event_type",
+            ).agg(F.countDistinct("user_id").alias("n_exact"))
+            out = exact.join(rolled, ["bucket_start", "event_type"]).select(
+                "bucket_start",
+                "event_type",
+                F.col("n_exact").cast("long").alias("n_exact"),
+                (
+                    F.abs(F.col("est") - F.col("n_exact"))
+                    <= F.greatest(F.lit(1.0), F.col("n_exact") * 0.05)
+                ).alias("within_5pct"),
+            )
+            return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
