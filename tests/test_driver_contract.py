@@ -49,3 +49,26 @@ def test_prep_sets_nanos_as_long(spark):
     finally:
         if original is not None:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", original)
+
+
+def test_streaming_queries_fail_clean_and_clean_up(spark):
+    """A bad sf_dir must raise the same clean PATH_NOT_FOUND through the
+    streaming gate queries, restore the pinned shuffle-partition conf,
+    and leave no orphaned temp workdirs or active streams."""
+    import glob
+
+    before = set(glob.glob("/tmp/q17[789]_*") + glob.glob("/tmp/q180_*"))
+    conf_before = spark.conf.get("spark.sql.shuffle.partitions")
+    for name in (
+        "q177_streaming_rollup",
+        "q178_streaming_dedup_keys",
+        "q179_streaming_ingest",
+        "q180_distinct_rollup_accuracy",
+    ):
+        with pytest.raises(AnalysisException) as exc:
+            QUERIES[name](spark, "/nonexistent/sf9.9")
+        assert "PATH_NOT_FOUND" in str(exc.value)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == conf_before
+    after = set(glob.glob("/tmp/q17[789]_*") + glob.glob("/tmp/q180_*"))
+    assert after == before  # finally-blocks removed their workdirs
+    assert spark.streams.active == []
