@@ -547,8 +547,15 @@ def blocked_levenshtein_pairs(
         # by the variant count (len²/2 at depth 2) and spilled 40 GB at
         # 2M keys in the measured stress run; the hashed-key relation is
         # the same discipline as the MinHash band join. Hash collisions
-        # only add candidates, which the exact verify join filters.
-        inv = side.select(
+        # only add candidates — the verify join re-checks BOTH the block
+        # equality and the exact distance, so a cross-block 64-bit
+        # collision cannot leak a pair. Null texts are dropped up front:
+        # they can never verify (levenshtein(null, ·) is null, matching
+        # the quadratic path's behavior), but xxhash64 ignores null args,
+        # so left in they'd all share one bucket per block and feed an
+        # O(nulls²) candidate stream through the join for nothing.
+        nonnull = side.filter(F.col("txt").isNotNull())
+        inv = nonnull.select(
             "id",
             F.explode(variants).alias("var"),
             F.col("blk"),
@@ -571,12 +578,24 @@ def blocked_levenshtein_pairs(
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .distinct()
         )
-        ta = side.select(F.col("id").alias("id_a"), F.col("txt").alias("txt_a"))
-        tb = side.select(F.col("id").alias("id_b"), F.col("txt").alias("txt_b"))
+        ta = nonnull.select(
+            F.col("id").alias("id_a"),
+            F.col("txt").alias("txt_a"),
+            F.col("blk").alias("blk_a"),
+        )
+        tb = nonnull.select(
+            F.col("id").alias("id_b"),
+            F.col("txt").alias("txt_b"),
+            F.col("blk").alias("blk_b"),
+        )
         vdist = F.levenshtein(F.col("txt_a"), F.col("txt_b"), max_dist).cast("int")
         return (
             cand.join(ta.hint("shuffle_hash"), "id_a")
             .join(tb.hint("shuffle_hash"), "id_b")
+            # re-check the block: the hashed bv conflates (blk, var), so
+            # this equality is what makes a cross-block hash collision
+            # impossible in the output, not just improbable
+            .filter(F.col("blk_a") == F.col("blk_b"))
             .select("id_a", "id_b", vdist.alias("dist"))
             .filter(F.col("dist").between(0, max_dist))
         )

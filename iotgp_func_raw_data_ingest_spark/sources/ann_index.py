@@ -22,8 +22,12 @@ like ``01101`` would otherwise round-trip as the integer 1101).
 Query buckets are computed IN SPARK from the query DataFrame (not in
 driver-side Python) so the sign bits come from the exact same float →
 double arithmetic as the indexed side; only the resulting bucket
-strings (≤ |Q| × (1 + probes), tiny by contract) are collected to build
-the partition filter.
+strings are collected to build the partition filter. ``probes`` is a
+Hamming RADIUS, so the collected probe set is ≤ |Q| × Σ_{d≤probes}
+C(nbits, d) short strings — e.g. 37/query at nbits=8 probes=2, 697 at
+nbits=16 probes=3. Still driver-trivial for the plane counts an index
+uses (8–16 bits) and the |Q|-bounded query batches the lookup contract
+requires, but size probes from that sum, not from probes+1.
 """
 
 from __future__ import annotations

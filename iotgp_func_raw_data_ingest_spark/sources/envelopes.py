@@ -149,9 +149,15 @@ def eventhubs_kafka_oauth_options(
         raise ValueError("topic (event hub name) is required")
     if not tenant_id:
         raise ValueError("tenant_id is required")
+    # KIP-768: the login callback handler reads clientId/clientSecret/
+    # scope from the JAAS module OPTIONS, not from client configs — a
+    # "sasl.oauthbearer.scope" client config would be silently dropped
+    # and AAD's v2.0 token endpoint rejects scopeless client-credentials
+    # requests, so scope MUST ride in the JAAS string.
     jaas = (
         "org.apache.kafka.common.security.oauthbearer.OAuthBearerLoginModule required"
         + (f' clientId="{client_id}"' if client_id else "")
+        + f' scope="https://{namespace_host}/.default"'
         + ";"
     )
     opts = {
@@ -160,14 +166,15 @@ def eventhubs_kafka_oauth_options(
         "kafka.security.protocol": "SASL_SSL",
         "kafka.sasl.mechanism": "OAUTHBEARER",
         "kafka.sasl.jaas.config": jaas,
+        # non-deprecated package path (KAFKA-13662): the ".secured" stub
+        # existed only in kafka-clients 3.1-3.9 and is gone in 4.x
         "kafka.sasl.login.callback.handler.class": (
-            "org.apache.kafka.common.security.oauthbearer.secured."
+            "org.apache.kafka.common.security.oauthbearer."
             "OAuthBearerLoginCallbackHandler"
         ),
         "kafka.sasl.oauthbearer.token.endpoint.url": (
             f"https://login.microsoftonline.com/{tenant_id}/oauth2/v2.0/token"
         ),
-        "kafka.sasl.oauthbearer.scope": f"https://{namespace_host}/.default",
     }
     if consumer_group is not None and consumer_group != "$Default":
         opts["kafka.group.id"] = consumer_group

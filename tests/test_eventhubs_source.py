@@ -89,7 +89,14 @@ def test_oauth_options_mapping():
         opts["kafka.sasl.oauthbearer.token.endpoint.url"]
         == "https://login.microsoftonline.com/tid-123/oauth2/v2.0/token"
     )
-    assert opts["kafka.sasl.oauthbearer.scope"] == "https://myns.servicebus.windows.net/.default"
+    # KIP-768: scope must be a JAAS module OPTION (client configs named
+    # sasl.oauthbearer.scope don't exist and would be silently dropped)
+    assert 'scope="https://myns.servicebus.windows.net/.default"' in opts["kafka.sasl.jaas.config"]
+    assert "kafka.sasl.oauthbearer.scope" not in opts
+    # non-deprecated handler path (".secured" is gone in kafka-clients 4.x)
+    assert opts["kafka.sasl.login.callback.handler.class"] == (
+        "org.apache.kafka.common.security.oauthbearer.OAuthBearerLoginCallbackHandler"
+    )
     assert 'clientId="app-9"' in opts["kafka.sasl.jaas.config"]
     assert opts["kafka.group.id"] == "ingest"
     # no client_id -> module line still valid JAAS; $Default group omitted

@@ -432,3 +432,16 @@ def test_fastss_d2_matches_quadratic(spark):
         if r.dist <= 2
     }
     assert fast == quad and len(fast) > 50
+
+
+def test_fastss_drops_null_texts(spark):
+    """Null keys can never verify (levenshtein(null,·) is null) and must
+    not pair with each other — xxhash64 ignores null args, so unfiltered
+    they'd share one bucket per block and stream O(nulls²) candidates."""
+    rows = [(1, "abc", "g"), (2, "abd", "g"), (3, None, "g"), (4, None, "g"),
+            (5, None, "g")]
+    df = spark.createDataFrame(rows, "id long, name string, grp string")
+    for d in (1, 2):
+        got = {(r.id_a, r.id_b) for r in
+               D.blocked_levenshtein_pairs(df, "id", "name", "grp", max_dist=d).collect()}
+        assert got == {(1, 2)}
