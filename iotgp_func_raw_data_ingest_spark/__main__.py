@@ -19,8 +19,11 @@ Commands:
                   [--trigger-seconds N]``
                                — the deployed verb: continuously ingest
                                  envelope files dropped into a directory
-                                 (checkpointed, exactly-once via the
-                                 committed-batch ledger); ``--once``
+                                 (checkpointed, effectively-once via the
+                                 committed-batch ledger — a narrow
+                                 at-least-once window if a crash lands
+                                 between a route's file commit and its
+                                 ledger marker); ``--once``
                                  drains available files and exits
 - ``compact <lake> <folder> <db> <table> [--zorder c1,c2]``
                                — small-files compaction, optional
@@ -154,8 +157,10 @@ def main(argv: list[str] | None = None) -> int:
         )
         # --once = availableNow: drain and terminate (backfill/catch-up);
         # otherwise a processing-time trigger runs until killed — the
-        # deployed-daemon mode. Exactly-once across restarts rides on the
-        # checkpoint + committed-batch ledger (streaming/pipeline.py).
+        # deployed-daemon mode. Effectively-once across restarts rides on
+        # the checkpoint + committed-batch ledger (streaming/pipeline.py);
+        # a crash between a route's file commit and the ledger marker
+        # re-appends that route on restart (narrow at-least-once window).
         q.awaitTermination()
         return 0
 

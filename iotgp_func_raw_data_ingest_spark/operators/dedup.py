@@ -560,6 +560,28 @@ def blocked_levenshtein_pairs(
             F.explode(variants).alias("var"),
             F.col("blk"),
         ).select("id", F.xxhash64("blk", "var").alias("bv"))
+        # Size the self-join's sort partitions to the INDEX, not to the
+        # session default: the deletion index is len^d× the corpus (at
+        # depth 2, ~170 variants/key → ~340M rows at 2M keys), and
+        # sorting it through a fixed small partition count spilled
+        # 16.6 GB in the measured stress run. The expected index
+        # cardinality is exact arithmetic on string lengths
+        # (1 + L at d=1; 1 + L + L(L-1)/2 at d=2), so one bounded
+        # single-row agg over the input prices the shuffle, and an
+        # explicit hash repartition on the join key gives the SMJ
+        # partitions whose per-partition sort fits in memory
+        # (~2M 24-byte rows ≈ 50 MB + sorter overhead). Both join
+        # sides alias the SAME repartitioned frame, so its
+        # HashPartitioning(bv, n) satisfies the join's required
+        # distribution on both sides — one exchange, reused, never two.
+        ln = F.length("txt").cast("long")
+        per_key = (1 + ln) if max_dist == 1 else (1 + ln + ln * (ln - 1) / 2)
+        est = nonnull.agg(F.sum(per_key).alias("rows")).first()["rows"] or 0
+        default_parts = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        sort_parts = max(default_parts, min(20_000, int(est) // 2_000_000 + 1))
+        inv = inv.repartition(sort_parts, "bv")
         # Self-join pinned to SORT-MERGE, by measurement at 2M keys: the
         # depth-2 index is ~340M rows, and (a) a forced shuffle-hash join
         # failed to build its hashed relation (cannotAcquireMemory), (b)

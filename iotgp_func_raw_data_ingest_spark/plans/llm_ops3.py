@@ -21,9 +21,9 @@ from iotgp_func_raw_data_ingest_spark.operators.barrier import generate_barrier
 from iotgp_func_raw_data_ingest_spark.operators.dedup import word_shingles, words
 from iotgp_func_raw_data_ingest_spark.plans.llm_ops import (
     _SQL_TOKS,
-    _simhash_sql,
     _sql_shingles,
 )
+from iotgp_func_raw_data_ingest_spark.plans.llm_ops8 import _simhash64_sql
 from iotgp_func_raw_data_ingest_spark.plans.registry import prep, register
 
 
@@ -509,12 +509,13 @@ def q112_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q113_simgraph_degree",
-    oracle=f"""
-    WITH fps AS ({_simhash_sql()}),
+    oracle="""
+    WITH fps AS ({simhash64}),
     pairs AS (
         SELECT a.id AS id_a, b.id AS id_b
         FROM fps a JOIN fps b ON a.id < b.id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        WHERE bit_count(xor(a.sim_hi, b.sim_hi))
+              + bit_count(xor(a.sim_lo, b.sim_lo)) <= 3
     ),
     ends AS (
         SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs
@@ -525,7 +526,7 @@ def q112_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(degree AS BIGINT) AS degree,
            CAST(count(*) AS BIGINT) AS n_nodes
     FROM deg GROUP BY degree
-    """,
+    """.format(simhash64=_simhash64_sql()),
 )
 def q113_simgraph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree distribution of the SimHash near-duplicate graph (Hamming
@@ -534,20 +535,20 @@ def q113_simgraph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected-components clustering (q69) — a heavy tail means a giant
     component and motivates stricter thresholds or edge capping.
 
-    Scale shape: edges come from the byte-band pigeonhole candidate
-    join (operators/dedup.py — inverted-index cost, never O(n²) memory);
-    the degree count then shuffles (node_id) pairs only, and the final
-    histogram is |max_degree| rows.
+    Edges come from the 64-bit SimHash band join (``simhash64_pairs``,
+    q171/q172) — the at-scale fingerprint: 4×16-bit bands give 262k
+    candidate buckets, keeping the candidate stream near-linear in the
+    corpus far beyond the 32-bit variant's ~10⁷-doc O(n²/1024) wall
+    (measured 14.8s vs 207s at 2M docs, tools/stress_smoke.py). q34
+    remains the labeled 32-bit legacy-parity variant.
 
-    SCALE WARNING — as with q34, the 32-bit fingerprint's 1024 buckets
-    stream O(n²/1024) candidates past ~10⁷ docs; a web-scale degree
-    audit should build its edges with ``simhash64_pairs`` (identical
-    call shape, q171/q172) and keep the rest of this plan unchanged.
-    See DEPLOYMENT.md §simhash."""
+    Scale shape: the pigeonhole candidate join is inverted-index cost,
+    never O(n²) memory; the degree count then shuffles (node_id) rows
+    only, and the final histogram is |max_degree| rows."""
     from iotgp_func_raw_data_ingest_spark.operators import dedup as D
 
     t = prep(spark, sf_dir)
-    pairs = D.simhash_pairs(t["documents"], "doc_id", "text", max_hamming=3)
+    pairs = D.simhash64_pairs(t["documents"], "doc_id", "text", max_hamming=3)
     # explode(array(...)) counts both endpoints in ONE evaluation of the
     # pair join; unionAll of two projections re-ran the whole candidate
     # pipeline per branch (no exchange reuse across the union).

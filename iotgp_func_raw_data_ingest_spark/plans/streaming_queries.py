@@ -268,6 +268,7 @@ def q179_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT date_trunc('day', ts) AS bucket_start,
            event_type,
+           CAST(COUNT(*) AS BIGINT) AS count_v,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
            TRUE AS within_5pct
     FROM events
@@ -281,12 +282,15 @@ def q180_distinct_rollup_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame
     refreshed into a persisted daily (event_type) rollup carrying
     DataSketches HLL binaries (sources/maintenance.py approx_distinct),
     and the read-time estimate is compared against the exact
-    COUNT(DISTINCT user_id) — the gated claim is the per-bucket exact
-    count plus `within_5pct`, which a broken merge (double-counted or
-    dropped increment) or a mis-union would flip. lgK=12 HLL stays in
-    sparse (effectively exact) mode at these cardinalities, so the 5%
-    band (floored at 1) is robustly deterministic, and the bound itself
-    is the documented estimator error at ANY cardinality.
+    COUNT(DISTINCT user_id). The gated claim is three columns with three
+    distinct failure detectors: the rollup's own ``count_v`` vs the
+    oracle's COUNT(*) (a replayed or double-merged increment DOUBLES a
+    bucket's count — the HLL union alone can't see that, since register-
+    max union is idempotent), the per-bucket exact count, and
+    ``within_5pct``, which a dropped increment or mis-union flips. lgK=12
+    HLL stays in sparse (effectively exact) mode at these cardinalities,
+    so the 5% band (floored at 1) is robustly deterministic, and the
+    bound itself is the documented estimator error at ANY cardinality.
 
     100 TB shape: this is the "distinct users per bucket, refreshed
     incrementally forever" workload — per batch, one groupBy over new
@@ -315,7 +319,12 @@ def q180_distinct_rollup_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame
                 )
             rolled = rollup_distinct_estimate(
                 read_lake_table(spark, f"{work}/lake", "rollups", "events", "daily_users")
-            ).select("bucket_start", "event_type", F.col("approx_distinct_v").alias("est"))
+            ).select(
+                "bucket_start",
+                "event_type",
+                F.col("count_v").cast("long").alias("count_v"),
+                F.col("approx_distinct_v").alias("est"),
+            )
             exact = events.groupBy(
                 F.date_trunc("day", F.col("ts")).alias("bucket_start"),
                 "event_type",
@@ -323,6 +332,7 @@ def q180_distinct_rollup_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame
             out = exact.join(rolled, ["bucket_start", "event_type"]).select(
                 "bucket_start",
                 "event_type",
+                "count_v",
                 F.col("n_exact").cast("long").alias("n_exact"),
                 (
                     F.abs(F.col("est") - F.col("n_exact"))

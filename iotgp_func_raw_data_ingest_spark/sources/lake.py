@@ -241,23 +241,81 @@ def write_lake_typed(
             & (F.col("table") == table)
         )
         projected = part.select(*[F.col("row").getItem(k).alias(k) for k in keys])
-        _writer(projected, cfg, fmt).save(dest)
-        # reference-parity metadata (kind/row_count/batch identity,
-        # src/function_app.py:389-414) as a route-level sidecar;
-        # batch_number is subsumed by maxRecordsPerFile chunking
-        write_route_meta(
-            routed.sparkSession,
-            dest,
-            {
-                "kind": "decoded_payload",
-                "row_count": counts.get(route, 0),
-                "folder": folder,
-                "source_db": source_db,
-                "table": table,
-                "max_records_per_file": cfg.max_batch_size,
-                "format": fmt,
-            },
-        )
+        # Stage the batch (data + sidecar) in a dot-prefixed dir INSIDE
+        # the route, then rename the files in. The writer is append-mode,
+        # so a failure after a direct save(dest) would leave this batch's
+        # files on disk with no sidecar — a retry of the batch would then
+        # append duplicates. Staging makes a reported failure leave dest
+        # untouched: the sidecar is written into the stage FIRST (its
+        # failure deletes only the stage), and a partial file-move rolls
+        # back exactly the files this batch renamed in. Dot-prefixed
+        # paths are invisible to every Spark/Hadoop reader, so a crashed
+        # run's stranded stage never pollutes reads (validate_lake flags
+        # it). Part-file names carry the write's task UUIDs — no
+        # collision with prior batches' files.
+        import uuid as _uuid
+
+        spark = routed.sparkSession
+        stage = f"{dest}/.stage-{_uuid.uuid4().hex}"
+        jvm, dest_p, fs = _hadoop_fs(spark, dest)
+        stage_p = jvm.org.apache.hadoop.fs.Path(stage)
+        moved: list = []
+        meta_bak = None
+        try:
+            _writer(projected, cfg, fmt).save(stage)
+            write_route_meta(
+                spark,
+                stage,
+                {
+                    "kind": "decoded_payload",
+                    "row_count": counts.get(route, 0),
+                    "folder": folder,
+                    "source_db": source_db,
+                    "table": table,
+                    "max_records_per_file": cfg.max_batch_size,
+                    "format": fmt,
+                },
+            )
+            fs.mkdirs(dest_p)
+            # data files first, the sidecar last: the sidecar's presence
+            # marks the batch complete
+            entries = sorted(
+                (st.getPath() for st in fs.listStatus(stage_p)),
+                key=lambda p: p.getName() == "_meta.json",
+            )
+            for src in entries:
+                name = src.getName()
+                if name == "_SUCCESS":
+                    continue
+                tgt = jvm.org.apache.hadoop.fs.Path(f"{dest}/{name}")
+                if name == "_meta.json" and fs.exists(tgt):
+                    # latest batch owns the sidecar — set the old one
+                    # aside (not delete) so a failed swap can restore it
+                    meta_bak = jvm.org.apache.hadoop.fs.Path(
+                        f"{stage}/_meta.json.prev"
+                    )
+                    fs.rename(tgt, meta_bak)
+                if not fs.rename(src, tgt):
+                    raise IOError(f"could not move {name} into {dest}")
+                moved.append(tgt)
+            meta_bak = None  # swap complete; the old sidecar dies with stage
+        except Exception:
+            for tgt in moved:  # roll back ONLY this batch's files
+                try:
+                    fs.delete(tgt, False)
+                except Exception:  # noqa: BLE001 - best-effort rollback
+                    pass
+            if meta_bak is not None:
+                try:
+                    fs.rename(
+                        meta_bak,
+                        jvm.org.apache.hadoop.fs.Path(f"{dest}/_meta.json"),
+                    )
+                except Exception:  # noqa: BLE001 - best-effort restore
+                    pass
+            raise
+        finally:
+            fs.delete(stage_p, True)
         return dest
 
     written: list[str] = []

@@ -265,6 +265,15 @@ def validate_lake(spark: SparkSession, lake_path: str, fmt: str = "parquet") -> 
                     for suffix in (".compact-old", ".compact-tmp")
                     if fs.exists(jvm.org.apache.hadoop.fs.Path(dest + suffix))
                 ]
+                # a crashed write_lake_typed leaves its dot-prefixed
+                # staging dir inside the route (invisible to readers,
+                # but the batch it staged never landed)
+                stranded += [
+                    s.getPath().getName()
+                    for s in fs.listStatus(table_p)
+                    if s.isDirectory()
+                    and s.getPath().getName().startswith(".stage-")
+                ]
                 r = spark.read
                 if fmt == "parquet":
                     r = r.option("mergeSchema", "true")

@@ -316,6 +316,49 @@ def test_poison_route_isolated(spark, tmp_path):
     assert [r.ok for r in good.collect()] == ["5"]
 
 
+def test_failed_route_leaves_no_partial_output(spark, tmp_path, monkeypatch):
+    """A route that fails AFTER its data files are written (sidecar
+    write throws) must leave dest untouched — the append-mode writer has
+    no overwrite semantics, so any surviving files would duplicate rows
+    when the batch is retried. The staged write (data + sidecar land in
+    a dot-prefixed dir, renamed in only on success) is the mechanism."""
+    import os
+
+    from iotgp_func_raw_data_ingest_spark.sources import lake
+
+    bodies = [envelope([{"ok": 5}, {"ok": 6}], source="good.tbl")]
+    routed = ingest_pipeline(envelopes_from_list(spark, bodies))
+    cfg = EngineConfig(output_path=str(tmp_path / "lake"))
+
+    real_meta = lake.write_route_meta
+
+    def boom(spark_, dest, meta):
+        raise IOError("sidecar write failed")
+
+    monkeypatch.setattr(lake, "write_route_meta", boom)
+    failures: list = []
+    with pytest.warns(UserWarning, match="failed, continuing"):
+        dirs = write_lake_typed(routed, cfg, failed_routes=failures)
+    assert dirs == [] and len(failures) == 1
+    route_dir = tmp_path / "lake" / "landing" / "good" / "tbl"
+    leftovers = (
+        [p for p in os.listdir(route_dir) if not p.startswith(".")]
+        if route_dir.exists()
+        else []
+    )
+    assert leftovers == []  # no data files, no sidecar, no stage residue
+    assert not any(
+        p.startswith(".stage-") for p in os.listdir(route_dir)
+    ) if route_dir.exists() else True
+
+    # the retry (sidecar healthy again) lands exactly one copy
+    monkeypatch.setattr(lake, "write_route_meta", real_meta)
+    dirs = write_lake_typed(routed, cfg)
+    assert len(dirs) == 1
+    back = read_lake_table(spark, cfg.output_path, "landing", "good", "tbl")
+    assert sorted(r.ok for r in back.collect()) == ["5", "6"]
+
+
 def test_clean_base64_mime_chunked_fast_path(spark):
     """MIME/chunked encoders insert CRLF every 76 chars; the whitespace
     fast path (translate) must produce exactly what the regex rebuild

@@ -50,3 +50,55 @@ def test_ordering_is_deterministic():
     # dict insertion order is the contract — two imports agree
     assert list(QUERIES) == sorted(QUERIES, key=list(QUERIES).index)
     assert list(ORACLES)[:50] == [n for n in QUERIES if n in ORACLES][:50]
+
+
+def _latest_green_round() -> dict[str, int]:
+    latest: dict[str, int] = {}
+    for path in ROOT.glob("CORRECTNESS_r*.json"):
+        m = re.search(r"r(\d+)", path.name)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def test_all_green_era_window_is_the_50_stalest():
+    """Post-completion semantics: once every query has a driver-green
+    row, the whole window is bucket 4 (least-recently-verified first) —
+    the 50 entries whose LATEST green is oldest, name-ordered within a
+    round. Pinned so a future _reorder edit can't silently stop rotating
+    stale evidence back under the driver's gate."""
+    latest = _latest_green_round()
+    green_names = [n for n in QUERIES if latest.get(n, 0) > 0]
+    if len(green_names) < len(QUERIES):
+        import pytest
+
+        pytest.skip("not in the all-green era on this checkout")
+    expected = sorted(QUERIES, key=lambda n: (latest[n], n))[:50]
+    assert list(QUERIES)[:50] == expected
+
+
+def test_new_query_preempts_verified_entries():
+    """A hypothetical next-tranche registration (no green row anywhere)
+    must land inside the 50-query window ahead of every already-verified
+    entry — adding coverage late in a round may never be invisible to
+    the driver's gate."""
+    from iotgp_func_raw_data_ingest_spark import plans
+
+    fake = "q999_hypothetical_new_query"
+    assert fake not in QUERIES
+    QUERIES[fake] = lambda spark, sf_dir: None
+    ORACLES[fake] = "SELECT 1 AS one"
+    try:
+        plans._reorder()
+        assert fake in list(QUERIES)[:50]
+    finally:
+        del QUERIES[fake]
+        del ORACLES[fake]
+        plans._reorder()  # restore the committed ordering
+    assert fake not in QUERIES

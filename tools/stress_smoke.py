@@ -173,14 +173,16 @@ def main() -> int:
         "64-bit variant's 262k buckets cut that ~64× — the documented",
         "crossover for choosing simhash64_pairs at scale.",
         "",
-        "fastss_d2 is the one operator allowed to spill here: its depth-2",
-        "deletion index is ~170 variants/key (≈340M narrow hashed rows at",
-        "2M keys), and the pinned sort-merge self-join sorts that index",
-        "through 32 fixed local partitions — the spill is bounded sort",
-        "spill of 16-byte rows, not a hash-relation OOM (the measured",
-        "failure modes of the pinned-SHJ and stats-blind-broadcast",
-        "alternatives). On a real cluster, shuffle partitions sized per",
-        "DEPLOYMENT.md keep each sort in memory.",
+        "fastss_d2's depth-2 deletion index is ~170 variants/key (≈340M",
+        "narrow hashed rows at 2M keys); earlier rounds sorted it through",
+        "the session's fixed partition count and measured 16.6 GB of",
+        "bounded sort spill. The operator now sizes its own sort: a",
+        "single-row agg prices the index exactly (1 + L + L(L-1)/2 per",
+        "key) and hash-repartitions the (id, hash) relation on the join",
+        "key at ~2M rows per partition, which the pinned sort-merge",
+        "self-join reuses on both sides (one exchange) — per-partition",
+        "sorts fit in memory at ANY corpus size, so the spill column is",
+        "expected to read ≈0 at every tier.",
         "",
     ]
     out = os.path.join(
