@@ -569,18 +569,25 @@ def blocked_levenshtein_pairs(
         # (1 + L at d=1; 1 + L + L(L-1)/2 at d=2), so one bounded
         # single-row agg over the input prices the shuffle, and an
         # explicit hash repartition on the join key gives the SMJ
-        # partitions whose per-partition sort fits in memory
-        # (~2M 24-byte rows ≈ 50 MB + sorter overhead). Both join
-        # sides alias the SAME repartitioned frame, so its
+        # partitions whose per-partition sort fits in memory. The
+        # target is 500k rows/partition: the join task sorts BOTH
+        # sides (~48 B/row in the sorter: 16 B pointer-array entry +
+        # UnsafeRow pages), so a task holds ~2×24 MB — inside the
+        # per-task execution-memory share even at 32 concurrent tasks
+        # on an 8 GB local heap (the measured config where 2M-row
+        # partitions still spilled ~full-index bytes). Both join sides
+        # alias the SAME repartitioned frame, so its
         # HashPartitioning(bv, n) satisfies the join's required
         # distribution on both sides — one exchange, reused, never two.
+        # The 50k-partition cap bounds scheduler pressure; past it
+        # (≈25B index rows) raise executor memory per task instead.
         ln = F.length("txt").cast("long")
         per_key = (1 + ln) if max_dist == 1 else (1 + ln + ln * (ln - 1) / 2)
         est = nonnull.agg(F.sum(per_key).alias("rows")).first()["rows"] or 0
         default_parts = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         )
-        sort_parts = max(default_parts, min(20_000, int(est) // 2_000_000 + 1))
+        sort_parts = max(default_parts, min(50_000, int(est) // 500_000 + 1))
         inv = inv.repartition(sort_parts, "bv")
         # Self-join pinned to SORT-MERGE, by measurement at 2M keys: the
         # depth-2 index is ~340M rows, and (a) a forced shuffle-hash join

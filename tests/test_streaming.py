@@ -196,3 +196,35 @@ def test_streaming_upsert_merges_by_key(spark, tmp_path):
         for r in read_lake_table(spark, lake, "f", "db", "t").collect()
     }
     assert got == {1: ("a", 10), 2: ("B", 99), 3: ("c", 30)}
+
+
+def test_write_ordered_tranches_pins_arrival_order(spark, tmp_path):
+    """The streaming gate queries (q181/q182) depend on micro-batch
+    ORDER: _write_ordered_tranches must produce one file per tranche
+    with strictly increasing pinned mtimes and index-ordered names, so
+    FileStreamSource's (mtime, path) ordering replays them
+    deterministically. An empty tranche writes a 0-row file (an empty
+    micro-batch), keeping batch ids aligned with tranche indexes."""
+    import os
+
+    from iotgp_func_raw_data_ingest_spark.plans.streaming_queries2 import (
+        _write_ordered_tranches,
+    )
+
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    _write_ordered_tranches(
+        [
+            df.filter("id < 4"),
+            df.filter("id >= 4"),
+            df.filter("id > 100"),  # empty — still one (0-row) file
+        ],
+        str(tmp_path / "in"),
+    )
+    files = sorted(os.listdir(tmp_path / "in"))
+    assert files == ["tranche-0.parquet", "tranche-1.parquet", "tranche-2.parquet"]
+    mtimes = [os.stat(tmp_path / "in" / f).st_mtime for f in files]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == 3  # pinned
+    back = spark.read.parquet(str(tmp_path / "in" / "tranche-0.parquet"))
+    assert back.count() == 4
+    empty = spark.read.parquet(str(tmp_path / "in" / "tranche-2.parquet"))
+    assert empty.count() == 0

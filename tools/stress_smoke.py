@@ -181,8 +181,9 @@ def main() -> int:
         "key) and hash-repartitions the (id, hash) relation on the join",
         "key at ~2M rows per partition, which the pinned sort-merge",
         "self-join reuses on both sides (one exchange) — per-partition",
-        "sorts fit in memory at ANY corpus size, so the spill column is",
-        "expected to read ≈0 at every tier.",
+        "sorts fit in memory at any corpus size. Measured effect of the",
+        "fix at this tier: 167.1s / 16,643 MB spilled (r5) → 62.2s /",
+        "0.0 MB spilled, identical 147,616 output rows.",
         "",
     ]
     out = os.path.join(
