@@ -206,6 +206,29 @@ def minhash_signatures(
     )
 
 
+def _band_buckets(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Explode a signature frame (id, mh0..mhN) into the narrow
+    (id, bucket) banded relation. Bucket key hashed to 8 bytes for the
+    exchange+join (the band-prefixed concat is ~67 chars); candidate
+    equality is unchanged modulo a ~2⁻⁶⁵-per-pair collision, and every
+    consumer re-verifies candidates (exact Jaccard or signature
+    agreement), so a false candidate costs compute, never correctness."""
+    rows_per_band = num_hashes // bands
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.concat_ws(
+                    "#",
+                    F.lit(str(b)),
+                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+                )
+                for b in range(bands)
+            ])
+        ).alias("_bucket"),
+    ).select("id", F.xxhash64("_bucket").alias("bucket"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -231,25 +254,9 @@ def minhash_lsh_pairs(
     # that multiplies shuffled bytes by bands × array size. Candidates are
     # deduped first; shingle sets are re-attached afterwards, once per
     # surviving pair side.
-    # Bucket key hashed to 8 bytes for the exchange+join (band-prefixed
-    # md5 concat is ~67 chars); candidate equality is unchanged modulo a
-    # ~2⁻⁶⁵-per-pair collision, and the exact-Jaccard verify step below
-    # rejects any false candidate anyway.
-    bucket = sigs.select(
-        "id",
-        F.explode(
-            F.array(*[
-                F.concat_ws(
-                    "#",
-                    F.lit(str(b)),
-                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
-                )
-                for b in range(bands)
-            ])
-        ).alias("_bucket"),
-    ).select(
-        "id", F.xxhash64("_bucket").alias("bucket")
-    ).repartition("bucket")  # one reused exchange for both self-join sides
+    bucket = _band_buckets(sigs, num_hashes, bands).repartition(
+        "bucket"
+    )  # one reused exchange for both self-join sides
     # pinned like jaccard_pairs' shingle join: xxhash64 band keys are
     # high-cardinality (unlike simhash byte bands), and pinning measured
     # 42s vs 57s at 2M docs with zero spill
@@ -281,6 +288,85 @@ def minhash_lsh_pairs(
         cands.withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def dedup_against_ledger(
+    new_sigs: DataFrame,
+    ledger_sigs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 8,
+    est_threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup dedup: which documents of a NEW increment are
+    near-duplicates of anything already in the LEDGER (all previously
+    ingested signatures) — the shape a daily 100 TB training-data
+    pipeline actually runs, where history must never be re-paired.
+
+    Both inputs are minhash signature frames (``minhash_signatures``
+    output or the persisted ledger of those rows: id + mh0..mhN —
+    fixed-width, 8 longs + id per doc at the defaults, ~100 B/doc, so a
+    10-billion-doc ledger is ~1 TB of parquet, not a text corpus).
+    Candidates come from a band join of the increment's buckets against
+    the ledger's buckets — increment × collision-rate cost; there is NO
+    ledger×ledger pairing, which is what makes the per-day cost
+    independent of history size. Verification is signature agreement
+    (matching minhash fraction ≥ ``est_threshold`` — the standard
+    unbiased Jaccard estimator): it needs only the two signature rows,
+    never the shingle sets, so the ledger stays narrow and the verify
+    join shuffles fixed-width rows. The estimator is md5-seeded
+    deterministic arithmetic end-to-end — a DuckDB oracle replays it
+    bit-for-bit (q183).
+
+    Returns one row per flagged new document:
+    ``(id, n_dup_sources, best_est)`` — how many distinct ledger docs it
+    collides-and-verifies against, and the best agreement estimate.
+
+    At-scale deployment (see DEPLOYMENT.md): persist the ledger's
+    banded (bucket, id) relation partitioned by bucket hash range (the
+    ann_index layout) so each day's semi-join prunes to the ranges the
+    increment actually touches, and append the increment's rows to both
+    ledger tables after flagging — the two writes are the whole daily
+    state update.
+
+    Reference parity: the reference has no dedup surface at all
+    (src/function_app.py ingests blind); this is part of the engine's
+    LLM-pipeline battery."""
+    nb = _band_buckets(new_sigs, num_hashes, bands)
+    lb = _band_buckets(ledger_sigs, num_hashes, bands)
+    # new-side buckets are the (much) smaller relation on a daily
+    # increment; SHJ streams the ledger side so no ledger-sized hash
+    # relation is ever built (the minhash_lsh_pairs discipline)
+    cand = (
+        nb.alias("n")
+        .hint("shuffle_hash")
+        .join(lb.alias("o"), F.col("n.bucket") == F.col("o.bucket"))
+        .select(F.col("n.id").alias("new_id"), F.col("o.id").alias("old_id"))
+        .dropDuplicates(["new_id", "old_id"])
+    )
+    n_side = new_sigs.select(
+        F.col("id").alias("new_id"),
+        *[F.col(f"mh{i}").alias(f"n_mh{i}") for i in range(num_hashes)],
+    )
+    o_side = ledger_sigs.select(
+        F.col("id").alias("old_id"),
+        *[F.col(f"mh{i}").alias(f"o_mh{i}") for i in range(num_hashes)],
+    )
+    est = sum(
+        F.when(F.col(f"n_mh{i}") == F.col(f"o_mh{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    ) / F.lit(float(num_hashes))
+    verified = (
+        cand.hint("shuffle_hash")
+        .join(n_side, "new_id")
+        .hint("shuffle_hash")
+        .join(o_side, "old_id")
+        .select("new_id", "old_id", F.round(est, 4).alias("est"))
+        .filter(F.col("est") >= est_threshold)
+    )
+    return verified.groupBy(F.col("new_id").alias("id")).agg(
+        F.count_distinct("old_id").alias("n_dup_sources"),
+        F.max("est").alias("best_est"),
     )
 
 

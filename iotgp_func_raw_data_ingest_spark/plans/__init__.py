@@ -32,6 +32,7 @@ from iotgp_func_raw_data_ingest_spark.plans import llm_ops6  # noqa: E402,F401
 from iotgp_func_raw_data_ingest_spark.plans import llm_ops7  # noqa: E402,F401
 from iotgp_func_raw_data_ingest_spark.plans import llm_ops8  # noqa: E402,F401
 from iotgp_func_raw_data_ingest_spark.plans import llm_ops9  # noqa: E402,F401
+from iotgp_func_raw_data_ingest_spark.plans import llm_ops10  # noqa: E402,F401
 from iotgp_func_raw_data_ingest_spark.plans import relational11  # noqa: E402,F401
 from iotgp_func_raw_data_ingest_spark.plans import ingest_queries  # noqa: E402,F401
 from iotgp_func_raw_data_ingest_spark.plans import streaming_queries  # noqa: E402,F401

@@ -43,3 +43,33 @@ def test_ml_brp_ann_returns_k(spark):
     rows = out.collect()
     assert len(rows) == 5
     assert rows[0].id == 0 and rows[0].euclidean_dist == 0.0  # self is nearest
+
+
+def test_dedup_against_ledger_flags_only_cross_increment_dups(spark):
+    """Incremental dedup: a new doc that near-duplicates a LEDGER doc is
+    flagged; a new doc that only duplicates another NEW doc is not (the
+    increment is deduped against history, intra-increment dedup is
+    minhash_lsh_pairs' job); an exact re-send scores est 1.0."""
+    from iotgp_func_raw_data_ingest_spark.operators.dedup import (
+        dedup_against_ledger,
+        minhash_signatures,
+    )
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    near = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo zulu"
+    other = "totally different words entirely here right now for this document body"
+    ledger_docs = spark.createDataFrame(
+        [(10, base), (11, "unrelated ledger content nothing shared with anything else")],
+        "doc_id long, text string",
+    )
+    new_docs = spark.createDataFrame(
+        [(20, base), (21, near), (22, other), (23, other)],  # 22/23: intra-new dup only
+        "doc_id long, text string",
+    )
+    ledger = minhash_signatures(ledger_docs, "doc_id", "text").drop("shingles")
+    inc = minhash_signatures(new_docs, "doc_id", "text").drop("shingles")
+    got = {r.id: (r.n_dup_sources, r.best_est)
+           for r in dedup_against_ledger(inc, ledger).collect()}
+    assert set(got) == {20, 21}          # 22/23 match each other, not history
+    assert got[20] == (1, 1.0)           # exact re-send of a ledger doc
+    assert got[21][0] == 1 and got[21][1] >= 0.5
