@@ -127,6 +127,19 @@ def main() -> int:
         "fastss_d2(blocked_levenshtein)": lambda: D.blocked_levenshtein_pairs(
             keys, "rec_id", "name", "blk", max_dist=2
         ),
+        # incremental dedup: 5% of the corpus plays the daily increment,
+        # the other 95% the persisted history ledger — the measurement
+        # that the candidate join is increment × collision-rate, never
+        # ledger × ledger (ids ≡ 1 mod 100 near-dup a ledger doc, so the
+        # verify step has real cross-increment matches)
+        "dedup_against_ledger(5% incr)": lambda: D.dedup_against_ledger(
+            D.minhash_signatures(
+                docs.filter(F.col("doc_id") % 20 == 1), "doc_id", "text"
+            ).drop("shingles"),
+            D.minhash_signatures(
+                docs.filter(F.col("doc_id") % 20 != 1), "doc_id", "text"
+            ).drop("shingles"),
+        ),
     }
     rows = []
     for name, build in ops.items():
@@ -184,6 +197,14 @@ def main() -> int:
         "sorts fit in memory at any corpus size. Measured effect of the",
         "fix at this tier: 167.1s / 16,643 MB spilled (r5) → 62.2s /",
         "0.0 MB spilled, identical 147,616 output rows.",
+        "",
+        "dedup_against_ledger runs a 5% increment against the other 95%",
+        "as the history ledger: its shuffle is the increment's banded",
+        "buckets + the ledger's (both fixed-width hashed rows) and the",
+        "verify join moves only signature rows for surviving candidates —",
+        "compare its wall/shuffle to minhash_lsh_pairs over the same",
+        "corpus to see the increment-sized (not history-sized) cost the",
+        "daily-dedup workload needs.",
         "",
     ]
     out = os.path.join(
