@@ -73,3 +73,34 @@ def test_dedup_against_ledger_flags_only_cross_increment_dups(spark):
     assert set(got) == {20, 21}          # 22/23 match each other, not history
     assert got[20] == (1, 1.0)           # exact re-send of a ledger doc
     assert got[21][0] == 1 and got[21][1] >= 0.5
+
+
+def test_dedup_ledger_daily_cycle(spark, tmp_path):
+    """Two-day ledger lifecycle: day-1 increment is deduped against the
+    seed ledger and APPENDED to it (plain parquet append — the whole
+    state update); day-2 then flags its dup against a day-1 doc, proving
+    the ledger actually grows and the operator reads the appended rows."""
+    from iotgp_func_raw_data_ingest_spark.operators.dedup import (
+        dedup_against_ledger,
+        minhash_signatures,
+    )
+
+    ledger_path = str(tmp_path / "ledger")
+    seed = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    day1_doc = "one two three four five six seven eight nine ten eleven twelve"
+    sigs = lambda rows: minhash_signatures(  # noqa: E731
+        spark.createDataFrame(rows, "doc_id long, text string"), "doc_id", "text"
+    ).drop("shingles")
+
+    sigs([(1, seed)]).write.parquet(ledger_path)
+
+    day1 = sigs([(10, day1_doc)])
+    flagged1 = dedup_against_ledger(day1, spark.read.parquet(ledger_path)).collect()
+    assert flagged1 == []  # nothing in history resembles day-1
+    day1.write.mode("append").parquet(ledger_path)
+
+    day2 = sigs([(20, day1_doc), (21, "fresh unseen content nothing prior matches")])
+    flagged2 = {r.id: r.best_est
+                for r in dedup_against_ledger(
+                    day2, spark.read.parquet(ledger_path)).collect()}
+    assert set(flagged2) == {20} and flagged2[20] == 1.0  # caught by day-1's append
