@@ -245,3 +245,53 @@ def test_approx_distinct_rollup_is_mergeable(spark, tmp_path):
         for r in read_lake_table(spark, lake, "rollups", "db", "daily").collect()
     }
     assert inc_bytes == full_bytes
+
+
+def test_approx_quantile_rollup_is_mergeable(spark, tmp_path):
+    """approx_quantile partials are KLL sketch binaries. Invariants:
+    N increment refreshes answer the same quantiles as one full
+    recompute, and in exact mode (n < k) the read-time estimate IS the
+    disc quantile at rank ceil(q*n) — pinned against hand-computed
+    values."""
+    from iotgp_func_raw_data_ingest_spark.sources.maintenance import (
+        rollup_quantile_estimate,
+    )
+
+    cfg = EngineConfig(max_batch_size=1000)
+    lake = str(tmp_path / "lake_kll")
+    a = [(1, 0, "click", 1.0), (1, 1, "click", 1.0), (1, 2, "click", 2.0)]
+    b = [(1, 3, "click", 2.0), (1, 4, "click", 3.0), (2, 0, "click", 7.0)]
+    aggs = ("count", "approx_quantile")
+    for rows in (a, b):
+        incremental_rollup(
+            spark, lake, "rollups", "db", "daily", _events(spark, rows),
+            "ts", "day", ["event_type"], "value", cfg, aggs=aggs,
+        )
+    fracs = {"p25": 0.25, "p50": 0.5, "p95": 0.95, "p100": 1.0}
+    rolled = rollup_quantile_estimate(
+        read_lake_table(spark, lake, "rollups", "db", "daily"), fracs
+    )
+    got = {
+        (r["bucket_start"], r["event_type"]): (
+            r["count_v"], r["p25"], r["p50"], r["p95"], r["p100"]
+        )
+        for r in rolled.collect()
+    }
+    # Jan 1 clicks sorted: [1,1,2,2,3]; rank ceil(q*5) -> 1.0, 2.0, 3.0, 3.0
+    assert got[(dt.datetime(2024, 1, 1), "click")] == (5, 1.0, 2.0, 3.0, 3.0)
+    assert got[(dt.datetime(2024, 1, 2), "click")] == (1, 7.0, 7.0, 7.0, 7.0)
+
+    # incremental == full recompute, estimate-for-estimate
+    full = rollup_quantile_estimate(
+        aggregate_increment(
+            _events(spark, a + b), "ts", "day", ["event_type"], "value", aggs=aggs
+        ),
+        fracs,
+    )
+    full_got = {
+        (r["bucket_start"], r["event_type"]): (
+            r["count_v"], r["p25"], r["p50"], r["p95"], r["p100"]
+        )
+        for r in full.collect()
+    }
+    assert got == full_got
