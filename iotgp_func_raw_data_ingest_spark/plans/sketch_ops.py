@@ -30,15 +30,28 @@ from pyspark.sql import functions as F
 
 from iotgp_func_raw_data_ingest_spark.config import EngineConfig
 from iotgp_func_raw_data_ingest_spark.operators import sketches as SK
-from iotgp_func_raw_data_ingest_spark.plans.llm_ops import (
-    _PLANES,
-    _sql_bucket,
-    _sql_vec,
-)
+from iotgp_func_raw_data_ingest_spark.operators import similarity as S
+from iotgp_func_raw_data_ingest_spark.plans.llm_ops import _sql_plane, _sql_vec
 from iotgp_func_raw_data_ingest_spark.plans.registry import prep, register
 from iotgp_func_raw_data_ingest_spark.plans.streaming_queries import (
     _few_shuffle_partitions,
 )
+
+# 4 planes -> 16 buckets: bucket count sized to the corpus (the
+# embeddings table is small at every test SF; a 256-bucket layout puts
+# single-digit rows in each partition directory and the 2x256 directory
+# commits dominate the query - measured 10s -> ~3s). At cluster scale
+# pick n_planes ≈ log2(corpus / target_rows_per_bucket).
+_IDX_PLANES = S.random_hyperplanes(n_planes=4, dim=64)
+
+
+def _sql_idx_bucket(vec_expr: str) -> str:
+    bits = [
+        f"CASE WHEN list_dot_product({vec_expr}, {_sql_plane(p)}) > 0"
+        " THEN '1' ELSE '0' END"
+        for p in _IDX_PLANES
+    ]
+    return " || ".join(bits)
 
 
 @register(
@@ -275,7 +288,7 @@ def q185_snapshot_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q186_ann_index_lifecycle",
     oracle=f"""
     WITH e AS (SELECT vec_id, {_sql_vec()} AS v FROM embeddings),
-    b AS (SELECT vec_id, v, {_sql_bucket('v')} AS bucket FROM e),
+    b AS (SELECT vec_id, v, {_sql_idx_bucket('v')} AS bucket FROM e),
     q AS (
         SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
         FROM b WHERE vec_id < 20
@@ -326,7 +339,7 @@ def q186_ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         with _few_shuffle_partitions(spark):
             idx = f"{work}/annidx"
             write_ann_index(
-                emb.filter(F.col("vec_id") % 2 == 0), idx, _PLANES
+                emb.filter(F.col("vec_id") % 2 == 0), idx, _IDX_PLANES
             )
             append_ann_index(emb.filter(F.col("vec_id") % 2 == 1), idx)
             queries = emb.filter(F.col("vec_id") < 20).select(

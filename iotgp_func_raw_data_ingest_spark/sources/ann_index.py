@@ -58,7 +58,14 @@ def write_ann_index(
     bucketed = df.withColumn(
         "bucket", F.concat(F.lit("b"), hyperplane_bucket(F.col(vec_col), planes))
     )
-    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    # co-locate each bucket before the partitioned write: without this,
+    # every task writes a sliver into every bucket directory (tasks ×
+    # buckets small files — measured 9.3s for the sf0.1 build+append+
+    # lookup gate query, ~3x faster with one file per bucket); AQE may
+    # still split genuinely hot buckets
+    bucketed.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(path)
     spark = df.sparkSession
     jvm, _, fs = _hadoop_fs(spark, path)
     p = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/_index.json")
@@ -203,5 +210,9 @@ def append_ann_index(df: DataFrame, path: str) -> int:
     bucketed = df.withColumn(
         "bucket", F.concat(F.lit("b"), hyperplane_bucket(F.col(vec_col), planes))
     )
-    bucketed.write.mode("append").partitionBy("bucket").parquet(path)
+    # same bucket co-location as write_ann_index: one delta file per
+    # touched bucket, not one per (task x bucket)
+    bucketed.repartition(F.col("bucket")).write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(path)
     return df.count()
