@@ -39,6 +39,103 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def kll_value_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 2048,
+    sketch_col: str = "kll",
+) -> DataFrame:
+    """Compress each group's value DISTRIBUTION to one KLL double
+    sketch — the persistable snapshot side of quantile/drift analytics.
+    Exact while a group holds < k items; ~1% rank error beyond."""
+    return df.groupBy(*group_cols).agg(
+        F.kll_sketch_agg_double(F.col(value_col).cast("double"), F.lit(k)).alias(
+            sketch_col
+        )
+    )
+
+
+def quantile_drift_psi(
+    snap_a: DataFrame,
+    snap_b: DataFrame,
+    group_cols: list[str],
+    n_buckets: int = 10,
+    sketch_col: str = "kll",
+    p_floor: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two value-distribution
+    snapshots (outputs of :func:`kll_value_sketch` with the same
+    ``group_cols``) — the drift monitor a feature/corpus pipeline runs
+    between refreshes. PSI = Σᵢ (paᵢ − pbᵢ)·ln(paᵢ/pbᵢ) over
+    ``n_buckets`` equi-probable buckets whose edges come from snapshot
+    A's own quantiles (the standard baseline-defined binning; edges are
+    A's disc quantiles at rank ceil(i/n·count)). Common reading: <0.1
+    stable, 0.1–0.25 drifting, >0.25 shifted.
+
+    Everything derives from the two sketches — bucket edges via
+    ``kll_sketch_get_quantile``, per-bucket masses via consecutive
+    ``kll_sketch_get_rank`` differences (rank is INCLUSIVE: fraction of
+    items ≤ v) — so comparing snapshots never rescans raw rows; in
+    exact mode (< k items per group-side) the masses are exact
+    rationals. Probabilities are floored at ``p_floor`` before the log
+    (standard PSI practice for empty buckets). Output: group_cols +
+    ``psi`` (raw double; round at the caller for cross-engine gates).
+
+    100 TB shape: each snapshot is one map-side-partial groupBy into
+    fixed-width sketches, persisted once; every later drift comparison
+    is arithmetic over rows of a few KB — the same
+    compress-once-compare-forever contract as theta_overlap."""
+    a = snap_a.select(*group_cols, F.col(sketch_col).alias("_ka"))
+    b = snap_b.select(*group_cols, F.col(sketch_col).alias("_kb"))
+    j = a.join(b, group_cols)
+    # Spark constraint: kll_sketch_get_rank's VALUE argument must be
+    # foldable, so per-group edges cannot ride as columns. Two bounded
+    # steps instead: (1) evaluate each group's edges from its A-sketch
+    # (quantile FRACTIONS are literals — allowed) and collect the tiny
+    # (groups × n_buckets-1) relation; (2) re-inline the edges as
+    # literals in one per-group plan each, unioned. Group cardinality
+    # must therefore be bounded (dims/segments, not ids) — the same
+    # bounded-domain collect contract as the language-domain queries.
+    edge_rows = j.select(
+        *group_cols,
+        *[
+            F.kll_sketch_get_quantile_double("_ka", F.lit(i / n_buckets)).alias(
+                f"_e{i}"
+            )
+            for i in range(1, n_buckets)
+        ],
+    ).collect()
+
+    def _psi_plan(row):
+        cond = None
+        for c in group_cols:
+            eq = F.col(c).eqNullSafe(F.lit(row[c]))
+            cond = eq if cond is None else (cond & eq)
+        cra, crb = [F.lit(0.0)], [F.lit(0.0)]
+        for i in range(1, n_buckets):
+            edge = F.lit(float(row[f"_e{i}"]))
+            cra.append(F.kll_sketch_get_rank_double("_ka", edge))
+            crb.append(F.kll_sketch_get_rank_double("_kb", edge))
+        cra.append(F.lit(1.0))
+        crb.append(F.lit(1.0))
+        psi = None
+        for i in range(1, n_buckets + 1):
+            pa = F.greatest(cra[i] - cra[i - 1], F.lit(p_floor))
+            pb = F.greatest(crb[i] - crb[i - 1], F.lit(p_floor))
+            term = (pa - pb) * F.log(pa / pb)
+            psi = term if psi is None else psi + term
+        return j.filter(cond).select(*group_cols, psi.alias("psi"))
+
+    plans = [_psi_plan(r) for r in edge_rows]
+    if not plans:
+        return j.select(*group_cols, F.lit(0.0).alias("psi")).limit(0)
+    out = plans[0]
+    for p in plans[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def theta_distinct(
     df: DataFrame,
     group_cols: list[str],

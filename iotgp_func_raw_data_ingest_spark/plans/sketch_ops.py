@@ -358,3 +358,103 @@ def q186_ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             return res.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q191_distribution_drift_psi",
+    oracle="""
+    WITH a AS (
+        SELECT event_type, value FROM events WHERE event_id % 2 = 0
+    ),
+    b AS (
+        SELECT event_type, value FROM events WHERE event_id % 2 = 1
+    ),
+    edges AS (
+        SELECT event_type, g.i,
+               list_sort(list(value))[CAST(ceil(g.i * 0.1 * COUNT(*)) AS BIGINT)] AS e
+        FROM a, (SELECT unnest(generate_series(1, 9)) AS i) g
+        GROUP BY event_type, g.i
+    ),
+    ra AS (
+        SELECT ed.event_type, ed.i,
+               SUM(CASE WHEN a.value <= ed.e THEN 1 ELSE 0 END) * 1.0
+                   / COUNT(*) AS r
+        FROM edges ed JOIN a ON a.event_type = ed.event_type
+        GROUP BY ed.event_type, ed.i
+    ),
+    rb AS (
+        SELECT ed.event_type, ed.i,
+               SUM(CASE WHEN b.value <= ed.e THEN 1 ELSE 0 END) * 1.0
+                   / COUNT(*) AS r
+        FROM edges ed JOIN b ON b.event_type = ed.event_type
+        GROUP BY ed.event_type, ed.i
+    ),
+    cr AS (
+        SELECT event_type, i, ra.r AS cra, rb.r AS crb
+        FROM ra JOIN rb USING (event_type, i)
+        UNION ALL
+        SELECT DISTINCT event_type, 10, 1.0, 1.0 FROM a
+    ),
+    term AS (
+        SELECT event_type,
+               greatest(cra - COALESCE(lag(cra) OVER w, 0), 1e-6) AS pa,
+               greatest(crb - COALESCE(lag(crb) OVER w, 0), 1e-6) AS pb
+        FROM cr
+        WINDOW w AS (PARTITION BY event_type ORDER BY i)
+    )
+    SELECT t.event_type,
+           CAST(na.n AS BIGINT) AS n_a,
+           CAST(nb.n AS BIGINT) AS n_b,
+           ROUND(SUM((pa - pb) * ln(pa / pb)), 6) AS psi
+    FROM term t
+    JOIN (SELECT event_type, COUNT(*) AS n FROM a GROUP BY 1) na
+      ON na.event_type = t.event_type
+    JOIN (SELECT event_type, COUNT(*) AS n FROM b GROUP BY 1) nb
+      ON nb.event_type = t.event_type
+    GROUP BY t.event_type, na.n, nb.n
+    """,
+)
+def q191_distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift monitor between two snapshots
+    (even vs odd event_id) of each event_type's value distribution,
+    computed ENTIRELY from two KLL sketches per group
+    (operators/sketches.quantile_drift_psi): bucket edges are snapshot
+    A's own deciles, per-bucket masses are consecutive inclusive-rank
+    differences, probabilities floored at 1e-6 before the log. The
+    oracle replays the identical arithmetic from raw rows (disc decile
+    edges at rank ceil(i/10·n), count(≤edge)/n cumulative ranks), which
+    matches because at gate cardinality (~1000 values per group-side,
+    k=16384) the sketches are in exact mode — the q180/q184 exactness
+    convention. ``n_a``/``n_b`` come from the sketches' own item counts
+    (kll_sketch_get_n), so a lost or double-fed row flips the gate even
+    if psi happens to survive.
+
+    100 TB shape: each snapshot compresses once into fixed-width
+    sketches (map-side partial groupBy); every later drift comparison
+    is closed-form arithmetic over KB-sized rows — no re-scan, no join
+    of raw snapshots. The same persisted sketch serves q184-style
+    quantile serving and this drift audit."""
+    from iotgp_func_raw_data_ingest_spark.operators.sketches import (
+        kll_value_sketch,
+        quantile_drift_psi,
+    )
+
+    t = prep(spark, sf_dir)
+    events = t["events"]
+    ska = kll_value_sketch(
+        events.filter(F.col("event_id") % 2 == 0), ["event_type"], "value", k=16384
+    )
+    skb = kll_value_sketch(
+        events.filter(F.col("event_id") % 2 == 1), ["event_type"], "value", k=16384
+    )
+    psi = quantile_drift_psi(ska, skb, ["event_type"], n_buckets=10)
+    counts = ska.join(
+        skb.select("event_type", F.col("kll").alias("_kb")), "event_type"
+    ).select(
+        "event_type",
+        F.expr("kll_sketch_get_n_double(kll)").cast("long").alias("n_a"),
+        F.expr("kll_sketch_get_n_double(_kb)").cast("long").alias("n_b"),
+    )
+    return counts.join(psi, "event_type").select(
+        "event_type", "n_a", "n_b", F.round("psi", 6).alias("psi")
+    )

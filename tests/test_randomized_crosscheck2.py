@@ -161,3 +161,42 @@ def test_pagerank_iterations_match_pure_python(spark):
         assert set(got) == set(pr)
         for v in pr:
             assert abs(got[v] - pr[v]) < 1e-8, (v, got[v], pr[v])
+
+
+def test_psi_drift_matches_pure_python(spark):
+    from iotgp_func_raw_data_ingest_spark.operators.sketches import (
+        kll_value_sketch,
+        quantile_drift_psi,
+    )
+
+    for seed, shift in ((4, 0.0), (19, 30.0)):
+        rng = random.Random(seed)
+        a = [("g", round(rng.uniform(0, 100), 3)) for _ in range(400)]
+        b = [("g", round(rng.uniform(0, 100) + shift, 3)) for _ in range(400)]
+        da = spark.createDataFrame(a, "g string, v double")
+        db = spark.createDataFrame(b, "g string, v double")
+        got = quantile_drift_psi(
+            kll_value_sketch(da, ["g"], "v"),
+            kll_value_sketch(db, ["g"], "v"),
+            ["g"],
+            n_buckets=10,
+        ).collect()[0]["psi"]
+
+        va = sorted(v for _, v in a)
+        vb = sorted(v for _, v in b)
+        n = len(va)
+        edges = [va[math.ceil(i / 10 * n) - 1] for i in range(1, 10)]
+        def cdf(vals, x):
+            return sum(1 for v in vals if v <= x) / len(vals)
+        cra = [0.0] + [cdf(va, e) for e in edges] + [1.0]
+        crb = [0.0] + [cdf(vb, e) for e in edges] + [1.0]
+        exp = 0.0
+        for i in range(1, 11):
+            pa = max(cra[i] - cra[i - 1], 1e-6)
+            pb = max(crb[i] - crb[i - 1], 1e-6)
+            exp += (pa - pb) * math.log(pa / pb)
+        assert abs(got - exp) < 1e-9, (got, exp)
+        if shift:
+            assert got > 0.25   # a 30% domain shift must read as "shifted"
+        else:
+            assert got < 0.1    # same distribution must read as stable
