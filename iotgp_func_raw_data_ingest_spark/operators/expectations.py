@@ -94,22 +94,42 @@ def validate_expectations(
 
     spark = df.sparkSession
     reports: list[DataFrame] = []
+    # one shared total for every report that needs n_rows but does not
+    # derive it from its own aggregation — a single extra scan per call,
+    # not one per foreign-key expectation
+    needs_total = any(e.kind == "foreign_key" for e in expectations)
+    totals = (
+        # eager checkpoint: crossJoin consumers would otherwise each
+        # re-execute the count scan (Catalyst does not dedupe subtrees)
+        df.agg(F.count(F.lit(1)).cast("long").alias("n_rows")).localCheckpoint(
+            eager=True
+        )
+        if needs_total
+        else None
+    )
 
     preds = [e for e in expectations if e.kind == "predicate"]
     if preds:
         total = F.count(F.lit(1))
+        # coalesce: F.sum over ZERO rows is NULL — an empty table must
+        # report 0 violations (trivially passing), not a null `ok`
         aggs = [total.alias("__n")] + [
-            F.sum(
-                F.when(e.predicate.isNull() | ~e.predicate, 1).otherwise(0)
+            F.coalesce(
+                F.sum(F.when(e.predicate.isNull() | ~e.predicate, 1).otherwise(0)),
+                F.lit(0),
             ).alias(f"v{i}")
             for i, e in enumerate(preds)
         ]
         row = df.agg(*aggs)
-        # one narrow pivot of the single agg row to (name, violations, n)
-        pairs = ", ".join(f"'{e.name}', struct(v{i} AS v, __n AS n)" for i, e in enumerate(preds))
+        # one narrow pivot of the single agg row to (name, violations, n);
+        # names ride as literal Columns, never interpolated into SQL text
+        kv = []
+        for i, e in enumerate(preds):
+            kv.append(F.lit(e.name))
+            kv.append(F.struct(F.col(f"v{i}").alias("v"), F.col("__n").alias("n")))
         reports.append(
             row.select(
-                F.explode(F.expr(f"map({pairs})")).alias("expectation", "s")
+                F.explode(F.create_map(*kv)).alias("expectation", "s")
             ).select(
                 "expectation",
                 F.col("s.v").cast("long").alias("violations"),
@@ -135,7 +155,7 @@ def validate_expectations(
             missing = df.join(refk, list(e.cols), "left_anti")
             rep = missing.agg(
                 F.count(F.lit(1)).cast("long").alias("violations")
-            ).crossJoin(df.agg(F.count(F.lit(1)).cast("long").alias("n_rows")))
+            ).crossJoin(totals)
         else:
             raise ValueError(f"unknown expectation kind: {e.kind}")
         reports.append(rep.select(F.lit(e.name).alias("expectation"), "violations", "n_rows"))

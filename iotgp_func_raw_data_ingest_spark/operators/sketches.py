@@ -88,7 +88,12 @@ def quantile_drift_psi(
     compress-once-compare-forever contract as theta_overlap."""
     a = snap_a.select(*group_cols, F.col(sketch_col).alias("_ka"))
     b = snap_b.select(*group_cols, F.col(sketch_col).alias("_kb"))
-    j = a.join(b, group_cols)
+    # materialize the tiny (groups × 2 sketches) relation ONCE: it is
+    # consumed by the edge collect below AND by every per-group plan —
+    # unpersisted, each consumer would re-run both sketch aggregations
+    # over the raw snapshots (the Catalyst common-subtree re-execution
+    # q188's edge list documents)
+    j = a.join(b, group_cols).localCheckpoint(eager=True)
     # Spark constraint: kll_sketch_get_rank's VALUE argument must be
     # foldable, so per-group edges cannot ride as columns. Two bounded
     # steps instead: (1) evaluate each group's edges from its A-sketch

@@ -264,10 +264,14 @@ def _sql_plane(p: list[float]) -> str:
     return "[" + ", ".join(repr(x) for x in p) + "]"
 
 
-def _sql_bucket(vec_expr: str) -> str:
+def _sql_bucket(vec_expr: str, planes: list[list[float]] | None = None) -> str:
+    """DuckDB replay of similarity.hyperplane_bucket over ``planes``
+    (default: this module's 8-plane set). Parameterized so every oracle
+    that buckets by hyperplane sign shares ONE string builder — the >0
+    sign rule must mirror the Spark side in exactly one place."""
     bits = [
         f"CASE WHEN list_dot_product({vec_expr}, {_sql_plane(p)}) > 0 THEN '1' ELSE '0' END"
-        for p in _PLANES
+        for p in (planes if planes is not None else _PLANES)
     ]
     return " || ".join(bits)
 

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from iotgp_func_raw_data_ingest_spark.operators import dedup as D
 from iotgp_func_raw_data_ingest_spark.operators import expectations as E
+from iotgp_func_raw_data_ingest_spark.operators import graph as G
 from iotgp_func_raw_data_ingest_spark.plans.llm_ops8 import _simhash64_sql
 from iotgp_func_raw_data_ingest_spark.plans.registry import prep, register
 
@@ -166,32 +167,7 @@ def q188_simgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.simhash64_pairs(
         t["documents"], "doc_id", "text", max_hamming=3
     ).select("id_a", "id_b")
-    edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # materialize the degree-weighted edge relation ONCE: Catalyst does
-    # not dedupe common subtrees, so without this every iteration (and
-    # the deg build) would re-execute the whole simhash banding pipeline
-    # — measured 28s -> 3s at the 50k stress tier. At cluster scale this
-    # is the standard persist-the-edge-list step of any iterative graph
-    # algorithm.
-    w = edges.join(deg, "src").localCheckpoint(eager=True)  # src, dst, deg(src)
-    ranks = w.select(F.col("src").alias("id")).distinct().withColumn(
-        "rank", F.lit(1.0)
-    )
-    for _ in range(3):
-        ranks = (
-            w.join(ranks, w["src"] == ranks["id"])
-            .groupBy("dst")
-            .agg(
-                F.round(
-                    F.lit(0.15) + F.lit(0.85) * F.sum(F.col("rank") / F.col("deg")),
-                    9,
-                ).alias("rank")
-            )
-            .select(F.col("dst").alias("id"), "rank")
-        )
+    ranks = G.pagerank_from_pairs(pairs, iterations=3, damping=0.85)
     return ranks.select(
         F.col("id").alias("doc_id"), F.round("rank", 6).alias("pagerank")
     )

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from iotgp_func_raw_data_ingest_spark.config import EngineConfig
 from iotgp_func_raw_data_ingest_spark.operators import sketches as SK
 from iotgp_func_raw_data_ingest_spark.operators import similarity as S
-from iotgp_func_raw_data_ingest_spark.plans.llm_ops import _sql_plane, _sql_vec
+from iotgp_func_raw_data_ingest_spark.plans.llm_ops import _sql_bucket, _sql_vec
 from iotgp_func_raw_data_ingest_spark.plans.registry import prep, register
 from iotgp_func_raw_data_ingest_spark.plans.streaming_queries import (
     _few_shuffle_partitions,
@@ -46,12 +46,7 @@ _IDX_PLANES = S.random_hyperplanes(n_planes=4, dim=64)
 
 
 def _sql_idx_bucket(vec_expr: str) -> str:
-    bits = [
-        f"CASE WHEN list_dot_product({vec_expr}, {_sql_plane(p)}) > 0"
-        " THEN '1' ELSE '0' END"
-        for p in _IDX_PLANES
-    ]
-    return " || ".join(bits)
+    return _sql_bucket(vec_expr, _IDX_PLANES)
 
 
 @register(
@@ -370,8 +365,12 @@ def q186_ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, value FROM events WHERE event_id % 2 = 1
     ),
     edges AS (
+        -- g.i / 10.0 (not g.i * 0.1): the division is the same IEEE
+        -- double the Spark side passes as the KLL quantile fraction;
+        -- i*0.1 rounds ABOVE i/10 for i in {3,6,7} and shifts the edge
+        -- index by one whenever i*n/10 lands on an integer
         SELECT event_type, g.i,
-               list_sort(list(value))[CAST(ceil(g.i * 0.1 * COUNT(*)) AS BIGINT)] AS e
+               list_sort(list(value))[CAST(ceil(g.i / 10.0 * COUNT(*)) AS BIGINT)] AS e
         FROM a, (SELECT unnest(generate_series(1, 9)) AS i) g
         GROUP BY event_type, g.i
     ),
@@ -441,12 +440,14 @@ def q191_distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = prep(spark, sf_dir)
     events = t["events"]
+    # sketch each snapshot ONCE (groups × KB rows); psi and the count
+    # columns below both consume these without re-aggregating raw rows
     ska = kll_value_sketch(
         events.filter(F.col("event_id") % 2 == 0), ["event_type"], "value", k=16384
-    )
+    ).localCheckpoint(eager=True)
     skb = kll_value_sketch(
         events.filter(F.col("event_id") % 2 == 1), ["event_type"], "value", k=16384
-    )
+    ).localCheckpoint(eager=True)
     psi = quantile_drift_psi(ska, skb, ["event_type"], n_buckets=10)
     counts = ska.join(
         skb.select("event_type", F.col("kll").alias("_kb")), "event_type"

@@ -71,3 +71,25 @@ def test_duplicate_names_rejected(spark):
             _df(spark),
             [E.expect_not_null("x", "id"), E.expect_not_null("x", "name")],
         )
+
+
+def test_empty_table_trivially_passes(spark):
+    df = _df(spark).filter(F.lit(False))
+    ref = spark.createDataFrame([(1,)], "k long")
+    rows = E.validate_expectations(
+        df,
+        [
+            E.expect_not_null("nn", "name"),
+            E.expect_unique("uq", ["id"]),
+            E.expect_foreign_key("fk", ["id"], ref, ["k"]),
+        ],
+    ).collect()
+    assert [(r["violations"], r["n_rows"], r["ok"]) for r in rows] == [(0, 0, True)] * 3
+
+
+def test_names_with_quotes_are_safe(spark):
+    rows = E.validate_expectations(
+        _df(spark), [E.expect_not_null("customer's \"id\"", "id")]
+    ).collect()
+    assert rows[0]["expectation"] == "customer's \"id\""
+    assert rows[0]["ok"]

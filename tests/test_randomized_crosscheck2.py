@@ -127,24 +127,10 @@ def test_pagerank_iterations_match_pure_python(spark):
             {tuple(sorted(rng.sample(nodes, 2))) for _ in range(40)}
         )
         pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
-        edges = pdf.select(
-            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-        ).unionAll(pdf.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        w = edges.join(deg, "src").localCheckpoint(eager=True)
-        ranks = w.select(F.col("src").alias("id")).distinct().withColumn(
-            "rank", F.lit(1.0)
+        from iotgp_func_raw_data_ingest_spark.operators.graph import (
+            pagerank_from_pairs,
         )
-        for _ in range(3):
-            ranks = (
-                w.join(ranks, w["src"] == ranks["id"])
-                .groupBy("dst")
-                .agg(F.round(
-                    F.lit(0.15) + F.lit(0.85) * F.sum(F.col("rank") / F.col("deg")),
-                    9,
-                ).alias("rank"))
-                .select(F.col("dst").alias("id"), "rank")
-            )
+        ranks = pagerank_from_pairs(pdf, iterations=3, damping=0.85)
         got = {r["id"]: r["rank"] for r in ranks.collect()}
 
         adj = defaultdict(list)

@@ -144,35 +144,14 @@ def main() -> int:
         )
 
     def _pagerank():
+        from iotgp_func_raw_data_ingest_spark.operators.graph import (
+            pagerank_from_pairs,
+        )
+
         pairs = D.simhash64_pairs(docs, "doc_id", "text", max_hamming=3).select(
             "id_a", "id_b"
         )
-        edges = pairs.select(
-            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-        ).unionAll(
-            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-        )
-        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        # materialize once — without this every iteration re-executes the
-        # simhash banding pipeline (Catalyst doesn't dedupe common subtrees)
-        w = edges.join(deg, "src").localCheckpoint(eager=True)
-        ranks = w.select(F.col("src").alias("id")).distinct().withColumn(
-            "rank", F.lit(1.0)
-        )
-        for _ in range(3):
-            ranks = (
-                w.join(ranks, w["src"] == ranks["id"])
-                .groupBy("dst")
-                .agg(
-                    F.round(
-                        F.lit(0.15)
-                        + F.lit(0.85) * F.sum(F.col("rank") / F.col("deg")),
-                        9,
-                    ).alias("rank")
-                )
-                .select(F.col("dst").alias("id"), "rank")
-            )
-        return ranks
+        return pagerank_from_pairs(pairs, iterations=3, damping=0.85)
 
     ops = {
         "text_profile": lambda: text_profile(docs, "doc_id", "text"),
