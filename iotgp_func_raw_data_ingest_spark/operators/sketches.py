@@ -35,7 +35,7 @@ dedup.py dedup_against_ledger).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -139,6 +139,150 @@ def quantile_drift_psi(
     for p in plans[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _md5_pos(key: Column, salt: str, sep: str, modulus: int) -> Column:
+    """Deterministic hash position in [0, modulus): the first 48 bits of
+    md5(salt ⊕ sep ⊕ key) as an integer, reduced mod ``modulus``. md5 is
+    the one hash both Spark and DuckDB compute identically over UTF-8
+    strings (the q93 convention), so every sketch built on these
+    positions is bit-replayable by the correctness oracle."""
+    hx = F.md5(F.concat_ws(sep, F.lit(salt), key.cast("string"))).substr(1, 12)
+    return (F.conv(hx, 16, 10).cast("long") % modulus).alias("pos")
+
+
+def cms_table(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-Min sketch of ``key_col`` frequencies as a RELATION:
+    one row per non-empty cell, schema (d, pos, cnt), at most
+    depth × width rows regardless of input size.
+
+    Each input row increments one cell per hash row d (position =
+    md5-derived, :func:`_md5_pos`), so the whole sketch is a single
+    groupBy with map-side partial aggregation — the shuffle is bounded
+    by the FIXED cell count, never by the data. Cells are sums, so two
+    sketches built over disjoint row sets merge by unioning the
+    relations and re-summing per cell: the same re-mergeable-partial
+    contract as the HLL/KLL rollups, which is what lets a continuous
+    pipeline maintain "approximate counts of everything" forever
+    without rescanning history.
+
+    Estimates (:func:`cms_lookup`) NEVER undercount (every cell holds
+    the true count plus non-negative collision mass) and overcount by
+    ≤ e·N/width with probability 1−e^−depth — the classic CM guarantee.
+
+    Reference parity: the reference has no sketch machinery
+    (src/function_app.py); this is beyond-reference analytics surface,
+    sibling to theta_distinct above.
+    """
+    key = F.col(key_col)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                _md5_pos(key, str(d), ":", width).alias("pos"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.d").alias("d"), F.col("c.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_lookup(
+    cms: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    est_col: str = "cms_est",
+) -> DataFrame:
+    """Point-query a :func:`cms_table` sketch for each key in
+    ``probes``: estimate = min over the key's ``depth`` cells.
+
+    The sketch relation is broadcast (≤ depth × width fixed-width rows
+    — a few KB), so probing any number of keys is a map-side join plus
+    a depth-row-per-key min: no shuffle proportional to the corpus.
+    Cells a probe key hashes to that no build row touched read as 0
+    (the true count of an unseen key)."""
+    key = F.col(key_col)
+    pcells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                _md5_pos(key, str(d), ":", width).alias("pos"),
+            )
+            for d in range(depth)
+        ]
+    )
+    probed = probes.select(key, F.explode(pcells).alias("c")).select(
+        key_col, F.col("c.d").alias("d"), F.col("c.pos").alias("pos")
+    )
+    joined = probed.join(F.broadcast(cms), ["d", "pos"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias(est_col)
+    )
+
+
+def bloom_bits(
+    df: DataFrame,
+    key_col: str,
+    n_hashes: int = 2,
+    n_bits: int = 1024,
+) -> DataFrame:
+    """Bloom filter over the distinct keys of ``df`` as a RELATION of
+    set bit positions: schema (pos), at most ``n_bits`` rows.
+
+    Each key sets ``n_hashes`` md5-derived positions in one shared
+    ``n_bits`` space (:func:`_md5_pos`). Built with one map-side-partial
+    distinct whose output is bounded by the fixed bit-space size — the
+    filter for a billion-key build side is still ≤ n_bits rows. Unioning
+    two filters (bit-OR) is just union + distinct: mergeable like every
+    sketch here.
+
+    This is the semi-join-reduction primitive: broadcast the bits to
+    the probe side and drop rows that cannot match BEFORE the real join
+    shuffles them (what Spark's runtime row-level filtering does inside
+    the engine; expressed here as first-class relational algebra the
+    oracle can replay). No false negatives, ever; false-positive rate
+    ≈ (1 − e^(−kn/m))^k, tuned by n_bits/n_hashes."""
+    key = F.col(key_col)
+    pos = F.explode(
+        F.array(*[_md5_pos(key, str(j), "#", n_bits) for j in range(n_hashes)])
+    ).alias("pos")
+    return df.select(pos).distinct()
+
+
+def bloom_probe(
+    bits: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    n_hashes: int = 2,
+    n_bits: int = 1024,
+    hit_col: str = "bloom_hit",
+) -> DataFrame:
+    """Test each key in ``probes`` against a :func:`bloom_bits` filter:
+    hit ⇔ ALL of the key's positions are set. Bits broadcast; per key
+    the check is ``n_hashes`` map-side lookups and a tiny grouped
+    all-match — the probe side never shuffles on data volume."""
+    key = F.col(key_col)
+    pos = F.explode(
+        F.array(*[_md5_pos(key, str(j), "#", n_bits) for j in range(n_hashes)])
+    ).alias("pos")
+    probed = probes.select(key, pos)
+    joined = probed.join(
+        F.broadcast(bits.withColumn("_set", F.lit(1))), ["pos"], "left"
+    )
+    return joined.groupBy(key_col).agg(
+        (F.sum(F.coalesce(F.col("_set"), F.lit(0))) == F.lit(n_hashes)).alias(hit_col)
+    )
 
 
 def theta_distinct(

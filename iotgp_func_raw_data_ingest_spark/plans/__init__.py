@@ -40,6 +40,7 @@ from iotgp_func_raw_data_ingest_spark.plans import streaming_queries2  # noqa: E
 from iotgp_func_raw_data_ingest_spark.plans import sketch_ops  # noqa: E402,F401
 from iotgp_func_raw_data_ingest_spark.plans import quality_graph  # noqa: E402,F401
 from iotgp_func_raw_data_ingest_spark.plans import streaming_queries3  # noqa: E402,F401
+from iotgp_func_raw_data_ingest_spark.plans import probabilistic  # noqa: E402,F401
 
 
 def _reorder() -> None:
