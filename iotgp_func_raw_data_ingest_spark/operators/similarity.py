@@ -298,3 +298,136 @@ def kmeans_refine(
             )
         )
     return cents
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ): the vector-COMPRESSION half of billion-scale
+# ANN. IVF (above) prunes which vectors to score; PQ shrinks each stored
+# vector to n_sub one-byte codes so the scored set fits in memory, with
+# distances computed against a per-query lookup table (ADC) instead of the
+# raw floats. All arithmetic is exact int64 in e6 fixed-point units, so the
+# codes, distance tables, and rankings are bit-replayable by the SQL oracle
+# (the kmeans_refine convention).
+
+
+def _e6_subvec(vec_col: str, m: int, sub_dim: int) -> Column:
+    """Subspace m of a vector, e6-quantized to array<long> (exact ints —
+    cross-engine-safe arithmetic, see kmeans_refine)."""
+    return F.transform(
+        F.slice(F.col(vec_col), m * sub_dim + 1, sub_dim),
+        lambda x: F.round(x.cast("double") * 1e6).cast("long"),
+    )
+
+
+def _sq_l2_e6(a: Column | str, b: Column | str) -> Column:
+    """Exact squared-L2 between two e6 int subvectors (int64 — safe up to
+    |x| ≈ 4e8 per component at sub_dim 16)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _explode_subspaces(
+    df: DataFrame, id_alias: str, n_sub: int, sub_dim: int,
+    id_col: str, vec_col: str, out_vec: str,
+) -> DataFrame:
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("sub"), _e6_subvec(vec_col, m, sub_dim).alias(out_vec)
+            )
+            for m in range(n_sub)
+        ]
+    )
+    return df.select(F.col(id_col).alias(id_alias), F.explode(subs).alias("s")).select(
+        id_alias, F.col("s.sub").alias("sub"), F.col(f"s.{out_vec}").alias(out_vec)
+    )
+
+
+def pq_codebooks(
+    seeds: DataFrame,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace codebooks from ``seeds`` rows: (code, sub, cvec) with
+    code = the seed's id (caller contract: < 64 distinct seeds, ids used
+    as code words directly). Seed-sampled codebooks keep the operator
+    deterministic and oracle-replayable; a production fit would Lloyd-
+    refine each subspace with :func:`kmeans_refine` offline — the ADC
+    machinery below is identical either way."""
+    return _explode_subspaces(seeds, "code", n_sub, sub_dim, id_col, vec_col, "cvec")
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every corpus vector as ``n_sub`` nearest-codeword codes
+    (squared-L2 per subspace, ties → smallest code via the exact
+    ``d2·64 + code`` argmin key). Output (id, sub, code): the compressed
+    representation — n_sub small ints replacing sub_dim·n_sub floats,
+    the ~32× footprint cut that lets a billion-vector index live in RAM.
+
+    Shape: codebooks broadcast (≤ 64·n_sub tiny rows), corpus exploded
+    to n_sub rows/vector map-side, one groupBy on (id, sub) whose width
+    is bounded by the code count. No shuffle scales super-linearly in
+    the corpus."""
+    subs = _explode_subspaces(corpus, id_col, n_sub, sub_dim, id_col, vec_col, "qv")
+    j = subs.join(F.broadcast(codebooks), "sub")
+    key = _sq_l2_e6("qv", "cvec") * F.lit(64) + F.col("code")
+    return j.groupBy(id_col, "sub").agg((F.min(key) % 64).alias("code"))
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query, build
+    the n_sub × n_codes table of exact subspace distances query→codeword
+    (broadcast — a few hundred fixed-width rows), then score every
+    encoded vector by summing its codes' table entries and keep the k
+    best per query (ties → smallest neighbor id).
+
+    This is the PQ serving path: the corpus side touches ONLY the code
+    relation (never the raw vectors), so the scan is n_sub ints per
+    vector and the per-row work is n_sub lookups — at 100 TB, pair with
+    the IVF cell index (ivf_topk) to prune candidates first, then ADC
+    re-ranks inside the probed cells. Output: (query_id, neighbor_id,
+    adc_dist, rank) with adc_dist in exact e6² integer units."""
+    qsubs = _explode_subspaces(
+        queries, query_id_col, n_sub, sub_dim, query_id_col, query_vec_col, "qv"
+    )
+    dt = qsubs.join(F.broadcast(codebooks), "sub").select(
+        query_id_col, "sub", "code", _sq_l2_e6("qv", "cvec").alias("d2")
+    )
+    j = encoded.join(F.broadcast(dt), ["sub", "code"])
+    if exclude_self:
+        j = j.filter(F.col(id_col) != F.col(query_id_col))
+    adc = j.groupBy(query_id_col, id_col).agg(F.sum("d2").alias("adc_dist"))
+    w = W.partitionBy(query_id_col).orderBy("adc_dist", id_col)
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            "adc_dist",
+            "rank",
+        )
+    )
