@@ -286,3 +286,49 @@ def start_rollup_stream(
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: list[str] | str,
+    how: str = "inner",
+) -> DataFrame:
+    """Dimension enrichment of a stream: stream-static join against a
+    (small, broadcast) batch relation — the lookup-table pattern every
+    ingest pipeline needs (device registry, customer segment, route
+    metadata). Stateless: each micro-batch joins against the CURRENT
+    dim snapshot, so no watermark and no state store are involved, and
+    the dim can be swapped between batches for slowly-changing lookups.
+
+    At scale the dim side stays broadcast as long as it fits the
+    broadcast threshold; a huge dim instead becomes a pre-bucketed
+    co-located join — either way the streaming side never shuffles on
+    volume for the join itself."""
+    from pyspark.sql import functions as F
+
+    return stream.join(F.broadcast(dim), on, how)
+
+
+def stream_dedup_within_watermark(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    delay: str,
+) -> DataFrame:
+    """Exactly-once-per-key stream using Spark's native
+    ``dropDuplicatesWithinWatermark``: keeps the FIRST arrival of each
+    key and drops re-deliveries that arrive within ``delay`` of the
+    watermark — the at-least-once → effectively-once repair stage for
+    sources that re-send (Event Hubs/Kafka redeliveries, producer
+    retries).
+
+    vs. the applyInPandasWithState dedup (streaming/stateful.py): this
+    one is all-JVM and needs no custom state schema, but its contract
+    is explicitly WINDOWED — state for a key is dropped once the
+    watermark passes its expiry, so a duplicate older than ``delay`` is
+    re-admitted as new. That bounded-state trade is exactly what makes
+    it viable on unbounded key spaces at 100 TB: state size tracks the
+    delay window's key arrival rate, not stream history. Choose the
+    delay to cover the source's real re-delivery horizon."""
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(key_cols)

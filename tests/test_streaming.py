@@ -228,3 +228,83 @@ def test_write_ordered_tranches_pins_arrival_order(spark, tmp_path):
     assert back.count() == 4
     empty = spark.read.parquet(str(tmp_path / "in" / "tranche-2.parquet"))
     assert empty.count() == 0
+
+
+def test_stream_static_enrich_joins_each_batch(spark, tmp_path):
+    from iotgp_func_raw_data_ingest_spark.plans.streaming_queries2 import (
+        _write_ordered_tranches,
+    )
+    from iotgp_func_raw_data_ingest_spark.streaming.pipeline import (
+        stream_static_enrich,
+    )
+
+    rows = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 11, 6.0), (3, 99, 7.0), (4, 10, 8.0)],
+        "event_id long, user_id long, value double",
+    )
+    dim = spark.createDataFrame(
+        [(10, "gold"), (11, "silver")], "user_id long, tier string"
+    )
+    _write_ordered_tranches(
+        [rows.filter("event_id <= 2"), rows.filter("event_id > 2")],
+        str(tmp_path / "in"),
+    )
+    stream = (
+        spark.readStream.schema(rows.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in"))
+    )
+    q = (
+        stream_static_enrich(stream, dim, "user_id")
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["event_id"], r["tier"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    # user 99 has no dim row -> inner join drops event 3
+    assert got == {(1, "gold"), (2, "silver"), (4, "gold")}
+
+
+def test_stream_dedup_within_watermark_drops_redelivery(spark, tmp_path):
+    from datetime import datetime
+
+    from iotgp_func_raw_data_ingest_spark.plans.streaming_queries2 import (
+        _write_ordered_tranches,
+    )
+    from iotgp_func_raw_data_ingest_spark.streaming.pipeline import (
+        stream_dedup_within_watermark,
+    )
+
+    ts = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = spark.createDataFrame(
+        [(1, ts(0), "a"), (2, ts(1), "b"), (3, ts(2), "c")],
+        "k long, ts timestamp, payload string",
+    )
+    _write_ordered_tranches(
+        [rows, rows.filter("k != 2")],  # re-deliver keys 1 and 3 verbatim
+        str(tmp_path / "in"),
+    )
+    stream = (
+        spark.readStream.schema(rows.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in"))
+    )
+    q = (
+        stream_dedup_within_watermark(stream, ["k"], "ts", "1 hour")
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert sorted((r["k"], r["payload"]) for r in out) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
