@@ -122,11 +122,32 @@ def main() -> int:
     )
 
     from iotgp_func_raw_data_ingest_spark.operators import expectations as EX
+    from iotgp_func_raw_data_ingest_spark.operators import similarity as SIM
     from iotgp_func_raw_data_ingest_spark.operators import sketches as SK
     from iotgp_func_raw_data_ingest_spark.sources.maintenance import (
         aggregate_increment,
         merge_rollup_frames,
         rollup_quantile_estimate,
+    )
+
+    # synthetic 64-dim embeddings for the PQ tier (seeded hash components
+    # in [-1, 1), executor-side like the doc corpus)
+    vecs = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda i: (
+                    (F.pmod(F.hash(F.col("id"), i), F.lit(2000)) - 1000) / 1000.0
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pq_cb = SIM.pq_codebooks(vecs.filter(F.col("vec_id") < 16))
+    pq_queries = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
 
     def _kll_rollup():
@@ -206,6 +227,39 @@ def main() -> int:
             ],
         ),
         "pagerank(3 iters, simhash64 graph)": _pagerank,
+        # q192/q193 structures: the CMS cell relation is FIXED at
+        # depth x width rows however many input rows stream through it,
+        # and the bloom bit relation at <= n_bits — both prove their
+        # bounded-shuffle contract here. Keys are uid % 9973 so cells
+        # carry real multi-hundred counts at this tier.
+        "cms_build+lookup(4x1024)": lambda: SK.cms_lookup(
+            SK.cms_table(
+                evts.select((F.col("uid") % 9973).alias("key")), "key"
+            ),
+            evts.select((F.col("uid") % 20).alias("key")).distinct(),
+            "key",
+        ),
+        "bloom_bits+probe(2-hash, 8n bits)": lambda: SK.bloom_probe(
+            SK.bloom_bits(
+                evts.filter(F.col("uid") % 5 == 0).select(
+                    F.col("uid").alias("key")
+                ),
+                "key",
+                n_bits=8 * n_docs,
+            ),
+            evts.select(F.col("uid").alias("key")),
+            "key",
+            n_bits=8 * n_docs,
+        ),
+        # q194 PQ: encode the full synthetic corpus to 4 codes/vector
+        # and serve 5 queries from codes only — the scored relation is
+        # n_sub rows/vector of small ints, never the raw floats
+        "pq_encode+adc_topk(4x16, 64d)": lambda: SIM.pq_adc_topk(
+            SIM.pq_encode(vecs, pq_cb),
+            pq_cb,
+            pq_queries,
+            k=10,
+        ),
     }
     rows = []
     for name, build in ops.items():
@@ -281,6 +335,14 @@ def main() -> int:
         "the FK anti-join pay shuffles. pagerank's per-iteration cost is",
         "one |E|-sized join + groupBy on the banded simhash64 edge",
         "relation — three iterations declared as one Catalyst plan.",
+        "",
+        "The probabilistic-filter tiers (q192/q193/q194 operators) prove",
+        "their bounded-relation contracts at volume: the CMS build's only",
+        "shuffle is capped at depth × width cells however many rows feed",
+        "it (map-side partials absorb the stream), the bloom filter at",
+        "n_bits distinct positions, and the PQ path scores the whole",
+        "corpus from (id, sub, code) rows — n_sub small ints per vector —",
+        "with codebooks and per-query distance tables broadcast.",
         "",
     ]
     out = os.path.join(
