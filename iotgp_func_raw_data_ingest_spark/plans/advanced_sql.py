@@ -1,0 +1,244 @@
+"""Round-6 tranche 4: the Spark-4-native SQL surfaces the registry did
+not yet exercise, each under the full driver hash gate.
+
+- q198: **recursive CTE** (``WITH RECURSIVE``, new in Spark 4.x) —
+  hierarchy traversal as a declarative fixpoint, the SQL-standard twin
+  of the engine's iterative label-propagation (q69) and PageRank
+  (q188) loops.
+- q199: **VariantType JSON** (``parse_json`` / ``variant_get`` /
+  ``try_variant_get``) — the binary semi-structured encoding that
+  replaces schema-on-read ``get_json_object`` string re-parsing.
+- q200: **Python UDTF** (``operators/udtfs.ChunkText``) — lateral
+  row-expansion through the Arrow-batched table-function API.
+- q201: **Python DataSource API**
+  (``sources/pydatasource.ParquetRowGroupDataSource``) — a custom
+  batch source with row-group partition planning and Arrow-batch
+  reads, verified row-exact against DuckDB reading the same file.
+
+Reference parity: the reference has none of these extension points —
+its JSON handling is eager ``json.loads``
+(``/root/reference/src/function_app.py:120-160``) and its input layer
+a driver-side pyarrow loop (ibid.:230-260).  These queries are the
+Spark-idiomatic generalizations of both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from iotgp_func_raw_data_ingest_spark.plans.registry import prep, register
+
+
+@register(
+    "q198_recursive_hierarchy",
+    oracle="""
+    WITH RECURSIVE chain AS (
+        SELECT c_custkey AS custkey, c_custkey AS root, 0 AS depth,
+               c_acctbal AS acctbal
+        FROM customer WHERE c_custkey < 10
+        UNION ALL
+        SELECT c.c_custkey, ch.root, ch.depth + 1, c.c_acctbal
+        FROM customer c JOIN chain ch ON ch.custkey = c.c_custkey // 10
+        WHERE c.c_custkey >= 10
+    )
+    SELECT root, depth,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           ROUND(SUM(acctbal), 2) AS sum_acctbal
+    FROM chain GROUP BY root, depth
+    """,
+)
+def q198_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE hierarchy rollup (WITH RECURSIVE, Spark 4.x).
+
+    The customer table is given a synthetic but deterministic forest
+    structure — parent(k) = k div 10, roots are custkey < 10 — and a
+    recursive CTE walks every chain to its root, tagging each customer
+    with (root, depth); the outer query rolls up member count and
+    account balance per (root, depth) stratum.  This is the org-chart /
+    BOM-explosion query shape, expressed as the SQL-standard fixpoint
+    instead of a hand-written driver loop.
+
+    Gate: both engines implement SQL-standard recursion (the working
+    table is the PREVIOUS iteration only), so each customer must appear
+    exactly once at its unique depth; a re-visited row, a lost
+    iteration, or off-by-one depth all flip counts or sums.
+
+    100 TB shape: each recursion level is one hash join of the frontier
+    against the (pruned) child relation — Spark plans it as an
+    iterative union-loop with the same join machinery as q05; depth is
+    log_10(|customers|), so the plan is O(depth) stages, each
+    shuffle-bounded by the frontier size, never materializing the
+    closure beyond the running union. For unbounded-depth graphs the
+    iterative min-label operator (operators/graph.py) with its
+    localCheckpoint-per-iteration remains the scale path; the CTE is
+    the declarative option for bounded hierarchies (categories,
+    orgs, threads)."""
+    t = prep(spark, sf_dir)
+    t["customer"]
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+            SELECT c_custkey AS custkey, c_custkey AS root, 0 AS depth,
+                   c_acctbal AS acctbal
+            FROM customer WHERE c_custkey < 10
+            UNION ALL
+            SELECT c.c_custkey, ch.root, ch.depth + 1, c.c_acctbal
+            FROM customer c JOIN chain ch ON ch.custkey = c.c_custkey DIV 10
+            WHERE c.c_custkey >= 10
+        )
+        SELECT root, depth,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               ROUND(SUM(acctbal), 2) AS sum_acctbal
+        FROM chain GROUP BY root, depth
+        """
+    )
+
+
+@register(
+    "q199_variant_json",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k,
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.missing')
+                         IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+    FROM events GROUP BY event_type
+    """,
+)
+def q199_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via VariantType (Spark 4.x).
+
+    ``parse_json`` decodes the events' JSON props column once into the
+    binary Variant encoding; ``variant_get`` extracts typed paths
+    without string re-parsing, and ``try_variant_get`` exercises the
+    null-on-absent-path contract (counted per group as ``n_missing``).
+    Versus the legacy ``get_json_object`` (q91 territory) the Variant
+    path is a typed, shreddable encoding — the 100 TB reason to use it:
+    Variant columns persist in parquet with shredded sub-columns, so a
+    ``$.k`` read back from the lake prunes to one physical column
+    instead of re-parsing every JSON string on every query.
+
+    Gate: typed extraction (`'$.k'` as bigint) must agree exactly with
+    DuckDB's JSON path extraction; sum/max are integer-exact, no float
+    rounding involved."""
+    t = prep(spark, sf_dir)
+    t["events"]
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(variant_get(parse_json(props), '$.k', 'bigint'))
+                    AS BIGINT) AS sum_k,
+               CAST(MAX(variant_get(parse_json(props), '$.k', 'bigint'))
+                    AS BIGINT) AS max_k,
+               CAST(SUM(CASE WHEN try_variant_get(parse_json(props),
+                                                  '$.missing', 'bigint')
+                             IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_missing
+        FROM events GROUP BY event_type
+        """
+    )
+
+
+@register(
+    "q200_udtf_chunking",
+    oracle="""
+    WITH starts AS (
+        SELECT doc_id, text,
+               unnest(generate_series(1, length(text), 200)) AS start
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST((start - 1) // 200 AS INT) AS chunk_id,
+           md5(substr(text, start, 200)) AS chunk_md5,
+           CAST(length(substr(text, start, 200)) AS INT) AS chunk_len
+    FROM starts
+    """,
+)
+def q200_udtf_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking through a lateral Python UDTF.
+
+    ``chunk_text(text, 200, 200)`` (operators/udtfs.py, Arrow-batched)
+    expands each document into contiguous 200-char training chunks via
+    the Spark 4 table-function API; the outer projection fingerprints
+    each chunk JVM-side (md5) so the gate verifies chunk CONTENT, not
+    just counts — any off-by-one in the window arithmetic or a
+    truncated tail chunk flips a hash.
+
+    Oracle: DuckDB tiles the same windows with generate_series +
+    substr; both engines hash UTF-8 bytes, and the corpus is ASCII, so
+    Python slicing and SQL substr agree character-for-character.
+
+    100 TB shape: the UDTF runs inside the scan stage (no shuffle,
+    PyRow stays 0 JVM-side — the Python stage is the Arrow-batched
+    expander itself); output volume = corpus × size/stride. The plan
+    docstring in operators/udtfs.py records when to prefer the all-JVM
+    sequence+explode equivalent."""
+    from iotgp_func_raw_data_ingest_spark.operators.udtfs import register_udtfs
+
+    t = prep(spark, sf_dir)
+    register_udtfs(spark)
+    t["documents"]
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id,
+               md5(c.chunk_text) AS chunk_md5,
+               c.chunk_len
+        FROM documents d,
+             LATERAL chunk_text(d.text, 200, 200) c
+        WHERE d.text IS NOT NULL
+        """
+    )
+
+
+@register(
+    "q201_python_datasource",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q201_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a custom Python DataSource scan.
+
+    events.parquet is read through ``parquet_rowgroups``
+    (sources/pydatasource.py) — the Spark 4 Python DataSource API with
+    one InputPartition per parquet row group, Arrow RecordBatch reads,
+    and `columns` pruning pushed into the pyarrow scan — then grouped
+    per event_type.  The oracle reads the SAME file natively, so every
+    lost/duplicated batch, mis-planned partition, or schema drift in
+    the custom reader flips the row hash.
+
+    The timestamp column is deliberately excluded: the reader's job
+    here is the numeric/string payload, and the ts encoding drift the
+    driver has shipped twice (see tables.load_table) stays the JVM
+    reader's problem.
+
+    100 TB shape: documented in sources/pydatasource.py — row-group
+    granularity parallelism, columnar boundary crossing, and an
+    explicit "use the JVM reader when one exists" steering note."""
+    import pyspark.sql.functions as F
+
+    from iotgp_func_raw_data_ingest_spark.sources.pydatasource import (
+        register_python_datasources,
+    )
+
+    prep(spark, sf_dir)
+    register_python_datasources(spark)
+    df = (
+        spark.read.format("parquet_rowgroups")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("columns", "event_id,user_id,event_type,value")
+        .load()
+    )
+    return df.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("event_id").cast("bigint").alias("sum_event_id"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

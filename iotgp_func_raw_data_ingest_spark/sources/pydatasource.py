@@ -1,0 +1,129 @@
+"""Custom batch data source via the Spark 4 Python DataSource API.
+
+The reference reads its inputs with hand-rolled pyarrow calls on the
+driver (``/root/reference/src/function_app.py:230-260`` — one process,
+one file, eager).  Spark's Python DataSource API is the distributed
+version of that escape hatch: when a format has no JVM reader (an
+in-house telemetry container, a vendor export, an object-store layout
+Spark doesn't know), you implement ``DataSource``/``DataSourceReader``
+in Python and Spark plans it like any other scan — partition planning
+on the driver, per-partition reads on executors, results crossing the
+boundary as Arrow record batches.
+
+``ParquetRowGroupDataSource`` demonstrates the full surface against a
+format we can verify exactly (parquet, so the driver's DuckDB oracle
+can check every row): one ``InputPartition`` per parquet row group,
+per-partition ``pyarrow`` reads yielding ``RecordBatch`` (the zero-copy
+fast path — never per-row tuples), and column pruning pushed into the
+pyarrow scan via the ``columns`` option.
+
+Scale notes (100 TB):
+
+- Parallelism = row groups, the same granularity Spark's native parquet
+  scan uses; a 1000-executor cluster saturates as long as the file set
+  has ≥ cores row groups.  For multi-file datasets, partitions would be
+  (file, row-group) pairs — the planner loop is the only part that
+  changes.
+- Column pruning happens in ``pyarrow.ParquetFile.iter_batches`` —
+  bytes never leave the storage layer for unread columns.  Predicate
+  pushdown would ride the same option channel (this demo keeps the
+  surface minimal).
+- For formats Spark DOES have a JVM reader for, use it — this API pays
+  a Python worker per task; its job is formats that would otherwise
+  need a driver-side collect-and-parallelize.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pyarrow as pa
+
+#: arrow type name → Spark DDL type, for schema inference from the file.
+_ARROW_TO_DDL = {
+    "int8": "tinyint",
+    "int16": "smallint",
+    "int32": "int",
+    "int64": "bigint",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "large_string": "string",
+    "bool": "boolean",
+    "binary": "binary",
+    "large_binary": "binary",
+    "date32[day]": "date",
+}
+
+
+def _ddl_for(field: "pa.Field") -> str:
+    t = str(field.type)
+    if t in _ARROW_TO_DDL:
+        return _ARROW_TO_DDL[t]
+    if t.startswith("timestamp[us"):
+        return "timestamp_ntz" if "tz=" not in t else "timestamp"
+    raise ValueError(
+        f"parquet_rowgroups: unsupported arrow type {t!r} for column "
+        f"{field.name!r} — pass `columns` to select supported ones"
+    )
+
+
+class _RowGroupPartition(InputPartition):
+    def __init__(self, index: int):
+        self.index = index
+
+
+class ParquetRowGroupReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self._path = options["path"]
+        cols = options.get("columns", "")
+        self._columns = [c.strip() for c in cols.split(",") if c.strip()] or None
+
+    def partitions(self):  # planned on the driver: one split per row group
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(self._path).metadata.num_row_groups
+        return [_RowGroupPartition(i) for i in range(n)]
+
+    def read(self, partition: _RowGroupPartition) -> Iterator["pa.RecordBatch"]:
+        # Runs on the executor. Yield Arrow batches (never tuples) so the
+        # Python→JVM hop is columnar; `columns` prunes the physical read.
+        import pyarrow.parquet as pq
+
+        f = pq.ParquetFile(self._path)
+        yield from f.iter_batches(
+            row_groups=[partition.index], columns=self._columns
+        )
+
+
+class ParquetRowGroupDataSource(DataSource):
+    """``spark.read.format("parquet_rowgroups").option("path", p)``.
+
+    Options: ``path`` (required), ``columns`` (optional comma list —
+    pruned inside the pyarrow scan).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "parquet_rowgroups"
+
+    def schema(self) -> str:
+        import pyarrow.parquet as pq
+
+        schema = pq.ParquetFile(self.options["path"]).schema_arrow
+        cols = self.options.get("columns", "")
+        names = [c.strip() for c in cols.split(",") if c.strip()] or schema.names
+        return ", ".join(
+            f"{n} {_ddl_for(schema.field(n))}" for n in names
+        )
+
+    def reader(self, schema) -> ParquetRowGroupReader:  # noqa: ANN001
+        return ParquetRowGroupReader(dict(self.options))
+
+
+def register_python_datasources(spark) -> None:  # noqa: ANN001
+    """Register all Python data sources (idempotent per session)."""
+    spark.dataSource.register(ParquetRowGroupDataSource)

@@ -1,0 +1,123 @@
+"""Semantic invariants for the q198–q201 tranche (recursive CTE,
+Variant JSON, Python UDTF, Python DataSource) plus direct unit tests of
+the two new extension-point modules."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from iotgp_func_raw_data_ingest_spark.plans import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+# ---------------------------------------------------------------- q198
+def test_recursive_hierarchy_partitions_all_customers(spark):
+    rows = QUERIES["q198_recursive_hierarchy"](spark, SF_SMOKE).collect()
+    n_customers = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").count()
+    # every customer lands in exactly one (root, depth) stratum
+    assert sum(r["n_members"] for r in rows) == n_customers
+    # roots are the custkeys < 10, each its own depth-0 singleton
+    depth0 = [r for r in rows if r["depth"] == 0]
+    assert all(r["n_members"] == 1 for r in depth0)
+    assert {r["root"] for r in depth0} == {r["root"] for r in rows}
+    assert all(0 <= r["root"] < 10 for r in rows)
+    # parent(k) = k div 10 ⇒ depth d holds custkeys with d+1 more digits
+    for r in rows:
+        assert r["depth"] <= 5
+
+
+# ---------------------------------------------------------------- q199
+def test_variant_json_counts_align(spark):
+    rows = QUERIES["q199_variant_json"](spark, SF_SMOKE).collect()
+    n_events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    assert sum(r["n_events"] for r in rows) == n_events
+    for r in rows:
+        # '$.missing' is absent from every props payload
+        assert r["n_missing"] == r["n_events"]
+        assert r["max_k"] >= 0 and r["sum_k"] >= r["max_k"]
+
+
+# ---------------------------------------------------------------- q200
+def test_udtf_chunks_tile_each_document(spark):
+    rows = QUERIES["q200_udtf_chunking"](spark, SF_SMOKE).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    lengths = {
+        r["doc_id"]: r["n_chars"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    }
+    assert set(by_doc) == {d for d, n in lengths.items() if n > 0}
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+        assert all(c["chunk_len"] == 200 for c in chunks[:-1])
+        assert 1 <= chunks[-1]["chunk_len"] <= 200
+        assert sum(c["chunk_len"] for c in chunks) == lengths[doc_id]
+
+
+def test_udtf_overlapping_stride_stops_at_end(spark):
+    from iotgp_func_raw_data_ingest_spark.operators.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    rows = spark.sql(
+        "SELECT * FROM chunk_text('abcdefgh', 5, 3) ORDER BY chunk_id"
+    ).collect()
+    # starts 0 and 3; the window reaching the end stops the iteration,
+    # so no chunk is a proper suffix of the previous one
+    assert [(r.chunk_id, r.chunk_text, r.chunk_len) for r in rows] == [
+        (0, "abcde", 5),
+        (1, "defgh", 5),
+    ]
+    one = spark.sql("SELECT * FROM chunk_text('ab', 5, 5)").collect()
+    assert [(r.chunk_id, r.chunk_text, r.chunk_len) for r in one] == [(0, "ab", 2)]
+    assert spark.sql("SELECT * FROM chunk_text(CAST(NULL AS STRING), 5, 5)").count() == 0
+    assert spark.sql("SELECT * FROM chunk_text('abc', 0, 0)").count() == 0
+
+
+# ---------------------------------------------------------------- q201
+def test_python_datasource_matches_native_reader(spark):
+    from iotgp_func_raw_data_ingest_spark.sources.pydatasource import (
+        register_python_datasources,
+    )
+
+    register_python_datasources(spark)
+    via_pyds = (
+        spark.read.format("parquet_rowgroups")
+        .option("path", f"{SF_SMOKE}/documents.parquet")
+        .load()
+    )
+    native = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    assert via_pyds.schema == native.schema
+    assert sorted(map(tuple, via_pyds.collect())) == sorted(
+        map(tuple, native.collect())
+    )
+
+
+def test_python_datasource_plans_one_partition_per_row_group(spark, tmp_path):
+    from iotgp_func_raw_data_ingest_spark.sources.pydatasource import (
+        ParquetRowGroupReader,
+        register_python_datasources,
+    )
+
+    path = str(tmp_path / "rg.parquet")
+    table = pa.table({"a": list(range(100)), "b": [f"s{i}" for i in range(100)]})
+    pq.write_table(table, path, row_group_size=30)  # → 4 row groups
+
+    reader = ParquetRowGroupReader({"path": path})
+    assert len(reader.partitions()) == 4
+
+    register_python_datasources(spark)
+    df = spark.read.format("parquet_rowgroups").option("path", path).load()
+    assert df.count() == 100
+    assert df.rdd.getNumPartitions() == 4
+    # column pruning via the option limits the schema
+    pruned = (
+        spark.read.format("parquet_rowgroups")
+        .option("path", path)
+        .option("columns", "a")
+        .load()
+    )
+    assert pruned.columns == ["a"]
+    assert pruned.agg({"a": "sum"}).collect()[0][0] == sum(range(100))
