@@ -10,10 +10,15 @@ not yet exercise, each under the full driver hash gate.
   replaces schema-on-read ``get_json_object`` string re-parsing.
 - q200: **Python UDTF** (``operators/udtfs.ChunkText``) — lateral
   row-expansion through the Arrow-batched table-function API.
-- q201: **Python DataSource API**
+- q201: **Python DataSource API, batch**
   (``sources/pydatasource.ParquetRowGroupDataSource``) — a custom
   batch source with row-group partition planning and Arrow-batch
   reads, verified row-exact against DuckDB reading the same file.
+- q202: **Python DataSource API, streaming**
+  (``sources/pydatasource.ParquetReplayStreamSource``) — a custom
+  micro-batch stream source (driver-planned row-range offsets,
+  executor-side partition reads) drained twice against one checkpoint
+  and verified row-exact against the batch read.
 
 Reference parity: the reference has none of these extension points —
 its JSON handling is eager ``json.loads``
@@ -242,3 +247,86 @@ def q201_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("event_id").cast("bigint").alias("sum_event_id"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@register(
+    "q202_python_stream_source",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id
+    FROM events GROUP BY event_type
+    """,
+)
+def q202_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end custom STREAMING source via the Python DataSource API.
+
+    events.parquet is replayed through ``parquet_replay_stream``
+    (sources/pydatasource.py): the driver plans row-range offsets, each
+    micro-batch partition is read executor-side from only the parquet
+    row groups it overlaps, and the stream is drained to a parquet sink
+    with ``availableNow`` TWICE against one checkpoint — the second run
+    must re-emit nothing (the offset log proves which ranges were
+    consumed).  The sink is then aggregated per event_type; the oracle
+    computes the same aggregate from the batch table, so a lost or
+    re-emitted row range, a mis-sliced partition, or a restart replay
+    flips counts or the min/max ids.
+
+    rows_per_batch is sized to the corpus (~4 partitions at test SF) so
+    the run exercises multi-partition planning, not a degenerate single
+    split.
+
+    100 TB shape: this is the pattern for ingesting a custom feed
+    format Spark has no connector for — offsets are source-native
+    positions (here row index; in production a ledger/sequence number),
+    reads happen on executors with per-partition locality, and
+    exactly-once rides the engine's offset log + idempotent sink, the
+    same contract as streaming/pipeline.py's Kafka path."""
+    import shutil
+    import tempfile
+
+    from iotgp_func_raw_data_ingest_spark.plans.streaming_queries3 import (
+        _drain_twice,
+    )
+    from iotgp_func_raw_data_ingest_spark.sources.pydatasource import (
+        register_python_datasources,
+    )
+
+    prep(spark, sf_dir)
+    register_python_datasources(spark)
+    path = f"{sf_dir}/events.parquet"
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(path).metadata.num_rows
+    rows_per_batch = max(1, n // 4 + 1)
+
+    work = tempfile.mkdtemp(prefix="q202_")
+    try:
+
+        def build():
+            return (
+                spark.readStream.format("parquet_replay_stream")
+                .option("path", path)
+                .option("columns", "event_id,user_id,event_type")
+                .option("rows_per_batch", str(rows_per_batch))
+                .load()
+            )
+
+        _drain_twice(build, f"{work}/out", f"{work}/ckpt")
+        import pyspark.sql.functions as F
+
+        out = (
+            spark.read.parquet(f"{work}/out")
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("bigint").alias("n_events"),
+                F.countDistinct("user_id").cast("bigint").alias("n_users"),
+                F.min("event_id").cast("bigint").alias("min_event_id"),
+                F.max("event_id").cast("bigint").alias("max_event_id"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

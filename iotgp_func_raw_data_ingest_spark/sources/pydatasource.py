@@ -37,7 +37,12 @@ from __future__ import annotations
 
 from typing import TYPE_CHECKING, Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 if TYPE_CHECKING:  # pragma: no cover
     import pyarrow as pa
@@ -124,6 +129,106 @@ class ParquetRowGroupDataSource(DataSource):
         return ParquetRowGroupReader(dict(self.options))
 
 
+class _RowRangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class ParquetReplayStreamReader(DataSourceStreamReader):
+    """Replay a parquet file as a micro-batch stream, offset = row index.
+
+    The partition-based stream-reader API (not the Simple one): offsets
+    are planned on the driver, each ``_RowRangePartition`` is read on an
+    executor, and ``trigger(availableNow=True)`` drains the whole file
+    in one pass — the probe-measured behavior the gate query relies on
+    (the Simple reader's driver-side prefetch admits only one increment
+    per availableNow run).
+
+    Row ranges are mapped to parquet row groups before reading, so a
+    partition touches only the row groups it overlaps — per-partition
+    read cost is O(partition), not O(file).
+    """
+
+    def __init__(self, options: dict):
+        self._path = options["path"]
+        cols = options.get("columns", "")
+        self._columns = [c.strip() for c in cols.split(",") if c.strip()] or None
+        self._rows_per_batch = int(options.get("rows_per_batch", 10_000))
+
+    def _total_rows(self) -> int:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(self._path).metadata.num_rows
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def latestOffset(self) -> dict:
+        return {"row": self._total_rows()}
+
+    def partitions(self, start: dict, end: dict):
+        s, e, step = start["row"], end["row"], self._rows_per_batch
+        return [
+            _RowRangePartition(i, min(i + step, e)) for i in range(s, e, step)
+        ] or [_RowRangePartition(s, s)]
+
+    def read(self, partition: _RowRangePartition):
+        import pyarrow.parquet as pq
+
+        f = pq.ParquetFile(self._path)
+        md = f.metadata
+        # row groups overlapping [start, end)
+        groups, first_row = [], 0
+        base = None
+        for g in range(md.num_row_groups):
+            n = md.row_group(g).num_rows
+            if first_row < partition.end and first_row + n > partition.start:
+                if base is None:
+                    base = first_row
+                groups.append(g)
+            first_row += n
+        if not groups:
+            return iter(())
+
+        table = f.read_row_groups(groups, columns=self._columns)
+        lo = partition.start - base
+        rows = table.slice(lo, partition.end - partition.start).to_pylist()
+        names = table.schema.names
+        return iter(tuple(r[n] for n in names) for r in rows)
+
+    def commit(self, end: dict) -> None:  # offsets live in the checkpoint
+        pass
+
+
+class ParquetReplayStreamSource(DataSource):
+    """``spark.readStream.format("parquet_replay_stream")``.
+
+    Options: ``path`` (required), ``columns`` (optional comma list),
+    ``rows_per_batch`` (partition granularity, default 10k rows).
+
+    Deterministic replay source for testing streaming semantics: the
+    offset log pins exactly which row ranges each micro-batch consumed,
+    so a checkpoint restart provably re-emits nothing (q202's gate).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "parquet_replay_stream"
+
+    def schema(self) -> str:
+        import pyarrow.parquet as pq
+
+        schema = pq.ParquetFile(self.options["path"]).schema_arrow
+        cols = self.options.get("columns", "")
+        names = [c.strip() for c in cols.split(",") if c.strip()] or schema.names
+        return ", ".join(f"{n} {_ddl_for(schema.field(n))}" for n in names)
+
+    def streamReader(self, schema) -> ParquetReplayStreamReader:  # noqa: ANN001
+        return ParquetReplayStreamReader(dict(self.options))
+
+
 def register_python_datasources(spark) -> None:  # noqa: ANN001
     """Register all Python data sources (idempotent per session)."""
     spark.dataSource.register(ParquetRowGroupDataSource)
+    spark.dataSource.register(ParquetReplayStreamSource)

@@ -121,3 +121,42 @@ def test_python_datasource_plans_one_partition_per_row_group(spark, tmp_path):
     )
     assert pruned.columns == ["a"]
     assert pruned.agg({"a": "sum"}).collect()[0][0] == sum(range(100))
+
+
+# ---------------------------------------------------------------- q202
+def test_stream_source_slices_across_row_groups(spark, tmp_path):
+    """rows_per_batch deliberately misaligned with the row-group size:
+    every row must arrive exactly once, and a checkpoint restart must
+    re-emit nothing."""
+    from iotgp_func_raw_data_ingest_spark.sources.pydatasource import (
+        ParquetReplayStreamReader,
+        register_python_datasources,
+    )
+
+    path = str(tmp_path / "rg.parquet")
+    pq.write_table(pa.table({"a": list(range(100))}), path, row_group_size=30)
+    register_python_datasources(spark)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    for run in range(2):
+        q = (
+            spark.readStream.format("parquet_replay_stream")
+            .option("path", path)
+            .option("rows_per_batch", "17")  # straddles the 30-row groups
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(r.a for r in spark.read.parquet(out).collect())
+        assert got == list(range(100)), f"run {run}: {len(got)} rows"
+
+    # unit-level: a partition overlapping two row groups reads its exact range
+    reader = ParquetReplayStreamReader({"path": path, "rows_per_batch": "17"})
+    part = reader.partitions({"row": 17}, {"row": 34})[0]
+    assert [t[0] for t in reader.read(part)] == list(range(17, 34))
+    assert reader.latestOffset() == {"row": 100}
