@@ -30,6 +30,7 @@ Spark-idiomatic generalizations of both.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from iotgp_func_raw_data_ingest_spark.plans.registry import prep, register
 
@@ -330,3 +331,94 @@ def q202_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q203_statestore_introspection",
+    oracle="""
+    SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id FROM events
+    """,
+)
+def q203_statestore_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read a streaming checkpoint's STATE STORE back as a DataFrame.
+
+    A streaming ``dropDuplicates(user_id)`` drains the events table into
+    a sink, then the checkpoint's state store is opened with the
+    ``statestore`` reader (Spark 4's ops-debugging data source) and the
+    keyed state is returned as rows.  The dedup operator's state is by
+    definition the set of distinct keys seen, so the state contents must
+    hash-equal ``SELECT DISTINCT user_id`` over the batch table — a
+    state row lost to eviction, a key double-inserted under a different
+    grouping, or a partition of the store unreadable after the run all
+    flip the gate.
+
+    100 TB shape: this is the incident-response tool for stateful
+    streams — state size investigations, skewed-key hunts (group the
+    read by ``partition_id``), and offline state audits run as plain
+    batch queries against the checkpoint, never touching the live
+    stream. The read is partition-parallel over the store's shards."""
+    import os
+    import shutil
+    import tempfile
+
+    prep(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="q203_")
+    try:
+        # the file source wants a directory; serve the table via symlink
+        os.makedirs(f"{work}/in")
+        os.symlink(f"{sf_dir}/events.parquet", f"{work}/in/events.parquet")
+        stream = (
+            spark.readStream.schema("event_id bigint, user_id bigint")
+            .parquet(f"{work}/in")
+            .dropDuplicates(["user_id"])
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        state = spark.read.format("statestore").load(f"{work}/ckpt")
+        out = state.select(F.col("key.user_id").cast("bigint").alias("user_id"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q204_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ROUND(AVG(l_quantity), 4) AS avg_qty
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q204_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0 ``|>`` operators): the q01-family
+    pricing rollup expressed as a linear pipeline — FROM … |> WHERE …
+    |> EXTEND … |> AGGREGATE … GROUP BY.  Same Catalyst plan as the
+    nested form (pipe stages are pure sugar over the logical operators,
+    so pushdown/pruning/codegen are identical — verified in
+    PLAN_AUDIT); the gate proves the new parser path computes exactly
+    what the ANSI oracle does."""
+    t = prep(spark, sf_dir)
+    t["lineitem"]
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate >= DATE '1996-01-01'
+        |> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     ROUND(SUM(disc_price), 2) AS revenue,
+                     ROUND(AVG(l_quantity), 4) AS avg_qty
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n_rows, revenue, avg_qty
+        """
+    )

@@ -160,3 +160,26 @@ def test_stream_source_slices_across_row_groups(spark, tmp_path):
     part = reader.partitions({"row": 17}, {"row": 34})[0]
     assert [t[0] for t in reader.read(part)] == list(range(17, 34))
     assert reader.latestOffset() == {"row": 100}
+
+
+# ---------------------------------------------------------------- q203
+def test_statestore_reader_returns_unique_dedup_keys(spark):
+    rows = QUERIES["q203_statestore_introspection"](spark, SF_SMOKE).collect()
+    users = [r["user_id"] for r in rows]
+    assert len(users) == len(set(users))  # one state row per key
+    expected = {
+        r.user_id
+        for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id")
+        .collect()
+    }
+    assert set(users) == expected
+
+
+# ---------------------------------------------------------------- q204
+def test_pipe_syntax_matches_ansi_form(spark):
+    piped = QUERIES["q204_pipe_syntax"](spark, SF_SMOKE)
+    from iotgp_func_raw_data_ingest_spark.plans.registry import ORACLES
+
+    ansi = spark.sql(ORACLES["q204_pipe_syntax"])  # the oracle is ANSI enough to run in Spark too
+    assert sorted(map(tuple, piped.collect())) == sorted(map(tuple, ansi.collect()))
