@@ -20,6 +20,12 @@ not yet exercise, each under the full driver hash gate.
   executor-side partition reads) drained twice against one checkpoint
   and verified row-exact against the batch read.
 
+- q203: **statestore reader**, q204: **SQL pipe syntax** (below).
+- q207: **Observation API** — exact job-accounting metrics collected
+  ON the write pass itself, no second scan.
+- q208: **native XML codec** (``to_xml`` / ``from_xml``, Spark 4) —
+  the envelope-codec surface extended beyond JSON.
+
 Reference parity: the reference has none of these extension points —
 its JSON handling is eager ``json.loads``
 (``/root/reference/src/function_app.py:120-160``) and its input layer
@@ -421,4 +427,118 @@ def q204_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY l_returnflag, l_linestatus
         |> SELECT l_returnflag, l_linestatus, n_rows, revenue, avg_qty
         """
+    )
+
+
+@register(
+    "q207_observed_write_accounting",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           ROUND(SUM(value), 2) AS sum_value,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clicks
+    FROM events
+    """,
+)
+def q207_observed_write_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ingest accounting via the Observation API — metrics
+    collected ON the write job itself, zero extra scans.
+
+    The events table is written to a parquet sink with ``df.observe``
+    attaching count/sum/conditional-count accumulators to the plan; the
+    observed values (collected from the SAME job that produced the
+    files) are returned as the result row and gated against the oracle
+    recomputing them from the table.  A partition lost by the writer, a
+    task double-counted on retry (observations are exactly-once per
+    successful job), or a metric computed on a different plan fragment
+    all flip the row.
+
+    100 TB shape: THE row-count/byte accounting pattern for ingest
+    pipelines — the alternative (write, then re-aggregate the sink)
+    costs a full second scan per batch; ``observe`` rides the write's
+    own task metrics through the AccumulatorV2 channel and is free.
+    The result is one row per job, driver-side by construction."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Observation
+
+    t = prep(spark, sf_dir)
+    events = t["events"]
+    obs = Observation("ingest_acct")
+    observed = events.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").alias("sum_event_id"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "n_clicks"
+        ),
+    )
+    work = tempfile.mkdtemp(prefix="q207_")
+    try:
+        observed.write.mode("overwrite").parquet(f"{work}/sink")
+        m = obs.get
+        return spark.createDataFrame(
+            [
+                (
+                    int(m["n_rows"]),
+                    int(m["sum_event_id"]),
+                    float(m["sum_value"]),
+                    int(m["n_clicks"]),
+                )
+            ],
+            "n_rows bigint, sum_event_id bigint, sum_value double, n_clicks bigint",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q208_xml_codec_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id,
+           ROUND(SUM(ROUND(value, 2)), 2) AS sum_v2
+    FROM events GROUP BY event_type
+    """,
+)
+def q208_xml_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML envelope codec (Spark 4 ``to_xml``/``from_xml``):
+    every event is serialized to an XML document and parsed back with a
+    typed schema, and the parsed stream must aggregate exactly like the
+    original table — a dropped element, a type coerced through text
+    badly (the double rides as its shortest round-trippable repr), or
+    an escaping bug all flip the sums.
+
+    The reference's codec surface is JSON-only
+    (src/function_app.py:120-160); industrial telemetry feeds are
+    frequently XML, and this is that envelope path with the same
+    JVM-only, no-UDF property as functions/codecs.py: both directions
+    are Catalyst expressions inside the scan stage — no shuffle, no
+    Python.  The pre-round to 2dp before embedding follows the registry
+    float convention so the re-summed parse matches the oracle's
+    arithmetic bit-for-bit."""
+    t = prep(spark, sf_dir)
+    events = t["events"]
+    xml = events.select(
+        F.to_xml(
+            F.struct(
+                F.col("event_id"),
+                F.col("event_type"),
+                F.round("value", 2).alias("v2"),
+            )
+        ).alias("doc")
+    )
+    parsed = xml.select(
+        F.from_xml(
+            "doc", "event_id BIGINT, event_type STRING, v2 DOUBLE"
+        ).alias("p")
+    ).select("p.*")
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("event_id").cast("bigint").alias("sum_id"),
+        F.round(F.sum("v2"), 2).alias("sum_v2"),
     )

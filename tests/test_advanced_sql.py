@@ -176,6 +176,30 @@ def test_statestore_reader_returns_unique_dedup_keys(spark):
     assert set(users) == expected
 
 
+# ---------------------------------------------------------------- q207
+def test_observed_metrics_match_direct_aggregate(spark):
+    row = QUERIES["q207_observed_write_accounting"](spark, SF_SMOKE).collect()[0]
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    assert row["n_rows"] == ev.count()
+    assert row["sum_event_id"] == ev.groupBy().sum("event_id").collect()[0][0]
+    assert row["n_clicks"] == ev.filter("event_type = 'click'").count()
+
+
+# ---------------------------------------------------------------- q208
+def test_xml_roundtrip_survives_escaping(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 'a<b&c>"d"'), (2, "x '&amp;' y"), (3, "plain")], "k long, s string"
+    )
+    back = (
+        df.select(F.to_xml(F.struct("k", "s")).alias("doc"))
+        .select(F.from_xml("doc", "k BIGINT, s STRING").alias("p"))
+        .select("p.*")
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
 # ---------------------------------------------------------------- q204
 def test_pipe_syntax_matches_ansi_form(spark):
     piped = QUERIES["q204_pipe_syntax"](spark, SF_SMOKE)
