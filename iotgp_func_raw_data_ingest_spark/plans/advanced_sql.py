@@ -84,8 +84,16 @@ def q198_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative min-label operator (operators/graph.py) with its
     localCheckpoint-per-iteration remains the scale path; the CTE is
     the declarative option for bounded hierarchies (categories,
-    orgs, threads)."""
+    orgs, threads).
+
+    Foot-gun guard, measured at the 2M stress tier: Spark caps the
+    accumulated recursion output at spark.sql.cteRecursionRowLimit
+    (default 1e6 rows) and FAILS the query past it
+    (RECURSION_ROW_LIMIT_EXCEEDED) — a forest walk emits one row per
+    key, so size the limit to the traversed relation (here: generous
+    fixed bound; production: |table| + slack)."""
     t = prep(spark, sf_dir)
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
     t["customer"]
     return spark.sql(
         """
@@ -541,4 +549,86 @@ def q208_xml_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.sum("event_id").cast("bigint").alias("sum_id"),
         F.round(F.sum("v2"), 2).alias("sum_v2"),
+    )
+
+
+@register(
+    "q209_collated_grouping",
+    oracle="""
+    SELECT lower(CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END)
+               AS lang_ci,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def q209_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping via COLLATIONS (Spark 4.0 collated
+    string types), not expression rewrites.
+
+    A deterministically mixed-case key (every even doc_id upper-cases
+    its language tag) is grouped under ``COLLATE UTF8_LCASE`` — the
+    engine's collation-aware hash/equality does the case folding, and
+    the per-class counts must equal the oracle's ``lower()`` grouping.
+    The emitted representative is normalized with lower() because a
+    collated group's display value is whichever variant a partition saw
+    first (engine-arbitrary by spec).
+
+    100 TB shape: collation rides the column TYPE, so every downstream
+    join/group on the column is case-insensitive without wrapping
+    expressions (which would defeat column statistics and, on the join
+    side, bucket pruning). The aggregate itself is an ordinary
+    partial-agg groupBy."""
+    t = prep(spark, sf_dir)
+    t["documents"]
+    return spark.sql(
+        """
+        WITH mixed AS (
+            SELECT CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END
+                       COLLATE UTF8_LCASE AS lang_key,
+                   n_chars
+            FROM documents
+        )
+        SELECT lower(lang_key) AS lang_ci,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM mixed GROUP BY lower(lang_key)
+        """
+    )
+
+
+@register(
+    "q210_approx_top_k",
+    oracle="""
+    SELECT event_type AS item,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY event_type
+    """,
+)
+def q210_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter sketch via the native ``approx_top_k`` aggregate
+    (Spark 4.1, DataSketches frequent-items under the hood).
+
+    The event-type domain (5 values) sits far below the sketch's
+    tracked-item capacity, so the sketch is in its EXACT regime and
+    every (item, count) it reports must equal the true grouped counts —
+    the same exact-below-threshold gating convention as the HLL/KLL/
+    Theta queries (q180/q184/q185).  k is set above the domain size so
+    no tie-at-the-boundary can make membership arbitrary.
+
+    100 TB shape: the sketch aggregates map-side into a bounded
+    structure (maxItemsTracked entries) and merges associatively — the
+    streaming-friendly alternative to count-then-top-k when the key
+    domain explodes; for exact audited heavy hitters over a bounded
+    probe set, the CMS relation (q192) is the compositional option."""
+    t = prep(spark, sf_dir)
+    t["events"]
+    return spark.sql(
+        """
+        SELECT s.item, CAST(s.count AS BIGINT) AS cnt
+        FROM (
+            SELECT explode(approx_top_k(event_type, 10)) AS s
+            FROM events
+        )
+        """
     )

@@ -200,6 +200,30 @@ def test_xml_roundtrip_survives_escaping(spark):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
 
 
+# ---------------------------------------------------------------- q209
+def test_collated_grouping_folds_case(spark):
+    rows = QUERIES["q209_collated_grouping"](spark, SF_SMOKE).collect()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    direct = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy(docs.lang.alias("lang")).count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    got = {r["lang_ci"]: r["n_docs"] for r in rows}
+    assert got == direct  # upper-cased halves folded back into one class
+    assert all(k == k.lower() for k in got)
+
+
+# ---------------------------------------------------------------- q210
+def test_approx_top_k_exact_under_capacity(spark):
+    rows = QUERIES["q210_approx_top_k"](spark, SF_SMOKE).collect()
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    direct = {
+        r["event_type"]: r["count"] for r in ev.groupBy("event_type").count().collect()
+    }
+    assert {r["item"]: r["cnt"] for r in rows} == direct
+
+
 # ---------------------------------------------------------------- q204
 def test_pipe_syntax_matches_ansi_form(spark):
     piped = QUERIES["q204_pipe_syntax"](spark, SF_SMOKE)

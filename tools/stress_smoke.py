@@ -289,6 +289,9 @@ def main() -> int:
         )
 
     def _recursive_walk():
+        # the walk emits one row per key: lift the 1e6-row recursion
+        # guard (RECURSION_ROW_LIMIT_EXCEEDED at this tier otherwise)
+        spark.conf.set("spark.sql.cteRecursionRowLimit", str(4 * n_docs))
         spark.range(n_docs).createOrReplaceTempView("stress_keys")
         return spark.sql(
             """
@@ -417,7 +420,10 @@ def main() -> int:
         "keep when splitting logic outgrows SQL). recursive_cte_walk's",
         "union-loop pays one frontier join per digit of the key space —",
         "depth stages of shuffle sized by the frontier, never the",
-        "closure. pyds_rowgroup_scan reads the corpus back through the",
+        "closure; note spark.sql.cteRecursionRowLimit (default 1e6)",
+        "FAILS the query once the accumulated output passes it — size it",
+        "to the traversed relation (measured: the 2M walk trips the",
+        "default). pyds_rowgroup_scan reads the corpus back through the",
         "Python DataSource (pyarrow, RecordBatch yields): columnar",
         "batches make the custom source's overhead a near-constant",
         "factor over the native scan, not a per-row tax.",
