@@ -417,11 +417,14 @@ def q203_statestore_introspection(spark: SparkSession, sf_dir: str) -> DataFrame
 def q204_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL pipe syntax (Spark 4.0 ``|>`` operators): the q01-family
     pricing rollup expressed as a linear pipeline — FROM … |> WHERE …
-    |> EXTEND … |> AGGREGATE … GROUP BY.  Same Catalyst plan as the
-    nested form (pipe stages are pure sugar over the logical operators,
-    so pushdown/pruning/codegen are identical — verified in
-    PLAN_AUDIT); the gate proves the new parser path computes exactly
-    what the ANSI oracle does."""
+    |> EXTEND … |> AGGREGATE … GROUP BY.  The pipe form compiles to
+    the IDENTICAL physical operator set as the ANSI form — pushed
+    parquet filter, partial/final HashAggregate, one exchange (asserted
+    by tests/test_advanced_sql.py::test_pipe_syntax_same_physical_shape;
+    the logical canonicalization differs only by the EXTEND alias, so
+    ``sameSemantics`` is false while the executed plans match); the
+    gate proves the new parser path computes exactly what the ANSI
+    oracle does."""
     t = prep(spark, sf_dir)
     t["lineitem"]
     return spark.sql(

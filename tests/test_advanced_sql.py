@@ -231,3 +231,22 @@ def test_pipe_syntax_matches_ansi_form(spark):
 
     ansi = spark.sql(ORACLES["q204_pipe_syntax"])  # the oracle is ANSI enough to run in Spark too
     assert sorted(map(tuple, piped.collect())) == sorted(map(tuple, ansi.collect()))
+
+
+def test_pipe_syntax_same_physical_shape(spark):
+    """The pipe stages are sugar: both forms must execute the same
+    physical operator set with the shipdate filter pushed to parquet."""
+    import re
+
+    from iotgp_func_raw_data_ingest_spark.plans.registry import ORACLES
+
+    piped = QUERIES["q204_pipe_syntax"](spark, SF_SMOKE)
+    ansi = spark.sql(ORACLES["q204_pipe_syntax"])
+
+    def op_multiset(df):
+        s = df._jdf.queryExecution().executedPlan().toString()
+        return sorted(re.findall(r"^\s*[+:*-]*\s*\(?\d*\)?\s*([A-Za-z]+)", s, re.M))
+
+    assert op_multiset(piped) == op_multiset(ansi)
+    plan = piped._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # pushed, not residual
