@@ -191,3 +191,59 @@ def q213_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("effective_to", fmt).alias("eff_to"),
         "is_current",
     )
+
+
+@register(
+    "q214_keyed_delete",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id
+    FROM events WHERE user_id % 37 <> 0
+    GROUP BY event_type
+    """,
+)
+def q214_keyed_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten delete that rewrites only affected files.
+
+    The events table is materialized as an 8-file lake table, every
+    user_id ≡ 0 (mod 37) is deleted through
+    ``maintenance.delete_keys_from_table`` (plan → stage survivors of
+    affected files → manifest-driven commit), and the surviving table
+    must aggregate exactly like the oracle's filtered view — a key
+    escaping the delete, a survivor lost with it, or a staged file
+    double-moved all flip the gate.  The operator's return is asserted
+    inline: at least one file must remain untouched (file-pruned, not a
+    full rewrite) unless every file held a doomed key.
+
+    100 TB shape: documented in the operator — the plan pass reads
+    footers + pruned row groups, the rewrite touches only files that
+    contain the keys, and the commit is metadata renames off a
+    manifest, idempotent across crashes."""
+    import shutil
+    import tempfile
+
+    from iotgp_func_raw_data_ingest_spark.sources.maintenance import (
+        delete_keys_from_table,
+    )
+
+    t = prep(spark, sf_dir)
+    ev = t["events"].select("event_id", "user_id", "event_type", "value")
+    work = tempfile.mkdtemp(prefix="q214_")
+    try:
+        table = f"{work}/events_lake"
+        ev.repartition(8, "user_id").write.parquet(table)
+        doomed = ev.filter(F.col("user_id") % 37 == 0).select("user_id")
+        report = delete_keys_from_table(spark, table, "user_id", doomed)
+        assert report["rows_deleted"] > 0, report
+        out = (
+            spark.read.parquet(table)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum("event_id").cast("bigint").alias("sum_id"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -335,3 +335,143 @@ def validate_lake(spark: SparkSession, lake_path: str, fmt: str = "parquet") -> 
                     }
                 )
     return reports
+
+
+def _finish_keyed_delete(spark: SparkSession, table_path: str, stage_name: str) -> int:
+    """Complete a READY keyed-delete stage: remove every original file
+    named in the stage manifest that still exists, move the staged
+    survivor files into the table, drop the stage. Idempotent — safe to
+    re-run after a crash at any point past the ready marker. Returns the
+    number of staged files moved in."""
+    import json as _json
+
+    from iotgp_func_raw_data_ingest_spark.sources.lake import _hadoop_fs
+
+    jvm, hpath, fs = _hadoop_fs(spark, table_path)
+    stage_p = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{stage_name}")
+    manifest_p = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{stage_name}/_manifest.json")
+    stream = fs.open(manifest_p)
+    try:
+        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    affected = _json.loads(raw.decode("utf-8"))["affected"]
+    for name in affected:
+        p = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{name}")
+        if fs.exists(p):
+            fs.delete(p, False)
+    moved = 0
+    for s in fs.listStatus(stage_p):
+        name = s.getPath().getName()
+        if name.startswith("part-"):
+            fs.rename(s.getPath(), jvm.org.apache.hadoop.fs.Path(f"{table_path}/{name}"))
+            moved += 1
+    fs.delete(stage_p, True)
+    return moved
+
+
+def delete_keys_from_table(
+    spark: SparkSession,
+    table_path: str,
+    key_col: str,
+    keys: DataFrame,
+    fmt: str = "parquet",
+) -> dict:
+    """Keyed (right-to-be-forgotten) delete that rewrites ONLY the files
+    containing matching keys — untouched files are never read twice nor
+    rewritten, which is the property that makes targeted deletes viable
+    on a 100 TB table (a full filter-and-rewrite pass costs a table scan
+    plus a table write regardless of how few rows die).
+
+    Protocol (crash-safe, mirrors the lake's stage conventions):
+
+    1. PLAN — one scan with ``input_file_name()`` semi-joined to the
+       broadcast key set finds the affected files (parquet footer
+       min/max stats prune row groups engine-side, so cold files cost
+       footer reads). The file list is route-cardinality bounded.
+    2. STAGE — survivors of ONLY the affected files are written to a
+       dot-prefixed stage dir inside the table (invisible to readers),
+       with a ``_manifest.json`` naming the originals, then a ``_ready``
+       marker — nothing live has changed yet; a crash here strands an
+       ignorable stage that the next invocation clears.
+    3. COMMIT — delete the originals, rename the staged files in, drop
+       the stage (``_finish_keyed_delete``, idempotent). A reader racing
+       the commit can transiently miss survivor rows from an affected
+       file (deleted keys vanish FIRST — the right failure direction for
+       a forget request); a crash mid-commit is healed by the next
+       invocation re-running the finish step off the manifest.
+
+    Returns ``{files_total, files_rewritten, rows_deleted, rows_kept}``.
+    """
+    import json as _json
+    import uuid as _uuid
+
+    from iotgp_func_raw_data_ingest_spark.sources.lake import (
+        _check_format,
+        _hadoop_fs,
+    )
+
+    _check_format(fmt)
+    jvm, hpath, fs = _hadoop_fs(spark, table_path)
+
+    # heal a crashed commit (ready stage) / clear an aborted stage write
+    for s in fs.listStatus(hpath):
+        name = s.getPath().getName()
+        if s.isDirectory() and name.startswith(".delete-stage-"):
+            ready = jvm.org.apache.hadoop.fs.Path(
+                f"{table_path}/{name}/_ready"
+            )
+            if fs.exists(ready):
+                _finish_keyed_delete(spark, table_path, name)
+            else:
+                fs.delete(s.getPath(), True)
+
+    files_total = sum(
+        1 for s in fs.listStatus(hpath)
+        if s.getPath().getName().startswith("part-")
+    )
+    keyed = keys.select(key_col).distinct()
+    df = spark.read.format(fmt).load(table_path)
+    tagged = df.withColumn("_file", F.input_file_name())
+    affected = sorted(
+        r["_file"]
+        for r in tagged.join(F.broadcast(keyed), key_col, "left_semi")
+        .select("_file").distinct().collect()
+    )
+    if not affected:
+        return {
+            "files_total": files_total, "files_rewritten": 0,
+            "rows_deleted": 0, "rows_kept": 0,
+        }
+
+    affected_df = spark.read.format(fmt).load(affected)
+    n_before = affected_df.count()
+    survivors = affected_df.join(F.broadcast(keyed), key_col, "left_anti")
+    rows_kept = survivors.count()
+
+    stage_name = f".delete-stage-{_uuid.uuid4().hex}"
+    stage = f"{table_path}/{stage_name}"
+    survivors.repartition(max(1, len(affected))).write.mode("overwrite").format(
+        fmt
+    ).save(stage)
+    # manifest names the doomed originals (basenames — the table dir is
+    # flat for part files), then the ready marker seals the stage
+    manifest = _json.dumps(
+        {"affected": [a.rsplit("/", 1)[-1] for a in affected]}
+    ).encode("utf-8")
+    out = fs.create(
+        jvm.org.apache.hadoop.fs.Path(f"{stage}/_manifest.json"), True
+    )
+    try:
+        out.write(bytearray(manifest))
+    finally:
+        out.close()
+    fs.create(jvm.org.apache.hadoop.fs.Path(f"{stage}/_ready"), True).close()
+
+    _finish_keyed_delete(spark, table_path, stage_name)
+    return {
+        "files_total": files_total,
+        "files_rewritten": len(affected),
+        "rows_deleted": n_before - rows_kept,
+        "rows_kept": rows_kept,
+    }
