@@ -134,3 +134,135 @@ def q206_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 64
         """
     )
+
+
+@register(
+    "q215_weighted_mixture",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, source,
+               6 // (1 + CAST(substr(source, 4) AS INT) % 3) AS stride,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('mix:5:' || CAST(doc_id AS VARCHAR))
+               ) AS rnk
+        FROM documents
+    )
+    SELECT CAST(rnk * stride AS BIGINT) AS vt,
+           source,
+           CAST(rnk AS BIGINT) AS rnk,
+           CAST(doc_id AS BIGINT) AS doc_id
+    FROM w
+    ORDER BY vt, source
+    LIMIT 60
+    """,
+)
+def q215_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED source mixture schedule — the general form of q206's
+    uniform round-robin, still a pure integer expression.
+
+    Each source gets a weight w ∈ {1,2,3} (derived deterministically
+    from its id); a source's t-th document is scheduled at virtual time
+    t · (L/w) with L = lcm of the weights, so a weight-3 source serves
+    three documents for every one from a weight-1 source — the
+    stride-scheduling identity, exact in integers, no RNG state.  The
+    gate pins the first 60 (vt, source) slots: a drifted per-source
+    permutation, a mis-scaled stride, or an unstable tiebreak all
+    change which doc_id fills a slot.
+
+    100 TB shape: identical to q205/q206 — the schedule is a pure
+    expression of (seed, source, doc_id); a trainer materializes any
+    window of it with a filter on vt, no global sort (TopK compiles to
+    TakeOrderedAndProject here)."""
+    t = prep(spark, sf_dir)
+    t["documents"]
+    return spark.sql(
+        """
+        WITH w AS (
+            SELECT doc_id, source,
+                   6 DIV (1 + CAST(substring(source, 4) AS INT) % 3) AS stride,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(concat('mix:5:', CAST(doc_id AS STRING)))
+                   ) AS rnk
+            FROM documents
+        )
+        SELECT CAST(rnk * stride AS BIGINT) AS vt,
+               source,
+               CAST(rnk AS BIGINT) AS rnk,
+               CAST(doc_id AS BIGINT) AS doc_id
+        FROM w
+        ORDER BY vt, source
+        LIMIT 60
+        """
+    )
+
+
+@register(
+    "q216_quota_allocation",
+    oracle="""
+    WITH c AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM c),
+    b AS (
+        SELECT source, n_docs,
+               (100 * n_docs) // t.total AS base,
+               (100 * n_docs) % t.total AS rem
+        FROM c, t
+    ),
+    r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rr,
+               (SELECT 100 - SUM(base) FROM b) AS leftover
+        FROM b
+    )
+    SELECT source, n_docs,
+           CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT)
+               AS quota
+    FROM r
+    """,
+)
+def q216_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size proportional quota allocation (largest-remainder /
+    Hamilton apportionment) — 'sample exactly 100 documents,
+    proportional to source sizes' without floating point.
+
+    Each source's base quota is floor(100·n_s / T); the leftover seats
+    go to the largest integer remainders (100·n_s mod T), tie-broken by
+    source name.  All arithmetic is integer, so both engines agree
+    bit-for-bit and the quotas always sum to exactly 100 — the property
+    a downstream exact-size sampler (q93's hash-order selection per
+    source) depends on.
+
+    100 TB shape: one grouped count (partial-agg), then window ranking
+    over |sources| rows — the allocation is metadata-sized regardless
+    of corpus size."""
+    t = prep(spark, sf_dir)
+    t["documents"]
+    return spark.sql(
+        """
+        WITH c AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY source
+        ),
+        t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM c),
+        b AS (
+            SELECT source, n_docs,
+                   (100 * n_docs) DIV t.total AS base,
+                   (100 * n_docs) % t.total AS rem
+            FROM c, t
+        ),
+        r AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rr,
+                   (SELECT 100 - SUM(base) FROM b) AS leftover
+            FROM b
+        )
+        SELECT source, n_docs,
+               CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT)
+                   AS quota
+        FROM r
+        """
+    )

@@ -60,3 +60,32 @@ def test_mixture_schedule_is_round_robin(spark):
     assert steps == list(range(1, len(steps) + 1))
     for s in steps[:-1]:
         assert by_step[s] == n_sources
+
+
+def test_weighted_mixture_respects_stride_ratios(spark):
+    rows = QUERIES["q215_weighted_mixture"](spark, SF_SMOKE).collect()
+    assert len(rows) == 60
+    assert len({(r["vt"], r["source"]) for r in rows}) == 60
+    assert len({r["doc_id"] for r in rows}) == 60
+    # within any complete lcm window, a weight-3 source (stride 2)
+    # serves 3 docs for each doc of a weight-1 source (stride 6)
+    per_source = {}
+    for r in rows:
+        per_source.setdefault(r["source"], []).append(r)
+    for source, served in per_source.items():
+        w = 1 + int(source[3:]) % 3
+        stride = 6 // w
+        # vt values are consecutive multiples of the stride from rank 1
+        vts = sorted(x["vt"] for x in served)
+        assert vts == [stride * (i + 1) for i in range(len(vts))]
+
+
+def test_quota_allocation_sums_exactly(spark):
+    rows = QUERIES["q216_quota_allocation"](spark, SF_SMOKE).collect()
+    assert sum(r["quota"] for r in rows) == 100
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    total = docs.count()
+    for r in rows:
+        exact = 100 * r["n_docs"] / total
+        # largest-remainder never strays more than one seat from exact
+        assert abs(r["quota"] - exact) < 1.0
