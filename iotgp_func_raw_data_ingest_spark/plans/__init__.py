@@ -46,6 +46,7 @@ from iotgp_func_raw_data_ingest_spark.plans import streaming_queries4  # noqa: E
 from iotgp_func_raw_data_ingest_spark.plans import advanced_sql  # noqa: E402,F401
 from iotgp_func_raw_data_ingest_spark.plans import llm_ops12  # noqa: E402,F401
 from iotgp_func_raw_data_ingest_spark.plans import warehouse  # noqa: E402,F401
+from iotgp_func_raw_data_ingest_spark.plans import analytics  # noqa: E402,F401
 
 
 def _reorder() -> None:
