@@ -11,6 +11,10 @@ re-derive the exact same order.
 - q205: seeded epoch shuffle → shard assignment + per-shard audit.
 - q206: round-robin source interleave → the first 64 steps of the
   mixture schedule.
+- q215: WEIGHTED mixture via integer stride scheduling (virtual time
+  = rank · lcm/weight).
+- q216: exact-size proportional quotas via largest-remainder
+  (Hamilton) apportionment — all-integer, sums exactly to the target.
 
 Reference parity: the reference engine (src/function_app.py) has no
 training-loader surface; this extends SURVEY §2's training-pipeline
