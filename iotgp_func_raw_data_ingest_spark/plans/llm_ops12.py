@@ -209,17 +209,16 @@ def q215_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
         FROM documents GROUP BY source
     ),
-    t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM c),
     b AS (
         SELECT source, n_docs,
-               (100 * n_docs) // t.total AS base,
-               (100 * n_docs) % t.total AS rem
-        FROM c, t
+               (100 * n_docs) // (SUM(n_docs) OVER ()) AS base,
+               (100 * n_docs) % (SUM(n_docs) OVER ()) AS rem
+        FROM c
     ),
     r AS (
         SELECT *,
                ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rr,
-               (SELECT 100 - SUM(base) FROM b) AS leftover
+               100 - SUM(base) OVER () AS leftover
         FROM b
     )
     SELECT source, n_docs,
@@ -242,7 +241,8 @@ def q216_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: one grouped count (partial-agg), then window ranking
     over |sources| rows — the allocation is metadata-sized regardless
-    of corpus size."""
+    of corpus size; the totals ride empty-frame windows over the tiny
+    grouped relation, so the plan has no join at all."""
     t = prep(spark, sf_dir)
     t["documents"]
     return spark.sql(
@@ -251,17 +251,16 @@ def q216_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
             FROM documents GROUP BY source
         ),
-        t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM c),
         b AS (
             SELECT source, n_docs,
-                   (100 * n_docs) DIV t.total AS base,
-                   (100 * n_docs) % t.total AS rem
-            FROM c, t
+                   (100 * n_docs) DIV (SUM(n_docs) OVER ()) AS base,
+                   (100 * n_docs) % (SUM(n_docs) OVER ()) AS rem
+            FROM c
         ),
         r AS (
             SELECT *,
                    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rr,
-                   (SELECT 100 - SUM(base) FROM b) AS leftover
+                   100 - SUM(base) OVER () AS leftover
             FROM b
         )
         SELECT source, n_docs,
