@@ -65,15 +65,25 @@ def diff_tables(
 
     Returns one row per key present in either side with ``status`` ∈
     {'added', 'removed', 'changed', 'unchanged'}.  Non-key columns are
-    fingerprinted with md5 over null-canonicalized string casts, so
-    only (key, hash) pairs shuffle through the full outer join."""
+    fingerprinted with md5 over an injective length-prefixed string
+    encoding, so only (key, hash) pairs shuffle through the full outer
+    join."""
 
     def fp(df: DataFrame) -> DataFrame:
-        parts = [
-            F.coalesce(F.col(c).cast("string"), F.lit("␀")) for c in compare_cols
-        ]
+        # length-prefix each column so the encoding is injective: no
+        # column-boundary shift ('1'+'2c' vs '12'+'c') and no null
+        # sentinel collision can make two different rows encode equally
+        parts = []
+        for c in compare_cols:
+            s = F.col(c).cast("string")
+            parts.append(
+                F.coalesce(
+                    F.concat(F.length(s).cast("string"), F.lit(":"), s),
+                    F.lit("null"),
+                )
+            )
         return df.select(
-            *key_cols, F.md5(F.concat_ws("", *parts)).alias("_fp")
+            *key_cols, F.md5(F.concat_ws("|", *parts)).alias("_fp")
         )
 
     o = fp(old).withColumnRenamed("_fp", "_fp_old")
@@ -99,7 +109,8 @@ def scd2_from_events(
     """Build a Type-2 slowly-changing dimension from an event stream.
 
     Per ``key`` in (``ts_col``, ``tiebreak``) order, a new version
-    starts whenever ``attr`` differs from the previous event's value;
+    starts whenever ``attr`` differs (null-safely: NULL-to-NULL is NOT
+    a change) from the previous event's value;
     each version carries [effective_from, effective_to) with the open
     interval closed by the NEXT version's start (sentinel on the
     current version).  The tiebreak column must make the order total —
@@ -107,20 +118,21 @@ def scd2_from_events(
     boundaries nondeterministic."""
     order = [F.col(ts_col).asc(), F.col(tiebreak).asc()]
     w = Window.partitionBy(key).orderBy(*order)
+    # null-safe change detection: IS-DISTINCT-FROM semantics, so a run
+    # of NULL attrs is one version and the first row always starts one
     marked = df.select(key, ts_col, tiebreak, attr).withColumn(
         "_is_start",
-        F.coalesce(F.lag(attr).over(w) != F.col(attr), F.lit(True)),
+        ~F.lag(attr).over(w).eqNullSafe(F.col(attr)),
     )
     starts = marked.filter("_is_start")
-    ws = Window.partitionBy(key).orderBy(*order)
     return starts.select(
         key,
-        F.row_number().over(ws).alias("version"),
+        F.row_number().over(w).alias("version"),
         F.col(attr),
         F.col(ts_col).alias("effective_from"),
         F.coalesce(
-            F.lead(ts_col).over(ws),
+            F.lead(ts_col).over(w),
             F.to_timestamp(F.lit(end_sentinel)),
         ).alias("effective_to"),
-        F.lead(ts_col).over(ws).isNull().alias("is_current"),
+        F.lead(ts_col).over(w).isNull().alias("is_current"),
     )

@@ -90,11 +90,13 @@ def q198_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulated recursion output at spark.sql.cteRecursionRowLimit
     (default 1e6 rows) and FAILS the query past it
     (RECURSION_ROW_LIMIT_EXCEEDED) — a forest walk emits one row per
-    key, so size the limit to the traversed relation (here: generous
-    fixed bound; production: |table| + slack)."""
+    key, so the limit is sized to |customer| + slack (one footer-only
+    count). The conf persists on the shared session, so the bound is
+    kept data-proportional rather than a blanket ceiling: a later
+    runaway recursion still trips a guard of the right magnitude."""
     t = prep(spark, sf_dir)
-    spark.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
-    t["customer"]
+    n_customers = t["customer"].count()
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(n_customers + 1024))
     return spark.sql(
         """
         WITH RECURSIVE chain AS (

@@ -77,7 +77,7 @@ def q211_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events WHERE event_id % 97 = 0
     UNION ALL
     SELECT 'added', CAST(COUNT(*) AS BIGINT),
-           CAST(SUM(event_id + 10000000) AS BIGINT)
+           CAST(SUM(-event_id - 1) AS BIGINT)
     FROM events WHERE event_id % 103 = 0
     UNION ALL
     SELECT 'changed', CAST(COUNT(*) AS BIGINT),
@@ -94,8 +94,9 @@ def q212_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Generation 2 is derived from the events table by three
     deterministic mutations — rows with event_id ≡ 0 (mod 97) deleted,
-    values bumped where event_id ≡ 0 (mod 101), and new rows (id +
-    10⁷) appended where event_id ≡ 0 (mod 103) — then ``diff_tables``
+    values bumped where event_id ≡ 0 (mod 101), and new rows (key
+    −id−1: negative, so disjoint from real ids at ANY scale) appended
+    where event_id ≡ 0 (mod 103) — then ``diff_tables``
     full-outer-joins the generations on the key and classifies every
     row from md5 fingerprints of the compared columns.  The oracle
     derives the same added/removed/changed/unchanged census directly
@@ -121,7 +122,7 @@ def q212_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             ev.filter(F.col("event_id") % 103 == 0).withColumn(
-                "event_id", F.col("event_id") + 10_000_000
+                "event_id", -F.col("event_id") - 1
             )
         )
     )
@@ -139,7 +140,7 @@ def q212_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH marked AS (
         SELECT user_id, ts, event_id, event_type,
-               COALESCE(LAG(event_type) OVER w <> event_type, TRUE)
+               LAG(event_type) OVER w IS DISTINCT FROM event_type
                    AS is_start
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -212,9 +213,11 @@ def q214_keyed_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     affected files → manifest-driven commit), and the surviving table
     must aggregate exactly like the oracle's filtered view — a key
     escaping the delete, a survivor lost with it, or a staged file
-    double-moved all flip the gate.  The operator's return is asserted
-    inline: at least one file must remain untouched (file-pruned, not a
-    full rewrite) unless every file held a doomed key.
+    double-moved all flip the gate.  The file-PRUNING property (only
+    files holding doomed keys are rewritten) is asserted by
+    tests/test_keyed_delete.py, where the doomed keys are chosen to
+    co-locate; here the 27 doomed users hash across all 8 files, so the
+    gate exercises the every-file-affected edge instead.
 
     100 TB shape: documented in the operator — the plan pass reads
     footers + pruned row groups, the rewrite touches only files that

@@ -444,16 +444,26 @@ def delete_keys_from_table(
             "rows_deleted": 0, "rows_kept": 0,
         }
 
-    affected_df = spark.read.format(fmt).load(affected)
-    n_before = affected_df.count()
-    survivors = affected_df.join(F.broadcast(keyed), key_col, "left_anti")
-    rows_kept = survivors.count()
+    # both accounting counts ride the staging write itself (q207's
+    # Observation pattern) — the affected files are read exactly once
+    from pyspark.sql import Observation
+
+    obs_in = Observation("delete_in")
+    obs_out = Observation("delete_out")
+    survivors = (
+        spark.read.format(fmt).load(affected)
+        .observe(obs_in, F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(keyed), key_col, "left_anti")
+        .observe(obs_out, F.count(F.lit(1)).alias("n"))
+    )
 
     stage_name = f".delete-stage-{_uuid.uuid4().hex}"
     stage = f"{table_path}/{stage_name}"
     survivors.repartition(max(1, len(affected))).write.mode("overwrite").format(
         fmt
     ).save(stage)
+    n_before = int(obs_in.get["n"])
+    rows_kept = int(obs_out.get["n"])
     # manifest names the doomed originals (basenames — the table dir is
     # flat for part files), then the ready marker seals the stage
     manifest = _json.dumps(

@@ -30,18 +30,36 @@ def test_delete_rewrites_only_affected_files(spark, tmp_path):
     _build_table(spark, table)
     before = {f for f in os.listdir(table) if f.startswith("part-")}
 
-    doomed = spark.createDataFrame([(3,), (64 + 3,)], "user_id long")  # same file
+    # pick two REAL co-located users (sharing one physical file), so the
+    # multiple-doomed-keys-per-file path is genuinely exercised
+    tagged = (
+        spark.read.parquet(table)
+        .select("user_id", F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    by_file: dict[str, list[int]] = {}
+    for r in tagged:
+        by_file.setdefault(r["f"], []).append(r["user_id"])
+    colocated = next(sorted(us)[:2] for us in by_file.values() if len(us) >= 2)
+
+    doomed = spark.createDataFrame([(u,) for u in colocated], "user_id long")
+    expected_rows = (
+        spark.read.parquet(table)
+        .filter(F.col("user_id").isin(colocated))
+        .count()
+    )
     report = delete_keys_from_table(spark, table, "user_id", doomed)
     assert report["files_total"] == 8
     assert 1 <= report["files_rewritten"] < 8  # pruned, not a full rewrite
-    assert report["rows_deleted"] == 1000 // 64 + (1 if 3 < 1000 % 64 else 0)
+    assert report["rows_deleted"] == expected_rows
 
     after = {f for f in os.listdir(table) if f.startswith("part-")}
     # untouched files keep their exact names (never rewritten)
     assert len(before & after) == 8 - report["files_rewritten"]
 
     got = spark.read.parquet(table)
-    assert got.filter("user_id = 3").count() == 0
+    assert got.filter(F.col("user_id").isin(colocated)).count() == 0
     assert got.count() == 1000 - report["rows_deleted"]
 
 
