@@ -354,8 +354,10 @@ def pq_codebooks(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Per-subspace codebooks from ``seeds`` rows: (code, sub, cvec) with
-    code = the seed's id (caller contract: < 64 distinct seeds, ids used
-    as code words directly). Seed-sampled codebooks keep the operator
+    code = the seed's id, used as the code word directly (any integer id
+    domain — pq_encode's argmin is a lexicographic struct-min, not a
+    packed key, so large/sparse ids are fine).
+    Seed-sampled codebooks keep the operator
     deterministic and oracle-replayable; a production fit would Lloyd-
     refine each subspace with :func:`kmeans_refine` offline — the ADC
     machinery below is identical either way."""
@@ -371,8 +373,11 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Encode every corpus vector as ``n_sub`` nearest-codeword codes
-    (squared-L2 per subspace, ties → smallest code via the exact
-    ``d2·64 + code`` argmin key). Output (id, sub, code): the compressed
+    (squared-L2 per subspace, ties → smallest code via a lexicographic
+    struct-min argmin — min over (d2, code) structs is elementwise in
+    Spark, so no packed key and no bound on the code domain; the earlier
+    ``d2·64 + code`` packing silently corrupted encodings for codebooks
+    with codes ≥ 64). Output (id, sub, code): the compressed
     representation — n_sub small ints replacing sub_dim·n_sub floats,
     the ~32× footprint cut that lets a billion-vector index live in RAM.
 
@@ -382,8 +387,12 @@ def pq_encode(
     the corpus."""
     subs = _explode_subspaces(corpus, id_col, n_sub, sub_dim, id_col, vec_col, "qv")
     j = subs.join(F.broadcast(codebooks), "sub")
-    key = _sq_l2_e6("qv", "cvec") * F.lit(64) + F.col("code")
-    return j.groupBy(id_col, "sub").agg((F.min(key) % 64).alias("code"))
+    best = F.min(
+        F.struct(
+            _sq_l2_e6("qv", "cvec").alias("d2"), F.col("code").alias("code")
+        )
+    )
+    return j.groupBy(id_col, "sub").agg(best.getField("code").alias("code"))
 
 
 def pq_adc_topk(

@@ -119,10 +119,15 @@ def scd2_from_events(
     order = [F.col(ts_col).asc(), F.col(tiebreak).asc()]
     w = Window.partitionBy(key).orderBy(*order)
     # null-safe change detection: IS-DISTINCT-FROM semantics, so a run
-    # of NULL attrs is one version and the first row always starts one
+    # of NULL attrs is one version.  The first row per key must start a
+    # version explicitly: lag() is NULL there, and when attr is ALSO
+    # NULL, NULL.eqNullSafe(NULL) is TRUE — without the row_number term
+    # a key opening with NULL attrs would emit no version until its
+    # first non-NULL change.
     marked = df.select(key, ts_col, tiebreak, attr).withColumn(
         "_is_start",
-        ~F.lag(attr).over(w).eqNullSafe(F.col(attr)),
+        (F.row_number().over(w) == 1)
+        | ~F.lag(attr).over(w).eqNullSafe(F.col(attr)),
     )
     starts = marked.filter("_is_start")
     return starts.select(

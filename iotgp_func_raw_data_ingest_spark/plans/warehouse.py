@@ -140,7 +140,8 @@ def q212_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH marked AS (
         SELECT user_id, ts, event_id, event_type,
-               LAG(event_type) OVER w IS DISTINCT FROM event_type
+               (ROW_NUMBER() OVER w = 1)
+               OR (LAG(event_type) OVER w IS DISTINCT FROM event_type)
                    AS is_start
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -247,11 +247,17 @@ def write_lake_typed(
         # files on disk with no sidecar — a retry of the batch would then
         # append duplicates. Staging makes a reported failure leave dest
         # untouched: the sidecar is written into the stage FIRST (its
-        # failure deletes only the stage), and a partial file-move rolls
-        # back exactly the files this batch renamed in. Dot-prefixed
-        # paths are invisible to every Spark/Hadoop reader, so a crashed
-        # run's stranded stage never pollutes reads (validate_lake flags
-        # it). Part-file names carry the write's task UUIDs — no
+        # failure deletes only the stage), and a partial data-file move
+        # rolls back exactly the files this batch renamed in. The sidecar
+        # commit is roll-forward: it first lands in dest as
+        # _meta.json.new (reader-invisible, only after every data file is
+        # in), then the old sidecar is deleted and the new one renamed
+        # over — a hard crash anywhere mid-swap leaves a state the next
+        # write (or validate_lake) completes mechanically; the old
+        # sidecar is never the only copy of anything. Dot/underscore-
+        # prefixed paths are invisible to every Spark/Hadoop reader, so a
+        # crashed run's stranded stage never pollutes reads (validate_lake
+        # flags it). Part-file names carry the write's task UUIDs — no
         # collision with prior batches' files.
         import uuid as _uuid
 
@@ -259,8 +265,22 @@ def write_lake_typed(
         stage = f"{dest}/.stage-{_uuid.uuid4().hex}"
         jvm, dest_p, fs = _hadoop_fs(spark, dest)
         stage_p = jvm.org.apache.hadoop.fs.Path(stage)
+        new_meta = jvm.org.apache.hadoop.fs.Path(f"{dest}/_meta.json.new")
+        meta_tgt = jvm.org.apache.hadoop.fs.Path(f"{dest}/_meta.json")
+
+        def _finish_sidecar_swap() -> None:
+            # Roll a commit-ready sidecar FORWARD: _meta.json.new only
+            # ever lands in dest after every data file of its batch is
+            # already there, so completing the swap is always correct —
+            # there is no crash window whose recovery needs the old
+            # sidecar back (the r6 ADVICE hard-crash window is closed).
+            if fs.exists(meta_tgt):
+                fs.delete(meta_tgt, False)
+            if not fs.rename(new_meta, meta_tgt):
+                raise IOError(f"could not swap _meta.json into {dest}")
+
         moved: list = []
-        meta_bak = None
+        commit_ready = False
         try:
             _writer(projected, cfg, fmt).save(stage)
             write_route_meta(
@@ -277,8 +297,12 @@ def write_lake_typed(
                 },
             )
             fs.mkdirs(dest_p)
+            if fs.exists(new_meta):
+                # a prior run hard-crashed mid-swap; its batch is fully
+                # on disk — complete it before appending ours
+                _finish_sidecar_swap()
             # data files first, the sidecar last: the sidecar's presence
-            # marks the batch complete
+            # (as _meta.json.new, then _meta.json) marks the batch complete
             entries = sorted(
                 (st.getPath() for st in fs.listStatus(stage_p)),
                 key=lambda p: p.getName() == "_meta.json",
@@ -287,31 +311,34 @@ def write_lake_typed(
                 name = src.getName()
                 if name == "_SUCCESS":
                     continue
+                if name == "_meta.json":
+                    # land the new sidecar in dest under the invisible
+                    # .new name FIRST; from that moment the batch is
+                    # durably commit-ready and recovery rolls forward
+                    if not fs.rename(src, new_meta):
+                        raise IOError(f"could not move _meta.json into {dest}")
+                    commit_ready = True
+                    _finish_sidecar_swap()
+                    continue
                 tgt = jvm.org.apache.hadoop.fs.Path(f"{dest}/{name}")
-                if name == "_meta.json" and fs.exists(tgt):
-                    # latest batch owns the sidecar — set the old one
-                    # aside (not delete) so a failed swap can restore it
-                    meta_bak = jvm.org.apache.hadoop.fs.Path(
-                        f"{stage}/_meta.json.prev"
-                    )
-                    fs.rename(tgt, meta_bak)
                 if not fs.rename(src, tgt):
                     raise IOError(f"could not move {name} into {dest}")
                 moved.append(tgt)
-            meta_bak = None  # swap complete; the old sidecar dies with stage
         except Exception:
+            if commit_ready:
+                # the batch IS committed (data + sidecar durably in
+                # dest, at worst under the .new name a later run or
+                # validate_lake completes) — do NOT roll back and do
+                # NOT let the caller believe a retry is safe
+                raise IOError(
+                    f"route {dest}: batch committed but sidecar swap "
+                    "incomplete (_meta.json.new present) — already "
+                    "written, do not retry this batch"
+                )
             for tgt in moved:  # roll back ONLY this batch's files
                 try:
                     fs.delete(tgt, False)
                 except Exception:  # noqa: BLE001 - best-effort rollback
-                    pass
-            if meta_bak is not None:
-                try:
-                    fs.rename(
-                        meta_bak,
-                        jvm.org.apache.hadoop.fs.Path(f"{dest}/_meta.json"),
-                    )
-                except Exception:  # noqa: BLE001 - best-effort restore
                     pass
             raise
         finally:

@@ -313,6 +313,21 @@ def validate_lake(spark: SparkSession, lake_path: str, fmt: str = "parquet") -> 
                     if s.isDirectory()
                     and s.getPath().getName().startswith(".stage-")
                 ]
+                # a hard crash mid sidecar-swap leaves _meta.json.new;
+                # the batch it belongs to is fully on disk (the .new
+                # name only lands after every data file), so completing
+                # the swap is always safe — heal it here, report it
+                new_meta = jvm.org.apache.hadoop.fs.Path(
+                    f"{dest}/_meta.json.new"
+                )
+                if fs.exists(new_meta):
+                    meta_p = jvm.org.apache.hadoop.fs.Path(
+                        f"{dest}/_meta.json"
+                    )
+                    if fs.exists(meta_p):
+                        fs.delete(meta_p, False)
+                    fs.rename(new_meta, meta_p)
+                    stranded.append("_meta.json.new (healed)")
                 r = spark.read
                 if fmt == "parquet":
                     r = r.option("mergeSchema", "true")

@@ -45,6 +45,29 @@ def test_pq_encode_nearest_codeword_and_self(spark):
     assert (got[(12, 0)], got[(12, 1)]) == (0, 2)
 
 
+def test_pq_encode_handles_codes_beyond_64(spark):
+    """Seed ids (= code words) outside [0, 64) must encode correctly.
+
+    Regression for the r6 ADVICE item: the old ``d2·64 + code`` packed
+    argmin key silently corrupted codes ≥ 64 (the ``% 64`` unpacking
+    aliased them); the struct-min argmin has no code-domain bound."""
+    rows = [
+        (100, [0.0] * 8),
+        (200, [1.0] * 8),
+        (999, [2.0] * 8),
+        (10, [0.1] * 8),               # nearest codeword: 100
+        (11, [1.9] * 8),               # nearest codeword: 999
+    ]
+    df = _vecs(spark, [(i, [float(x) for x in v]) for i, v in rows])
+    cb = S.pq_codebooks(df.filter(F.col("vec_id") >= 100), n_sub=N_SUB, sub_dim=SUB)
+    enc = S.pq_encode(df, cb, n_sub=N_SUB, sub_dim=SUB)
+    got = {(r["vec_id"], r["sub"]): r["code"] for r in enc.collect()}
+    for sid in (100, 200, 999):  # seeds encode to their own (large) ids
+        assert got[(sid, 0)] == sid and got[(sid, 1)] == sid
+    assert (got[(10, 0)], got[(10, 1)]) == (100, 100)
+    assert (got[(11, 0)], got[(11, 1)]) == (999, 999)
+
+
 def test_pq_adc_matches_exact_for_zero_quantization_error(spark):
     df = _base(spark)
     seeds = df.filter(F.col("vec_id") < 4)

@@ -89,3 +89,42 @@ def test_scd2_replays_one_users_history_exactly(spark):
         )
     ]
     assert got == [(1, "a", False), (2, "b", False), (3, "c", True)]
+
+
+def test_scd2_leading_null_attr_run_opens_a_version(spark):
+    """A key whose history OPENS with NULL attrs must still get version 1.
+
+    Regression for the r6 ADVICE item: lag(attr) is NULL on the first
+    row, so NULL.eqNullSafe(NULL attr) was TRUE and the leading NULL run
+    emitted no version at all — the first version appeared only at the
+    first non-NULL change, and a key with an all-NULL history vanished
+    from the dimension entirely."""
+    from iotgp_func_raw_data_ingest_spark.operators.viewmaint import (
+        scd2_from_events,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # user 1: leading NULL run, then a value, then NULL again
+            (1, "2024-01-01 00:00:00", 10, None),
+            (1, "2024-01-01 00:01:00", 11, None),
+            (1, "2024-01-01 00:02:00", 12, "b"),
+            (1, "2024-01-01 00:03:00", 13, None),
+            # user 2: all-NULL history — must still be one current version
+            (2, "2024-01-01 00:00:00", 20, None),
+            (2, "2024-01-01 00:01:00", 21, None),
+        ],
+        "user_id int, ts string, event_id int, event_type string",
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) ts", "event_id", "event_type")
+    out = scd2_from_events(df, "user_id", "event_type", "ts", "event_id").collect()
+    u1 = sorted(
+        [(r["version"], r["event_type"], r["is_current"]) for r in out if r["user_id"] == 1]
+    )
+    u2 = sorted(
+        [(r["version"], r["event_type"], r["is_current"]) for r in out if r["user_id"] == 2]
+    )
+    assert u1 == [(1, None, False), (2, "b", False), (3, None, True)]
+    assert u2 == [(1, None, True)]
+    # effective_from of version 1 is the key's FIRST event, not the first change
+    v1 = next(r for r in out if r["user_id"] == 1 and r["version"] == 1)
+    assert str(v1["effective_from"]).startswith("2024-01-01 00:00:00")
