@@ -44,6 +44,33 @@ def main() -> None:
         except Exception:
             pass  # the timed loop reports the failure
 
+    # Drift sentinels (r6 VERDICT task 4): two fixed cheap queries timed
+    # right after warm-up and again at capture end. Their plans never
+    # change round-over-round, so any start→end or round→round movement
+    # in the sentinel numbers measures AMBIENT BOX LOAD, not code — the
+    # evidence that lets a bench-notes drift adjudication stand on its
+    # own instead of arguing from capture-to-capture totals.
+    sentinel_names = [n for n in sorted(QUERIES) if n.startswith(("q01_", "q02_"))]
+
+    def _time_sentinels() -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in sentinel_names:
+            reps = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                try:
+                    QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                except Exception:
+                    reps.append(-1.0)
+                    break
+                reps.append(time.perf_counter() - t0)
+            out[name] = round(sorted(reps)[len(reps) // 2], 3)  # median
+        return out
+
+    sentinel_start = _time_sentinels()
+
     timings: dict[str, float] = {}
     failures: list[str] = []
     for name in sorted(QUERIES):
@@ -78,6 +105,8 @@ def main() -> None:
             retimed[name] = timings[name]
             timings[name] = second
 
+    sentinel_end = _time_sentinels()
+
     total = round(sum(v for v in timings.values() if v > 0), 3)
     print(
         json.dumps(
@@ -89,6 +118,8 @@ def main() -> None:
                 "sf": sf,
                 "failures": failures,
                 "first_pass_when_retimed": retimed,
+                "sentinel_start": sentinel_start,
+                "sentinel_end": sentinel_end,
             }
         )
     )

@@ -564,6 +564,7 @@ def blocked_levenshtein_pairs(
     text_col: str,
     block_col: str,
     max_dist: int = 1,
+    sort_partitions: int | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) within the same block whose edit distance
     on ``text_col`` is ≤ ``max_dist`` — the classic record-linkage shape
@@ -650,30 +651,72 @@ def blocked_levenshtein_pairs(
         # session default: the deletion index is len^d× the corpus (at
         # depth 2, ~170 variants/key → ~340M rows at 2M keys), and
         # sorting it through a fixed small partition count spilled
-        # 16.6 GB in the measured stress run. The expected index
-        # cardinality is exact arithmetic on string lengths
-        # (1 + L at d=1; 1 + L + L(L-1)/2 at d=2), so one bounded
-        # single-row agg over the input prices the shuffle, and an
-        # explicit hash repartition on the join key gives the SMJ
-        # partitions whose per-partition sort fits in memory. The
-        # target is 500k rows/partition: the join task sorts BOTH
-        # sides (~48 B/row in the sorter: 16 B pointer-array entry +
-        # UnsafeRow pages), so a task holds ~2×24 MB — inside the
-        # per-task execution-memory share even at 32 concurrent tasks
-        # on an 8 GB local heap (the measured config where 2M-row
-        # partitions still spilled ~full-index bytes). Both join sides
-        # alias the SAME repartitioned frame, so its
-        # HashPartitioning(bv, n) satisfies the join's required
-        # distribution on both sides — one exchange, reused, never two.
-        # The 50k-partition cap bounds scheduler pressure; past it
-        # (≈25B index rows) raise executor memory per task instead.
-        ln = F.length("txt").cast("long")
-        per_key = (1 + ln) if max_dist == 1 else (1 + ln + ln * (ln - 1) / 2)
-        est = nonnull.agg(F.sum(per_key).alias("rows")).first()["rows"] or 0
+        # 16.6 GB in the measured stress run. An explicit hash
+        # repartition on the join key gives the SMJ partitions whose
+        # per-partition sort fits in memory (explicit count also keeps
+        # AQE from re-coalescing them back up). The target is ~500k
+        # rows/partition: the join task sorts BOTH sides (~48 B/row in
+        # the sorter: 16 B pointer-array entry + UnsafeRow pages), so a
+        # task holds ~2×24 MB — inside the per-task execution-memory
+        # share even at 32 concurrent tasks on an 8 GB local heap (the
+        # measured config where 2M-row partitions still spilled
+        # ~full-index bytes). Both join sides alias the SAME
+        # repartitioned frame, so its HashPartitioning(bv, n) satisfies
+        # the join's required distribution on both sides — one exchange,
+        # reused, never two. The 50k-partition cap bounds scheduler
+        # pressure; past it (≈25B index rows) raise executor memory per
+        # task instead.
+        #
+        # The partition COUNT is derived lazily (r6 ADVICE: no Spark
+        # action at plan-construction time — plan audits/EXPLAIN must
+        # stay free). Callers who know their index pass
+        # ``sort_partitions``; otherwise the index cardinality is
+        # upper-bounded from the input relation's Catalyst byte
+        # statistic S (driver-side metadata, no job): every text char
+        # is ≤ 1 input byte, so ΣL ≤ S and n ≤ S, and for the short
+        # record-linkage keys this operator is contracted for (≲ 64
+        # chars — see docstring) ΣL(L−1)/2 ≤ 32·ΣL, giving index rows
+        # ≤ 2S at depth 1 and ≤ 34S at depth 2. The bound is loose
+        # upward while parquet-side S is compressed (an underestimate)
+        # — the two pull toward the measured target, and overshooting
+        # the partition count only makes sorts smaller. Measured cost of
+        # the overshoot at the 2M-key stress tier (A/B, same JVM): the
+        # stats bound picked 2721 partitions vs 765 from exact length
+        # arithmetic → 98.9s vs 81.9s (~1.2× scheduler overhead), both
+        # spill-free with identical 147,616 rows — the safe direction,
+        # paid only on stats-backed inputs. Only when the stats are
+        # unusable (inputs reporting the defaultSizeInBytes sentinel)
+        # does the exact single-row length agg run — tiny local frames,
+        # where one scan is free.
         default_parts = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         )
-        sort_parts = max(default_parts, min(50_000, int(est) // 500_000 + 1))
+        if sort_partitions is not None:
+            sort_parts = sort_partitions
+        else:
+            try:
+                # py4j hands scala.math.BigInt back as a Python int
+                s_bytes = int(
+                    nonnull._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .sizeInBytes()
+                )
+            except Exception:  # noqa: BLE001 - stats access is best-effort
+                s_bytes = -1
+            if 0 <= s_bytes < (1 << 40):  # real stat, not the sentinel
+                est = 2 * s_bytes if max_dist == 1 else 34 * s_bytes
+            else:
+                ln = F.length("txt").cast("long")
+                per_key = (
+                    (1 + ln) if max_dist == 1
+                    else (1 + ln + ln * (ln - 1) / 2)
+                )
+                est = int(
+                    nonnull.agg(F.sum(per_key).alias("rows")).first()["rows"]
+                    or 0
+                )
+            sort_parts = max(default_parts, min(50_000, est // 500_000 + 1))
         inv = inv.repartition(sort_parts, "bv")
         # Self-join pinned to SORT-MERGE, by measurement at 2M keys: the
         # depth-2 index is ~340M rows, and (a) a forced shuffle-hash join

@@ -395,6 +395,78 @@ def pq_encode(
     return j.groupBy(id_col, "sub").agg(best.getField("code").alias("code"))
 
 
+def gram_blocked(
+    df: DataFrame,
+    vec_col: str,
+    d: int,
+    block: int = 32,
+) -> DataFrame:
+    """Σ x·xᵀ (upper triangle) via block-partitioned BLAS over
+    ``mapInArrow`` — the q217 escape hatch promoted to an operator
+    (plans/analytics.py q217_embedding_gram documents when to switch).
+
+    The expression plan q217 gates expands every vector into its d²/2
+    component products as Catalyst array ops — ideal at d=64, but the
+    per-row expansion (and codegen'd expression tree) grows O(d²): at
+    d in the thousands each row would explode into millions of structs.
+    Here each Arrow batch instead lands in numpy as an (n, d) int64
+    matrix and the partial gram is accumulated PER PARTITION as block
+    outer products Xᵀ_a·X_b (``block``-column tiles keep the working
+    set cache-resident; only upper-triangle tiles are computed), so the
+    shuffle is one d²/2-cell partial per partition — the identical
+    sum-of-partial-grams contract as the expression plan, with the
+    per-row O(d²) expansion gone.
+
+    Arithmetic is the exact q194/q217 fixed-point convention — floats
+    cast to double, floored to int64 micro-units BEFORE multiplying,
+    products and sums in int64 (exact up to ~9e18: unit components give
+    1e12/cell products, overflow needs ≳9M rows per partition × cell —
+    repartition the input before that) — so the result is bit-identical
+    to q217's gated plan, asserted by test_gram_blocked equivalence.
+
+    Output: (i int, j int, gram_e12 long) for 0 ≤ i ≤ j < d, matching
+    q217's schema.
+    """
+    if d <= 0 or block <= 0:
+        raise ValueError("d and block must be positive")
+
+    def _partials(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        acc = np.zeros((d, d), dtype=np.int64)
+        seen = False
+        for batch in batches:
+            col = batch.column(0)
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            x = np.floor(flat.astype(np.float64) * 1e6).astype(np.int64)
+            x = x.reshape(-1, d)
+            seen = True
+            for a in range(0, d, block):
+                b = min(a + block, d)
+                for c in range(a, d, block):
+                    e = min(c + block, d)
+                    acc[a:b, c:e] += x[:, a:b].T @ x[:, c:e]
+        if not seen:
+            return  # empty partition: no partial, no shuffle rows
+        iu = np.triu_indices(d)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(iu[0].astype(np.int32)),
+                pa.array(iu[1].astype(np.int32)),
+                pa.array(acc[iu]),
+            ],
+            names=["i", "j", "v"],
+        )
+
+    partials = df.select(vec_col).mapInArrow(_partials, "i int, j int, v long")
+    return (
+        partials.groupBy("i", "j")
+        .agg(F.sum("v").cast("long").alias("gram_e12"))
+        .select(F.col("i").cast("int"), F.col("j").cast("int"), "gram_e12")
+    )
+
+
 def pq_adc_topk(
     encoded: DataFrame,
     codebooks: DataFrame,

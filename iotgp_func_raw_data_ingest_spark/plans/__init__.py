@@ -47,6 +47,8 @@ from iotgp_func_raw_data_ingest_spark.plans import advanced_sql  # noqa: E402,F4
 from iotgp_func_raw_data_ingest_spark.plans import llm_ops12  # noqa: E402,F401
 from iotgp_func_raw_data_ingest_spark.plans import warehouse  # noqa: E402,F401
 from iotgp_func_raw_data_ingest_spark.plans import analytics  # noqa: E402,F401
+from iotgp_func_raw_data_ingest_spark.plans import streaming_queries5  # noqa: E402,F401
+from iotgp_func_raw_data_ingest_spark.plans import advanced_sql2  # noqa: E402,F401
 
 
 def _reorder() -> None:

@@ -90,13 +90,24 @@ def q198_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulated recursion output at spark.sql.cteRecursionRowLimit
     (default 1e6 rows) and FAILS the query past it
     (RECURSION_ROW_LIMIT_EXCEEDED) — a forest walk emits one row per
-    key, so the limit is sized to |customer| + slack (one footer-only
-    count). The conf persists on the shared session, so the bound is
-    kept data-proportional rather than a blanket ceiling: a later
-    runaway recursion still trips a guard of the right magnitude."""
+    key, so the limit must cover |customer| + slack (one footer-only
+    count). The conf is read at ACTION time, not plan-build time
+    (probed: building under a large limit then collecting under a small
+    one fails), so a build-scoped try/finally restore would break the
+    later execution — instead the limit is RATCHETED: raised to the
+    relation size only when the current value is too small, never
+    lowered. Small-SF runs therefore leave the session conf untouched
+    (the 1e6 default already covers them — zero session mutation), and
+    a big-walk run can never strand a too-small bound for a later
+    query; the only residue is a guard that is larger than a later
+    tiny query strictly needs, which still trips on any runaway
+    recursion of real magnitude (r6 ADVICE cross-talk closed)."""
     t = prep(spark, sf_dir)
     n_customers = t["customer"].count()
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(n_customers + 1024))
+    needed = n_customers + 1024
+    current = int(spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000"))
+    if needed > current:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", str(needed))
     return spark.sql(
         """
         WITH RECURSIVE chain AS (

@@ -174,3 +174,46 @@ def q218_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
         """
     )
+
+
+@register(
+    "q220_gram_blocked",
+    oracle="""
+    WITH pairs AS (
+        SELECT unnest(flatten(list_transform(range(64), i ->
+                   list_transform(range(i, 64), j -> {
+                       'i': i, 'j': j,
+                       'v': CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1e6)
+                                 AS BIGINT)
+                            * CAST(FLOOR(CAST(embedding[j + 1] AS DOUBLE) * 1e6)
+                                   AS BIGINT)
+                   })))) AS p
+        FROM embeddings
+    )
+    SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
+           CAST(SUM(p.v) AS BIGINT) AS gram_e12
+    FROM pairs GROUP BY p.i, p.j
+    """,
+)
+def q220_gram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gram matrix again, through the d≫64 SCALE PATH q217's
+    docstring commits to: ``operators/similarity.gram_blocked`` — block-
+    partitioned int64 BLAS over ``mapInArrow``, one d²/2-cell partial
+    per partition, summed in a 2080-group rollup. Same oracle as q217
+    because the operator's contract IS bit-identity with the expression
+    plan (exact micro-unit fixed point end to end); a float sneaking
+    into the numpy path, a mis-tiled ragged block, or a double-counted
+    partition all flip the hash.
+
+    100 TB shape: per-partition work is dense BLAS on (rows × d) int
+    tiles — the arithmetic-intensity-optimal layout when d²-per-row
+    expression expansion stops fitting; shuffle stays partitions × d²/2
+    fixed-width cells regardless of corpus size. This is the deliberate
+    Arrow-batch exception to the JVM-only rule (guide: vectorized
+    mapInArrow, never per-row Python)."""
+    from iotgp_func_raw_data_ingest_spark.operators.similarity import (
+        gram_blocked,
+    )
+
+    t = prep(spark, sf_dir)
+    return gram_blocked(t["embeddings"], "embedding", d=64, block=32)

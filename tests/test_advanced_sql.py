@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+from pyspark.sql import functions as F
 
 from iotgp_func_raw_data_ingest_spark.plans import QUERIES
 from tests.conftest import SF_SMOKE
@@ -250,3 +251,70 @@ def test_pipe_syntax_same_physical_shape(spark):
     assert op_multiset(piped) == op_multiset(ansi)
     plan = piped._jdf.queryExecution().executedPlan().toString()
     assert "GreaterThanOrEqual(l_shipdate" in plan  # pushed, not residual
+
+
+def test_sql_scripting_loop_matches_direct_aggregate(spark):
+    """q221's loop-carried scalars must equal the closed-form aggregates
+    computed directly: weighted_total = Σ(seg+1)·|seg|, and the chained
+    hash replayed in Python over the same per-segment sums."""
+    from tests.conftest import SF_SMOKE
+
+    row = QUERIES["q221_sql_scripting"](spark, SF_SMOKE).collect()[0]
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    aggs = {
+        r["seg"]: (r["n"], r["s"])
+        for r in cust.selectExpr(
+            "c_custkey % 5 AS seg", "c_nationkey"
+        )
+        .groupBy("seg")
+        .agg(F.count("*").alias("n"), F.sum("c_nationkey").alias("s"))
+        .collect()
+    }
+    acc, chain = 0, 1
+    for seg in range(5):
+        n, s = aggs.get(seg, (0, 0))
+        acc += (seg + 1) * n
+        chain = (chain * 31 + s) % 1000000007
+    assert (row["weighted_total"], row["chained_hash"]) == (acc, chain)
+
+
+def test_sql_scalar_udf_inlines_to_jvm_plan(spark):
+    """q222's SQL UDF must be inlined by Catalyst: no Python evaluation
+    node in the physical plan, and the scores must match computing the
+    body inline."""
+    from tests.conftest import SF_SMOKE
+
+    df = QUERIES["q222_sql_scalar_udf"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    got = {r["lang"]: r["sum_score"] for r in df.collect()}
+    inline = {
+        r["lang"]: r["sum_score"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .selectExpr(
+            "lang",
+            "CAST(length(text) AS BIGINT) * 10000"
+            " DIV (1 + size(split(text, ' '))) AS score",
+        )
+        .groupBy("lang")
+        .agg(F.sum("score").alias("sum_score"))
+        .collect()
+    }
+    assert got == inline
+
+
+def test_sql_table_udf_plans_as_generate_not_python(spark):
+    """q223's TVF must plan as a JVM lateral Generate (explode), never a
+    Python UDTF node — the cost contrast with q200 that the module
+    docstring claims."""
+    from tests.conftest import SF_SMOKE
+
+    df = QUERIES["q223_sql_table_udf"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in plan or "Generate" in plan
+    assert "PythonUDTF" not in plan and "BatchEvalPython" not in plan
+    rows = df.collect()
+    assert len(rows) == 20
+    pairs = [(r["n"], r["term"]) for r in rows]
+    assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+    assert all(len(r["term"]) > 3 and r["n"] >= r["n_docs"] >= 1 for r in rows)

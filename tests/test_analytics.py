@@ -41,6 +41,53 @@ def test_gram_matches_numpy_on_the_smoke_corpus(spark):
         assert g == expected[i, j], (i, j)
 
 
+def test_gram_blocked_equals_expression_plan(spark):
+    """The mapInArrow block-BLAS gram (operators/similarity.gram_blocked
+    — the d≫64 scale path q217's docstring commits to) must be
+    BIT-IDENTICAL to q217's gated Catalyst expression plan: both floor
+    to int64 micro-units before multiplying, so there is no tolerance —
+    any cell off by 1 means the fixed-point conventions diverged. A
+    non-divisor block size exercises the ragged edge tiles."""
+    expr = {
+        (r["i"], r["j"]): r["gram_e12"]
+        for r in QUERIES["q217_embedding_gram"](spark, SF_SMOKE).collect()
+    }
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    from iotgp_func_raw_data_ingest_spark.operators.similarity import (
+        gram_blocked,
+    )
+
+    for block in (64, 24):  # divisor and ragged tilings
+        got = {
+            (r["i"], r["j"]): r["gram_e12"]
+            for r in gram_blocked(emb, "embedding", d=64, block=block).collect()
+        }
+        assert got == expr, f"block={block}"
+
+
+def test_gram_blocked_tiny_hand_checked(spark):
+    from iotgp_func_raw_data_ingest_spark.operators.similarity import (
+        gram_blocked,
+    )
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0],), ([0.5, -1.0, 0.25],)],
+        "embedding array<float>",
+    )
+    got = {
+        (r["i"], r["j"]): r["gram_e12"]
+        for r in gram_blocked(df, "embedding", d=3, block=2).collect()
+    }
+    m = 1_000_000
+    v1, v2 = [m, 2 * m, 3 * m], [m // 2, -m, m // 4]
+    expected = {
+        (i, j): v1[i] * v1[j] + v2[i] * v2[j]
+        for i in range(3)
+        for j in range(i, 3)
+    }
+    assert got == expected
+
+
 def test_session_paths_are_wellformed(spark):
     rows = QUERIES["q218_session_paths"](spark, SF_SMOKE).collect()
     assert 0 < len(rows) <= 20

@@ -199,6 +199,32 @@ def test_blocked_levenshtein_fastpath_matches_fallback(spark):
     assert not any(a == 6 or b == 6 for a, b, _ in got2)
 
 
+def test_blocked_levenshtein_builds_lazily_on_stats_backed_input(
+    spark, tmp_path
+):
+    """Plan construction must run NO Spark job when the input carries a
+    Catalyst size statistic (r6 ADVICE: the sort-partition sizing agg
+    used to execute eagerly at build time, taxing plan audits and
+    doubling the input scan per execution); an explicit sort_partitions
+    must be lazy for ANY input. Results must match the agg-sized path."""
+    rows = [(1, "kitten", "g1"), (2, "sitten", "g1"), (3, "kitte", "g1")]
+    spark.createDataFrame(rows, "id long, name string, grp string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "keys"))
+    pq = spark.read.parquet(str(tmp_path / "keys"))
+    tracker = spark.sparkContext.statusTracker()
+    for kwargs in ({}, {"sort_partitions": 4}):
+        before = len(tracker.getJobIdsForGroup(None))
+        plan = D.blocked_levenshtein_pairs(
+            pq, "id", "name", "grp", max_dist=2, **kwargs
+        )
+        assert len(tracker.getJobIdsForGroup(None)) == before, (
+            f"plan build ran a Spark job (kwargs={kwargs})"
+        )
+        got = {(r.id_a, r.id_b, r.dist) for r in plan.collect()}
+        assert got == {(1, 2, 1), (1, 3, 1), (2, 3, 2)}
+
+
 def test_ivf_assign_and_topk_recall(spark):
     """ivf_assign puts each vector in its nearest centroid's cell
     (ties → min centroid id); ivf_topk with nprobe = n_cells degenerates
