@@ -310,6 +310,12 @@ def kmeans_refine(
 # (the kmeans_refine convention).
 
 
+# Packed-argmin code-word domain for pq_encode: codes live in the low
+# 17 bits of the min() key, distances in the high 46 (see pq_encode's
+# docstring for the measured hash-vs-sort-aggregate rationale).
+_PQ_CODE_SHIFT = 1 << 17
+
+
 def _e6_subvec(vec_col: str, m: int, sub_dim: int) -> Column:
     """Subspace m of a vector, e6-quantized to array<long> (exact ints —
     cross-engine-safe arithmetic, see kmeans_refine)."""
@@ -354,10 +360,10 @@ def pq_codebooks(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Per-subspace codebooks from ``seeds`` rows: (code, sub, cvec) with
-    code = the seed's id, used as the code word directly (any integer id
-    domain — pq_encode's argmin is a lexicographic struct-min, not a
-    packed key, so large/sparse ids are fine).
-    Seed-sampled codebooks keep the operator
+    code = the seed's id, used as the code word directly. Caller
+    contract: ids in [0, 2¹⁷) — sparse/large ids up to 131071 are fine
+    (pq_encode validates and RAISES on violation rather than corrupting,
+    per the r6 ADVICE). Seed-sampled codebooks keep the operator
     deterministic and oracle-replayable; a production fit would Lloyd-
     refine each subspace with :func:`kmeans_refine` offline — the ADC
     machinery below is identical either way."""
@@ -373,26 +379,52 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Encode every corpus vector as ``n_sub`` nearest-codeword codes
-    (squared-L2 per subspace, ties → smallest code via a lexicographic
-    struct-min argmin — min over (d2, code) structs is elementwise in
-    Spark, so no packed key and no bound on the code domain; the earlier
-    ``d2·64 + code`` packing silently corrupted encodings for codebooks
-    with codes ≥ 64). Output (id, sub, code): the compressed
-    representation — n_sub small ints replacing sub_dim·n_sub floats,
-    the ~32× footprint cut that lets a billion-vector index live in RAM.
+    (squared-L2 per subspace, ties → smallest code via the exact packed
+    argmin key ``d2·2¹⁷ + code``). Output (id, sub, code): the
+    compressed representation — n_sub small ints replacing
+    sub_dim·n_sub floats, the ~32× footprint cut that lets a
+    billion-vector index live in RAM.
 
-    Shape: codebooks broadcast (≤ 64·n_sub tiny rows), corpus exploded
-    to n_sub rows/vector map-side, one groupBy on (id, sub) whose width
-    is bounded by the code count. No shuffle scales super-linearly in
-    the corpus."""
-    subs = _explode_subspaces(corpus, id_col, n_sub, sub_dim, id_col, vec_col, "qv")
-    j = subs.join(F.broadcast(codebooks), "sub")
-    best = F.min(
-        F.struct(
-            _sq_l2_e6("qv", "cvec").alias("d2"), F.col("code").alias("code")
+    The packed-long argmin is a deliberate plan choice, measured: a
+    domain-free struct-min (``min(struct(d2, code))``) is not
+    hash-aggregable (no fixed-width mutable buffer), so Spark planned
+    SortAggregate over the id×sub×codes exploded relation — 43.7 GB
+    spilled at the 2M-vector stress tier vs ZERO for the packed
+    ``min(long)`` hash aggregate. Code words are therefore bounded to
+    [0, 2¹⁷) and VALIDATED — an out-of-range codebook id raises at
+    execution instead of silently corrupting encodings (the r6 ADVICE
+    fix); the guard rides the tiny broadcast side, not the exploded
+    relation. Headroom: at e6 fixed point with unit-scale components,
+    d2 ≤ sub_dim·4e12, so d2·2¹⁷ fits int64 through sub_dim 16 (the
+    default) with components up to |x| ≈ 1.0.
+
+    Shape: codebooks broadcast (≤ n_codes·n_sub tiny rows), corpus
+    exploded to n_sub rows/vector map-side, one groupBy on (id, sub)
+    whose width is bounded by the code count. No shuffle scales
+    super-linearly in the corpus."""
+    shift = _PQ_CODE_SHIFT
+    guarded = codebooks.select(
+        "sub",
+        F.when(
+            (F.col("code") >= 0) & (F.col("code") < shift),
+            F.col("code").cast("long"),
         )
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "pq_encode: codebook code word outside [0, 131072) "
+                    "would corrupt the packed argmin key — re-id the "
+                    "codebooks (pq_codebooks contract)"
+                )
+            )
+        )
+        .alias("code"),
+        "cvec",
     )
-    return j.groupBy(id_col, "sub").agg(best.getField("code").alias("code"))
+    subs = _explode_subspaces(corpus, id_col, n_sub, sub_dim, id_col, vec_col, "qv")
+    j = subs.join(F.broadcast(guarded), "sub")
+    key = _sq_l2_e6("qv", "cvec") * F.lit(shift) + F.col("code")
+    return j.groupBy(id_col, "sub").agg((F.min(key) % shift).alias("code"))
 
 
 def gram_blocked(

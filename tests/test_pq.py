@@ -50,7 +50,10 @@ def test_pq_encode_handles_codes_beyond_64(spark):
 
     Regression for the r6 ADVICE item: the old ``d2·64 + code`` packed
     argmin key silently corrupted codes ≥ 64 (the ``% 64`` unpacking
-    aliased them); the struct-min argmin has no code-domain bound."""
+    aliased them); the key now reserves 17 bits for the code — chosen
+    over a domain-free struct-min, which planned SortAggregate and
+    spilled 43.7 GB at the 2M stress tier (docstring) — and any code
+    outside [0, 2¹⁷) raises instead of corrupting (next test)."""
     rows = [
         (100, [0.0] * 8),
         (200, [1.0] * 8),
@@ -66,6 +69,19 @@ def test_pq_encode_handles_codes_beyond_64(spark):
         assert got[(sid, 0)] == sid and got[(sid, 1)] == sid
     assert (got[(10, 0)], got[(10, 1)]) == (100, 100)
     assert (got[(11, 0)], got[(11, 1)]) == (999, 999)
+
+
+def test_pq_encode_rejects_out_of_domain_codes(spark):
+    """A codebook id outside [0, 2^17) must RAISE at execution — never
+    silently alias into another code (the failure mode the r6 ADVICE
+    flagged on the old 6-bit packing)."""
+    import pytest
+
+    rows = [(1 << 17, [0.0] * 8), (5, [1.0] * 8), (10, [0.2] * 8)]
+    df = _vecs(spark, [(i, [float(x) for x in v]) for i, v in rows])
+    cb = S.pq_codebooks(df.filter(F.col("vec_id") != 10), n_sub=N_SUB, sub_dim=SUB)
+    with pytest.raises(Exception, match="outside \\[0, 131072\\)"):
+        S.pq_encode(df, cb, n_sub=N_SUB, sub_dim=SUB).collect()
 
 
 def test_pq_adc_matches_exact_for_zero_quantization_error(spark):
