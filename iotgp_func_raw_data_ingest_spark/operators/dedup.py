@@ -667,27 +667,30 @@ def blocked_levenshtein_pairs(
         # pressure; past it (≈25B index rows) raise executor memory per
         # task instead.
         #
-        # The partition COUNT is derived lazily (r6 ADVICE: no Spark
-        # action at plan-construction time — plan audits/EXPLAIN must
-        # stay free). Callers who know their index pass
-        # ``sort_partitions``; otherwise the index cardinality is
-        # upper-bounded from the input relation's Catalyst byte
-        # statistic S (driver-side metadata, no job): every text char
-        # is ≤ 1 input byte, so ΣL ≤ S and n ≤ S, and for the short
-        # record-linkage keys this operator is contracted for (≲ 64
-        # chars — see docstring) ΣL(L−1)/2 ≤ 32·ΣL, giving index rows
-        # ≤ 2S at depth 1 and ≤ 34S at depth 2. The bound is loose
-        # upward while parquet-side S is compressed (an underestimate)
-        # — the two pull toward the measured target, and overshooting
-        # the partition count only makes sorts smaller. Measured cost of
-        # the overshoot at the 2M-key stress tier (A/B, same JVM): the
-        # stats bound picked 2721 partitions vs 765 from exact length
-        # arithmetic → 98.9s vs 81.9s (~1.2× scheduler overhead), both
-        # spill-free with identical 147,616 rows — the safe direction,
-        # paid only on stats-backed inputs. Only when the stats are
-        # unusable (inputs reporting the defaultSizeInBytes sentinel)
-        # does the exact single-row length agg run — tiny local frames,
-        # where one scan is free.
+        # The partition COUNT decision is gated so plan construction
+        # stays job-free in every context that builds-but-doesn't-run
+        # (r6 ADVICE: plan audits / EXPLAIN tooling must not pay a
+        # scan). Three tiers:
+        #
+        # 1. ``sort_partitions`` given → use it, fully lazy.
+        # 2. Upper-bound the index from the input relation's Catalyst
+        #    byte statistic S (driver-side metadata, no job): every
+        #    text char is ≤ 1 input byte, so ΣL ≤ S and n ≤ S, and for
+        #    the short record-linkage keys this operator is contracted
+        #    for (≲ 64 chars — see docstring) ΣL(L−1)/2 ≤ 32·ΣL,
+        #    giving index rows ≤ 2S (d=1) / ≤ 34S (d=2). If even this
+        #    LOOSE bound fits the session default at the 500k-rows/
+        #    partition target, the default provably suffices → lazy,
+        #    no job. This is the audit / small-SF / gate path.
+        # 3. Only when the bound demands MORE partitions (or the stats
+        #    are the defaultSizeInBytes sentinel — RDD-backed inputs)
+        #    run the exact single-row length agg: at that scale the
+        #    one bounded input scan is a few percent of the join it
+        #    sizes, and the exact count avoids the bound's overshoot
+        #    — measured A/B at the 2M-key stress tier: bound-derived
+        #    2721 partitions ran 98.9s vs 81.9s at the exact 765,
+        #    both spill-free with identical 147,616 rows (~1.2×
+        #    scheduler overhead worth eliding when a scan buys it).
         default_parts = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         )
@@ -704,8 +707,11 @@ def blocked_levenshtein_pairs(
                 )
             except Exception:  # noqa: BLE001 - stats access is best-effort
                 s_bytes = -1
+            bound = -1
             if 0 <= s_bytes < (1 << 40):  # real stat, not the sentinel
-                est = 2 * s_bytes if max_dist == 1 else 34 * s_bytes
+                bound = 2 * s_bytes if max_dist == 1 else 34 * s_bytes
+            if 0 <= bound <= default_parts * 500_000:
+                sort_parts = default_parts  # provably enough — stay lazy
             else:
                 ln = F.length("txt").cast("long")
                 per_key = (
@@ -716,7 +722,9 @@ def blocked_levenshtein_pairs(
                     nonnull.agg(F.sum(per_key).alias("rows")).first()["rows"]
                     or 0
                 )
-            sort_parts = max(default_parts, min(50_000, est // 500_000 + 1))
+                sort_parts = max(
+                    default_parts, min(50_000, est // 500_000 + 1)
+                )
         inv = inv.repartition(sort_parts, "bv")
         # Self-join pinned to SORT-MERGE, by measurement at 2M keys: the
         # depth-2 index is ~340M rows, and (a) a forced shuffle-hash join
