@@ -50,6 +50,7 @@ from iotgp_func_raw_data_ingest_spark.plans import analytics  # noqa: E402,F401
 from iotgp_func_raw_data_ingest_spark.plans import streaming_queries5  # noqa: E402,F401
 from iotgp_func_raw_data_ingest_spark.plans import advanced_sql2  # noqa: E402,F401
 from iotgp_func_raw_data_ingest_spark.plans import er_ops  # noqa: E402,F401
+from iotgp_func_raw_data_ingest_spark.plans import dml_ops  # noqa: E402,F401
 
 
 def _reorder() -> None:

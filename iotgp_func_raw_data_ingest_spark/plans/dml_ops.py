@@ -1,0 +1,203 @@
+"""Round-7 tranche 3: streaming dimension refresh + the SQL DML/DDL
+surface.
+
+- q226: **mid-stream dimension refresh** — the operational reality
+  q196's stream-static join abstracts away: the dimension is NOT
+  frozen for the life of the stream. Two ``availableNow`` runs share
+  one checkpoint; between them the dimension table is overwritten.
+  Rows must join against the dimension version current AT PROCESSING
+  TIME — tranche A with v1, tranche B with v2 — which the oracle
+  states declaratively with a CASE on the tranche split key. Re-joining
+  tranche A against v2 on the restart (state/checkpoint broken) or
+  joining B against a cached v1 (dim captured at plan time instead of
+  per run) both flip the hash.
+- q227: **CREATE TABLE … DEFAULT + the INSERT forms** — the ANSI DML
+  surface a service schema migration leans on: column DEFAULTs filled
+  for omitted columns, the explicit ``DEFAULT`` keyword, partial
+  column lists, and ``INSERT INTO … SELECT``. The oracle reconstructs
+  the final table from pure VALUES/SELECT with the defaults resolved
+  by hand.
+
+Reference parity: engine-added (SURVEY §2.6).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iotgp_func_raw_data_ingest_spark.plans.registry import prep, register
+from iotgp_func_raw_data_ingest_spark.plans.streaming_queries import (
+    _few_shuffle_partitions,
+)
+
+
+@register(
+    "q226_stream_dim_refresh",
+    oracle="""
+    WITH cut AS (SELECT MAX(event_id) // 2 AS c FROM events)
+    SELECT CASE WHEN e.event_id <= (SELECT c FROM cut)
+                THEN cu.c_mktsegment
+                ELSE 'R2-' || cu.c_mktsegment END AS segment,
+           e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e
+    JOIN customer cu ON cu.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q226_stream_dim_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment across a dimension refresh: run 1
+    drains the event_id ≤ max/2 tranche joined (inside foreachBatch,
+    which re-reads the dimension path per batch — the refresh-capable
+    pattern) against dim v1; the dimension is then overwritten with v2
+    (segments prefixed 'R2-'), the second tranche file lands, and run 2
+    resumes the SAME checkpoint, draining only the new tranche against
+    v2. The sink aggregate must equal the oracle's CASE-split join:
+    checkpoint replay of tranche A, a plan-time-frozen dimension, or a
+    lost batch each change counts or segment labels.
+
+    100 TB shape: the dimension re-read costs one broadcast-sized scan
+    per micro-batch — the standard price of refreshable enrichment
+    (contrast q196, where the dim is fixed at plan time and free);
+    schedule dim refreshes at batch granularity, never mid-batch, and
+    the per-row semantics stay deterministic. Everything else is
+    q196's stateless per-batch join."""
+    t = prep(spark, sf_dir)
+    events = t["events"]
+    # integer floor-division on BOTH sides: double-divide-then-cast
+    # truncates in Spark but rounds in DuckDB — off-by-one at odd max
+    cut = events.agg(F.max("event_id")).first()[0] // 2
+    dim_v1 = t["customer"].select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    dim_v2 = dim_v1.withColumn("segment", F.concat(F.lit("R2-"), F.col("segment")))
+    work = tempfile.mkdtemp(prefix="q226_")
+    try:
+        with _few_shuffle_partitions(spark):
+            tranche_a = events.filter(F.col("event_id") <= cut)
+            tranche_b = events.filter(F.col("event_id") > cut)
+            tranche_a.coalesce(1).write.parquet(f"{work}/in/a")
+
+            def _run() -> None:
+                stream = (
+                    spark.readStream.schema(events.schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(f"{work}/in/*")
+                )
+
+                def _enrich(batch_df: DataFrame, batch_id: int) -> None:
+                    dim = spark.read.parquet(f"{work}/dim")  # per-batch read
+                    batch_df.join(F.broadcast(dim), "user_id").write.mode(
+                        "append"
+                    ).parquet(f"{work}/out")
+
+                q = (
+                    stream.writeStream.foreachBatch(_enrich)
+                    .option("checkpointLocation", f"{work}/ckpt")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+
+            dim_v1.write.mode("overwrite").parquet(f"{work}/dim")
+            _run()  # drains tranche A against v1
+            dim_v2.write.mode("overwrite").parquet(f"{work}/dim")
+            tranche_b.coalesce(1).write.parquet(f"{work}/in/b")
+            _run()  # resumes the checkpoint, drains ONLY B against v2
+
+            out = (
+                spark.read.parquet(f"{work}/out")
+                .groupBy("segment", "event_type")
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                    F.round(F.sum("value"), 2).alias("sum_value"),
+                )
+            )
+            return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q227_sql_dml_defaults",
+    oracle="""
+    WITH rows_ AS (
+        SELECT 1 AS id, 'open' AS status, 2.0 AS score
+        UNION ALL SELECT 2, 'new', 1.5
+        UNION ALL SELECT 3, 'new', 1.5
+        UNION ALL
+        SELECT event_id, 'bulk', CAST(user_id AS DOUBLE)
+        FROM events WHERE event_id <= 20
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(score), 2) AS sum_score,
+           CAST(SUM(id) AS BIGINT) AS sum_id
+    FROM rows_ GROUP BY status
+    """,
+)
+def q227_sql_dml_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL DDL + every INSERT form against a DEFAULT-bearing table:
+    CREATE TABLE (status DEFAULT 'new', score DEFAULT 1.5), then a
+    full-row VALUES insert, a partial-column-list insert (defaults
+    fill the gap), an explicit DEFAULT-keyword insert, and a bulk
+    INSERT … SELECT from the events table. The read-back census must
+    equal the oracle's hand-resolved reconstruction — a default
+    misapplied, a column-list misalignment, or a dropped insert all
+    flip counts or sums.
+
+    Execution note: eager by nature (DDL + four DML statements run in
+    the builder, like q214/q221); the result is pinned with
+    localCheckpoint so the table and its files can be dropped before
+    the caller collects.
+
+    100 TB shape: DEFAULTs are resolved at WRITE time into plain
+    column values (parquet carries the materialized value, and the
+    scan is indistinguishable from any other) — zero read-side cost,
+    unlike formats that resolve defaults at read. INSERT INTO …
+    SELECT is an ordinary distributed write job."""
+    import uuid as _uuid
+
+    t = prep(spark, sf_dir)
+    t["events"]
+    tbl = f"q227_dml_{_uuid.uuid4().hex[:8]}"
+    work = tempfile.mkdtemp(prefix="q227_")
+    try:
+        spark.sql(
+            f"""
+            CREATE TABLE {tbl} (
+                id BIGINT,
+                status STRING DEFAULT 'new',
+                score DOUBLE DEFAULT 1.5
+            ) USING parquet LOCATION '{work}/t'
+            """
+        )
+        spark.sql(f"INSERT INTO {tbl} VALUES (1, 'open', 2.0)")
+        spark.sql(f"INSERT INTO {tbl} (id) VALUES (2)")
+        spark.sql(f"INSERT INTO {tbl} VALUES (3, DEFAULT, DEFAULT)")
+        spark.sql(
+            f"""
+            INSERT INTO {tbl}
+            SELECT event_id, 'bulk', CAST(user_id AS DOUBLE)
+            FROM events WHERE event_id <= 20
+            """
+        )
+        out = spark.sql(
+            f"""
+            SELECT status,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(SUM(score), 2) AS sum_score,
+                   CAST(SUM(id) AS BIGINT) AS sum_id
+            FROM {tbl} GROUP BY status
+            """
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(work, ignore_errors=True)
