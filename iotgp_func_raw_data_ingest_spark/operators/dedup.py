@@ -557,6 +557,61 @@ def simhash64_pairs(
 # Blocked edit-distance fuzzy matching
 # ---------------------------------------------------------------------------
 
+# Safety multiplier on the Catalyst sizeInBytes-derived index bound when
+# the input is file-backed: parquet dictionary/RLE makes the stat
+# compressed bytes (< 1 byte/char; measured 1.36–1.45× under ΣL on the
+# testdata name columns) and Project stat-scaling prices strings at a
+# default 20 B against the 64-char key contract (≤ 3.2×). 3.2 × 5
+# dictionary headroom = 16. Heuristic margin, not a proof — when even
+# the inflated bound fits the session default the lazy path is safe in
+# practice; anything bigger falls through to the exact length agg.
+_FASTSS_STAT_SAFETY = 16
+
+
+def _fastss_sort_partitions(
+    nonnull: DataFrame,
+    max_dist: int,
+    sort_partitions: int | None = None,
+) -> int:
+    """Pick the FastSS index self-join's sort-partition count — the
+    three-tier decision documented inline in blocked_levenshtein_pairs
+    (tier 1 explicit / tier 2 stat bound, job-free / tier 3 exact length
+    agg). Split out so the sizing policy is unit-testable in isolation;
+    ``nonnull`` is the (id, txt, blk) relation with null texts dropped.
+    """
+    default_parts = int(
+        nonnull.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    if sort_partitions is not None:
+        return sort_partitions
+    try:
+        # py4j hands scala.math.BigInt back as a Python int
+        s_bytes = int(
+            nonnull._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+            .sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 - stats access is best-effort
+        s_bytes = -1
+    try:
+        # Driver-side file listing (no job): non-empty ⇒ the stat is
+        # compressed on-disk bytes, not row bytes.
+        file_backed = bool(nonnull.inputFiles())
+    except Exception:  # noqa: BLE001 - conservative on exotic plans
+        file_backed = True
+    bound = -1
+    if 0 <= s_bytes < (1 << 40):  # real stat, not the sentinel
+        bound = 2 * s_bytes if max_dist == 1 else 34 * s_bytes
+        if file_backed:
+            bound *= _FASTSS_STAT_SAFETY
+    if 0 <= bound <= default_parts * 500_000:
+        return default_parts  # bound (with margin) fits — lazy
+    ln = F.length("txt").cast("long")
+    per_key = (1 + ln) if max_dist == 1 else (1 + ln + ln * (ln - 1) / 2)
+    est = int(nonnull.agg(F.sum(per_key).alias("rows")).first()["rows"] or 0)
+    return max(default_parts, min(50_000, est // 500_000 + 1))
+
 
 def blocked_levenshtein_pairs(
     df: DataFrame,
@@ -587,6 +642,8 @@ def blocked_levenshtein_pairs(
     and the quadratic stays local. Everything is JVM built-ins —
     whole-stage codegen, no Python.
     """
+    if sort_partitions is not None and sort_partitions < 1:
+        raise ValueError("sort_partitions must be positive")
     side = df.select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("txt"),
@@ -674,14 +731,23 @@ def blocked_levenshtein_pairs(
         #
         # 1. ``sort_partitions`` given → use it, fully lazy.
         # 2. Upper-bound the index from the input relation's Catalyst
-        #    byte statistic S (driver-side metadata, no job): every
-        #    text char is ≤ 1 input byte, so ΣL ≤ S and n ≤ S, and for
-        #    the short record-linkage keys this operator is contracted
-        #    for (≲ 64 chars — see docstring) ΣL(L−1)/2 ≤ 32·ΣL,
-        #    giving index rows ≤ 2S (d=1) / ≤ 34S (d=2). If even this
-        #    LOOSE bound fits the session default at the 500k-rows/
-        #    partition target, the default provably suffices → lazy,
-        #    no job. This is the audit / small-SF / gate path.
+        #    byte statistic S (driver-side metadata, no job). For the
+        #    short record-linkage keys this operator is contracted for
+        #    (≲ 64 chars — see docstring) ΣL(L−1)/2 ≤ 32·ΣL, giving
+        #    index rows ≤ 2·ΣL (d=1) / ≤ 34·ΣL (d=2). Relating ΣL to S
+        #    is where honesty matters (r7 ADVICE): S is NOT an upper
+        #    bound on ΣL for file-backed inputs — parquet dictionary/
+        #    RLE beats 1 byte/char (measured 1.36–1.45× undershoot on
+        #    the testdata customer names), and Project nodes re-scale
+        #    S pricing strings at a default 20 B (vs the 64-char
+        #    contract → up to 3.2× more undershoot). So: when the plan
+        #    reads files, the bound is inflated by a 16× safety factor
+        #    (3.2 width × 5 dictionary headroom — heuristic margin,
+        #    not a proof); only for non-file inputs (LocalRelation /
+        #    in-memory, where Catalyst sizes actual rows) is ΣL ≤ S
+        #    sound as-is. If the safety-adjusted bound fits the
+        #    session default at the 500k-rows/partition target →
+        #    lazy, no job. This is the audit / small-SF / gate path.
         # 3. Only when the bound demands MORE partitions (or the stats
         #    are the defaultSizeInBytes sentinel — RDD-backed inputs)
         #    run the exact single-row length agg: at that scale the
@@ -691,40 +757,7 @@ def blocked_levenshtein_pairs(
         #    2721 partitions ran 98.9s vs 81.9s at the exact 765,
         #    both spill-free with identical 147,616 rows (~1.2×
         #    scheduler overhead worth eliding when a scan buys it).
-        default_parts = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-        )
-        if sort_partitions is not None:
-            sort_parts = sort_partitions
-        else:
-            try:
-                # py4j hands scala.math.BigInt back as a Python int
-                s_bytes = int(
-                    nonnull._jdf.queryExecution()
-                    .optimizedPlan()
-                    .stats()
-                    .sizeInBytes()
-                )
-            except Exception:  # noqa: BLE001 - stats access is best-effort
-                s_bytes = -1
-            bound = -1
-            if 0 <= s_bytes < (1 << 40):  # real stat, not the sentinel
-                bound = 2 * s_bytes if max_dist == 1 else 34 * s_bytes
-            if 0 <= bound <= default_parts * 500_000:
-                sort_parts = default_parts  # provably enough — stay lazy
-            else:
-                ln = F.length("txt").cast("long")
-                per_key = (
-                    (1 + ln) if max_dist == 1
-                    else (1 + ln + ln * (ln - 1) / 2)
-                )
-                est = int(
-                    nonnull.agg(F.sum(per_key).alias("rows")).first()["rows"]
-                    or 0
-                )
-                sort_parts = max(
-                    default_parts, min(50_000, est // 500_000 + 1)
-                )
+        sort_parts = _fastss_sort_partitions(nonnull, max_dist, sort_partitions)
         inv = inv.repartition(sort_parts, "bv")
         # Self-join pinned to SORT-MERGE, by measurement at 2M keys: the
         # depth-2 index is ~340M rows, and (a) a forced shuffle-hash join

@@ -395,14 +395,27 @@ def pq_encode(
     execution instead of silently corrupting encodings (the r6 ADVICE
     fix); the guard rides the tiny broadcast side, not the exploded
     relation. Headroom: at e6 fixed point with unit-scale components,
-    d2 ≤ sub_dim·4e12, so d2·2¹⁷ fits int64 through sub_dim 16 (the
-    default) with components up to |x| ≈ 1.0.
+    d2 ≤ sub_dim·4e12, so d2·2¹⁷ fits int64 through sub_dim 17 —
+    enforced with a ValueError (sub_dim ≥ 18 would silently wrap the
+    argmin); components are assumed |x| ≲ 1.0.
 
     Shape: codebooks broadcast (≤ n_codes·n_sub tiny rows), corpus
     exploded to n_sub rows/vector map-side, one groupBy on (id, sub)
     whose width is bounded by the code count. No shuffle scales
     super-linearly in the corpus."""
     shift = _PQ_CODE_SHIFT
+    # Packed-key headroom is a hard contract, validated (r7 ADVICE):
+    # with the documented |x| ≲ 1.0 component assumption, d2 ≤
+    # sub_dim·(2e6)² e6-units, so d2·2¹⁷ + code stays inside int64 only
+    # for sub_dim ≤ 17 — beyond that the argmin key silently wraps.
+    # Larger-magnitude components shrink that ceiling further; callers
+    # with wide subspaces must normalize or re-block first.
+    if sub_dim > 17:
+        raise ValueError(
+            "pq_encode: sub_dim > 17 overflows the packed argmin key "
+            "(d2*2^17 + code must fit int64 at unit-scale components) — "
+            "use more, narrower subspaces (raise n_sub, lower sub_dim)"
+        )
     guarded = codebooks.select(
         "sub",
         F.when(
@@ -471,7 +484,21 @@ def gram_blocked(
         for batch in batches:
             col = batch.column(0)
             flat = col.flatten().to_numpy(zero_copy_only=False)
-            x = np.floor(flat.astype(np.float64) * 1e6).astype(np.int64)
+            flat = flat.astype(np.float64)
+            # NULL/NaN elements flatten to NaN, and np.floor(NaN)
+            # .astype(int64) is silent garbage — diverging from q217's
+            # null-PROPAGATING expression plan this operator is
+            # contracted bit-identical with (r7 ADVICE). Non-finite
+            # input is a hard error here: a partial-gram cell poisoned
+            # by one row is unrecoverable downstream.
+            if not np.isfinite(flat).all():
+                raise ValueError(
+                    "gram_blocked: NULL/NaN/Inf embedding element — "
+                    "gram_blocked requires non-null finite vectors "
+                    "(filter or impute first; q217's expression plan "
+                    "null-propagates instead)"
+                )
+            x = np.floor(flat * 1e6).astype(np.int64)
             x = x.reshape(-1, d)
             seen = True
             for a in range(0, d, block):

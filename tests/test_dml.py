@@ -23,10 +23,18 @@ def test_dim_refresh_splits_segments_by_tranche(spark):
         cust.select(F.col("c_custkey").alias("user_id")), "user_id"
     ).count()
     assert sum(r["n_events"] for r in rows) == joinable
-    # v2 segment names are exactly the v1 names prefixed
+    # v2 segment names are the dimension's segments prefixed: stripping
+    # "R2-" must land in the customer dimension's segment domain (segs1
+    # alone may not cover segs2 — a segment can appear only in tranche
+    # B), and v1 names must come from the same domain un-prefixed.
+    expected = {
+        r["c_mktsegment"]
+        for r in cust.select("c_mktsegment").distinct().collect()
+    }
     segs1 = {r["segment"] for r in v1}
     segs2 = {r["segment"][3:] for r in v2}
-    assert segs2 <= {s for s in segs1} | segs2  # prefix strip well-formed
+    assert segs2 and segs2 <= expected
+    assert segs1 and segs1 <= expected
     assert all(r["segment"].startswith("R2-") for r in v2)
 
 

@@ -471,3 +471,119 @@ def test_fastss_drops_null_texts(spark):
         got = {(r.id_a, r.id_b) for r in
                D.blocked_levenshtein_pairs(df, "id", "name", "grp", max_dist=d).collect()}
         assert got == {(1, 2)}
+
+
+def test_blocked_levenshtein_rejects_nonpositive_sort_partitions(spark):
+    """sort_partitions reaches DataFrame.repartition unvalidated was the
+    r7 ADVICE: 0 / negative must fail fast at the call site, not with an
+    opaque Spark planner error deep in the join (parity with
+    gram_blocked's d/block guard)."""
+    df = spark.createDataFrame(
+        [(1, "kitten", "g1")], "id long, name string, grp string"
+    )
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="sort_partitions"):
+            D.blocked_levenshtein_pairs(
+                df, "id", "name", "grp", max_dist=2, sort_partitions=bad
+            )
+
+
+def test_fastss_sizing_distrusts_compressed_file_stats(spark, tmp_path):
+    """r7 ADVICE (medium): Catalyst sizeInBytes for parquet is
+    compressed on-disk bytes — dictionary/RLE strings routinely beat
+    1 byte/char, so the raw 2S/34S index bound can undershoot and keep
+    the default partition count exactly where the exact agg would have
+    raised it. Regression: a dictionary-friendly parquet source whose
+    RAW bound fits the (1-partition) budget but whose TRUE depth-2
+    index exceeds it must fall through to the exact length agg and
+    size up — the old code silently stayed at the default."""
+    # 250 keys × 64 chars from 5 distinct strings → parquet dictionary
+    # crushes ΣL=16,000 chars into a ~2–4 KB file, while the true
+    # depth-2 index is Σ(1+L+L(L-1)/2) = 250·2081 = 520,250 rows.
+    distinct = [chr(ord("a") + i) * 64 for i in range(5)]
+    rows = [(i, distinct[i % 5], "g%d" % (i % 7)) for i in range(250)]
+    p = str(tmp_path / "compressible")
+    spark.createDataFrame(rows, "id long, txt string, blk string").write.mode(
+        "overwrite"
+    ).parquet(p)
+    nonnull = (
+        spark.read.parquet(p)
+        .select("id", "txt", "blk")
+        .filter(F.col("txt").isNotNull())
+    )
+    s_bytes = int(
+        nonnull._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    # self-check the regression scenario: the raw (un-inflated) bound
+    # fits a 500k budget — the old code would have stayed lazy at 1
+    assert 34 * s_bytes <= 500_000, "fixture drifted: raw bound no longer fits"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        parts = D._fastss_sort_partitions(nonnull, max_dist=2)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    # exact agg path: 520,250 rows // 500k + 1 = 2 > the 1-partition default
+    assert parts == 2
+
+
+def test_fastss_sizing_stays_lazy_on_nonfile_stats(spark):
+    """Non-file inputs whose Catalyst stats are row-derived (Range →
+    Project here; createDataFrame is a LogicalRDD sentinel and goes to
+    the exact agg instead) take the un-inflated bound: sizing must stay
+    job-free and return the session default when the bound fits."""
+    nonnull = (
+        spark.range(200)
+        .select(
+            F.col("id"),
+            F.format_string("key-%04d", F.col("id")).alias("txt"),
+            F.lit("g").alias("blk"),
+        )
+        .filter(F.col("txt").isNotNull())
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    parts = D._fastss_sort_partitions(nonnull, max_dist=2)
+    assert len(tracker.getJobIdsForGroup(None)) == before, "sizing ran a job"
+    assert parts == int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+
+def test_gram_blocked_rejects_null_or_nan_elements(spark):
+    """r7 ADVICE: a NULL element flattens to NaN and np.floor(NaN)
+    .astype(int64) is silent garbage — gram_blocked must raise instead
+    of diverging from q217's null-propagating expression plan."""
+    from iotgp_func_raw_data_ingest_spark.operators.similarity import gram_blocked
+
+    df = spark.createDataFrame(
+        [(1, [1.0, None, 3.0]), (2, [1.0, 2.0, 3.0])],
+        "id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="gram_blocked"):
+        gram_blocked(df, "embedding", d=3, block=2).collect()
+    nan_df = spark.createDataFrame(
+        [(1, [1.0, float("nan"), 3.0])], "id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="gram_blocked"):
+        gram_blocked(nan_df, "embedding", d=3, block=2).collect()
+
+
+def test_pq_encode_rejects_overflowing_sub_dim(spark):
+    """r7 ADVICE: the packed argmin key d2·2¹⁷+code overflows int64 for
+    sub_dim ≥ 18 at unit-scale components — must raise, not silently
+    corrupt the argmin (same contract style as the code-word guard)."""
+    emb = spark.createDataFrame(
+        [(1, [0.0] * 36), (2, [0.5] * 36)], "vec_id long, embedding array<float>"
+    )
+    cb = S.pq_codebooks(emb, n_sub=2, sub_dim=18)
+    with pytest.raises(ValueError, match="sub_dim"):
+        S.pq_encode(emb, cb, n_sub=2, sub_dim=18)
+    # boundary: 17 is inside the validated envelope — seeds self-encode
+    emb17 = spark.createDataFrame(
+        [(1, [0.0] * 34), (2, [0.5] * 34)], "vec_id long, embedding array<float>"
+    )
+    cb17 = S.pq_codebooks(emb17, n_sub=2, sub_dim=17)
+    got = {
+        (r["vec_id"], r["sub"]): r["code"]
+        for r in S.pq_encode(emb17, cb17, n_sub=2, sub_dim=17).collect()
+    }
+    assert got == {(1, 0): 1, (1, 1): 1, (2, 0): 2, (2, 1): 2}
