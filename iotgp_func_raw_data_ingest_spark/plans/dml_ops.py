@@ -201,3 +201,82 @@ def q227_sql_dml_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q228_merge_into",
+    oracle="""
+    WITH target AS (
+        SELECT c_custkey AS k, c_mktsegment AS seg, ROUND(c_acctbal, 2) AS bal
+        FROM customer
+    ),
+    merged AS (
+        SELECT k, seg,
+               CASE WHEN k % 7 = 0 THEN ROUND(bal + 100.0, 2) ELSE bal END AS bal
+        FROM target
+        WHERE NOT (k % 7 = 0 AND bal < 0)
+        UNION ALL
+        SELECT c_custkey + 1000000, 'NEW-' || c_mktsegment, 50.0
+        FROM customer WHERE c_custkey % 11 = 3
+    )
+    SELECT seg,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(bal), 2) AS sum_bal
+    FROM merged GROUP BY seg
+    """,
+)
+def q228_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-clause ANSI MERGE over the lake (``sources.lake.
+    merge_lake_table``): the customer dimension is materialized as a
+    lake route, then one merge applies WHEN MATCHED AND bal < 0 THEN
+    DELETE (clause precedence: tested before update), WHEN MATCHED THEN
+    UPDATE SET bal = s.bal + 100, and WHEN NOT MATCHED THEN INSERT (a
+    re-keyed slice with fresh segments). The read-back census must equal
+    the oracle's declarative CASE/WHERE/UNION reconstruction — a clause
+    misapplied, precedence inverted, an unmatched row lost, or the swap
+    dropping carried rows all flip counts or sums. Eager lake lifecycle
+    per the plans/__init__ convention; result pinned with
+    localCheckpoint before the temp route is removed.
+
+    100 TB shape: the merge is ONE full-outer sort-merge join on the
+    key (one hash exchange per side) + a codegen'd CASE projection +
+    the staged two-rename swap — the same carried-copy economics as
+    upsert_lake_table; scope routes so merges touch bounded data."""
+    from iotgp_func_raw_data_ingest_spark.config import EngineConfig
+    from iotgp_func_raw_data_ingest_spark.sources.lake import merge_lake_table
+
+    t = prep(spark, sf_dir)
+    cust = t["customer"].select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round("c_acctbal", 2).alias("bal"),
+    )
+    work = tempfile.mkdtemp(prefix="q228_")
+    try:
+        lake = f"{work}/lake"
+        cfg = EngineConfig(output_path=lake)
+        route = f"{lake}/curated/crm/customers"
+        cust.write.parquet(route)
+        updates = cust.filter(F.col("k") % 7 == 0)
+        inserts = cust.filter(F.col("k") % 11 == 3).select(
+            (F.col("k") + 1_000_000).alias("k"),
+            F.concat(F.lit("NEW-"), F.col("seg")).alias("seg"),
+            F.lit(50.0).alias("bal"),
+        )
+        merge_lake_table(
+            spark, lake, "curated", "crm", "customers",
+            updates.unionByName(inserts), ["k"], cfg,
+            matched_update={"bal": "ROUND(s.bal + 100.0, 2)"},
+            matched_delete_condition="t.bal < 0",
+        )
+        out = (
+            spark.read.parquet(route)
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.round(F.sum("bal"), 2).alias("sum_bal"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -577,3 +577,163 @@ def upsert_lake_table(
     write_route_meta(spark, tmp, meta)
     _swap_into_place(fs, hpath, tmp_p, old_p, path, tmp)
     return rows_before, rows_after
+
+
+def merge_lake_table(
+    spark: SparkSession,
+    lake_path: str,
+    folder: str,
+    source_db: str,
+    table: str,
+    source: DataFrame,
+    key_cols: list[str],
+    cfg: EngineConfig,
+    fmt: str = "parquet",
+    matched_update: dict[str, str] | None = None,
+    matched_update_condition: str | None = None,
+    matched_delete_condition: str | None = None,
+    insert_when_not_matched: bool = True,
+    meta_extra: dict | None = None,
+) -> tuple[int, int]:
+    """ANSI ``MERGE INTO`` semantics over a plain-parquet lake route —
+    the full three-clause merge ``upsert_lake_table`` (last-write-wins
+    only) does not express:
+
+    - ``WHEN MATCHED [AND matched_delete_condition] THEN DELETE``
+    - ``WHEN MATCHED [AND matched_update_condition] THEN UPDATE SET
+      col = expr, ...`` (``matched_update`` maps target column → SQL
+      expression; reference source/target columns as ``s.col`` /
+      ``t.col``; omitted columns keep their target value; ``None``
+      update dict means matched rows are carried unchanged unless
+      deleted)
+    - ``WHEN NOT MATCHED THEN INSERT`` (source row lands with the
+      TARGET schema; source columns missing from the target are
+      dropped, target columns missing from the source become NULL)
+
+    Clause precedence follows ANSI clause order as declared: a matched
+    row is tested against the DELETE condition first, then the UPDATE
+    condition, else carried. The ANSI cardinality rule is enforced: a
+    source with duplicate keys would make a target row match more than
+    one source row (non-deterministic merge), so it raises instead —
+    pre-aggregate the source (contrast upsert_lake_table, which
+    documents arbitrary-winner dropDuplicates for the CDC fix-up case).
+
+    Execution shape: ONE full-outer join of target and source on the
+    keys, then a per-column CASE projection — merge semantics need
+    both unmatched sides (carry / insert), and full outer compiles to
+    a sort-merge join with a single hash exchange per side; the CASE
+    tree is whole-stage codegen. The rewrite lands in a temp dir and
+    swaps in with the same two-rename crash-safe commit as compaction
+    and upsert (shared ``_recover_swap`` / ``_swap_into_place``). At
+    100 TB the carried-row copy dominates exactly like upsert — scope
+    routes so merges touch bounded partitions (the delete path with
+    file pruning is ``maintenance.delete_keys_from_table``).
+
+    Reference parity: engine-added (SURVEY §2.6); the reference's only
+    write is append-style (src/function_app.py:239-264, merge=concat
+    of old+new tables).
+
+    Returns (rows_before, rows_after).
+    """
+    _check_format(fmt)
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    missing = [k for k in key_cols if k not in source.columns]
+    if missing:
+        raise ValueError(f"source is missing key columns: {missing}")
+    path = f"{lake_path.rstrip('/')}/{folder}/{source_db}/{table}"
+    jvm, hpath, fs = _hadoop_fs(spark, path)
+    tmp, old, tmp_p, old_p = _recover_swap(jvm, fs, hpath, path)
+    if not fs.exists(hpath):
+        raise FileNotFoundError(
+            f"merge_lake_table: target route {path} does not exist — "
+            "MERGE requires an existing target (write it first)"
+        )
+
+    existing = read_lake_table(spark, lake_path, folder, source_db, table, fmt=fmt)
+    target_cols = existing.columns
+    bad = [c for c in (matched_update or {}) if c not in target_cols]
+    if bad:
+        raise ValueError(f"matched_update sets unknown target columns: {bad}")
+    if any(c in key_cols for c in (matched_update or {})):
+        raise ValueError("matched_update must not reassign key columns")
+
+    # ANSI cardinality check: >1 source row per key is an error, not an
+    # arbitrary winner. One bounded job (merge is an eager maintenance
+    # action already); limit(1) stops at the first violation.
+    dup = (
+        source.groupBy(*key_cols)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            "merge_lake_table: source has duplicate keys "
+            f"(e.g. {[dup[0][k] for k in key_cols]}) — a target row would "
+            "match more than one source row; pre-aggregate the source"
+        )
+
+    rows_before = existing.count()
+    t = existing.withColumn("_t_present", F.lit(True)).alias("t")
+    s = source.withColumn("_s_present", F.lit(True)).alias("s")
+    joined = t.join(s, key_cols, "full_outer")
+    t_here = F.col("t._t_present").isNotNull()
+    s_here = F.col("s._s_present").isNotNull()
+    matched = t_here & s_here
+    upd_cond = (
+        F.expr(matched_update_condition)
+        if matched_update_condition
+        else F.lit(True)
+    )
+    del_cond = (
+        F.expr(matched_delete_condition)
+        if matched_delete_condition
+        else F.lit(False)
+    )
+    keep = ~(matched & del_cond)
+    if insert_when_not_matched:
+        keep = keep & (t_here | s_here)  # full-outer tautology, kept explicit
+    else:
+        keep = keep & t_here
+    out_cols = []
+    for c in target_cols:
+        if c in key_cols:
+            # join-on-list already coalesced the key into one column
+            out_cols.append(F.col(c))
+            continue
+        t_val = F.col(f"t.{c}")
+        s_val = F.col(f"s.{c}") if c in source.columns else F.lit(None)
+        # any target-present row (matched-no-clause OR unmatched-target)
+        # carries its value; only source-only rows take the insert value
+        val = F.when(t_here, t_val).otherwise(s_val)
+        if matched_update:
+            upd = F.expr(matched_update[c]) if c in matched_update else t_val
+            val = (
+                F.when(matched & ~del_cond & upd_cond, upd)
+                .when(t_here, t_val)
+                .otherwise(s_val)
+            )
+        out_cols.append(val.cast(existing.schema[c].dataType).alias(c))
+    merged = joined.filter(keep).select(*out_cols)
+
+    w = merged.write.mode("overwrite").option("maxRecordsPerFile", cfg.max_batch_size)
+    if fmt in ("parquet", "orc"):
+        w = w.option("compression", cfg.parquet_compression)
+    if fmt == "csv":
+        w = w.option("header", "true")
+    w.format(fmt).save(tmp)
+
+    r = spark.read
+    if fmt == "parquet":
+        r = r.option("mergeSchema", "true")
+    if fmt == "csv":
+        r = r.option("header", "true")
+    rows_after = r.format(fmt).load(tmp).count()
+    meta = read_route_meta(spark, path) or {}
+    meta["row_count"] = rows_after
+    meta.update(meta_extra or {})
+    write_route_meta(spark, tmp, meta)
+    _swap_into_place(fs, hpath, tmp_p, old_p, path, tmp)
+    return rows_before, rows_after

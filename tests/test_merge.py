@@ -1,0 +1,158 @@
+"""ANSI MERGE semantics over the lake (sources/lake.py merge_lake_table):
+clause application, clause precedence, cardinality enforcement, and the
+schema-alignment rules for inserts. The q228 gate checks the census; these
+pin the row-level contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iotgp_func_raw_data_ingest_spark.config import EngineConfig
+from iotgp_func_raw_data_ingest_spark.sources.lake import (
+    merge_lake_table,
+    read_lake_table,
+)
+
+ROUTE = ("curated", "crm", "people")
+
+
+def _seed(spark, tmp_path, rows):
+    lake = str(tmp_path / "lake")
+    df = spark.createDataFrame(rows, "k long, seg string, bal double")
+    df.write.parquet(f"{lake}/curated/crm/people")
+    return lake, EngineConfig(output_path=lake)
+
+
+def _read(spark, lake):
+    return {
+        r["k"]: (r["seg"], r["bal"])
+        for r in read_lake_table(spark, lake, *ROUTE).collect()
+    }
+
+
+def test_merge_update_insert_delete_clauses(spark, tmp_path):
+    lake, cfg = _seed(
+        spark, tmp_path,
+        [(1, "A", 10.0), (2, "B", -5.0), (3, "C", 7.0), (4, "D", 1.0)],
+    )
+    src = spark.createDataFrame(
+        # 1 → matched update, 2 → matched but bal<0 → DELETE wins,
+        # 9 → not matched → insert; 3/4 untouched → carried
+        [(1, "A2", 100.0), (2, "B2", 200.0), (9, "NEW", 50.0)],
+        "k long, seg string, bal double",
+    )
+    before, after = merge_lake_table(
+        spark, lake, *ROUTE, src, ["k"], cfg,
+        matched_update={"seg": "s.seg", "bal": "s.bal"},
+        matched_delete_condition="t.bal < 0",
+    )
+    assert (before, after) == (4, 4)
+    got = _read(spark, lake)
+    assert got == {
+        1: ("A2", 100.0),   # updated from source
+        3: ("C", 7.0),      # carried
+        4: ("D", 1.0),      # carried
+        9: ("NEW", 50.0),   # inserted
+    }
+
+
+def test_merge_delete_precedes_update(spark, tmp_path):
+    """A matched row satisfying BOTH conditions is deleted, not updated
+    (clauses are tested in delete-then-update order, as declared)."""
+    lake, cfg = _seed(spark, tmp_path, [(1, "A", -1.0)])
+    src = spark.createDataFrame([(1, "A2", 5.0)], "k long, seg string, bal double")
+    merge_lake_table(
+        spark, lake, *ROUTE, src, ["k"], cfg,
+        matched_update={"bal": "s.bal"},
+        matched_update_condition="s.bal > 0",
+        matched_delete_condition="t.bal < 0",
+    )
+    assert _read(spark, lake) == {}
+
+
+def test_merge_update_condition_gates_update(spark, tmp_path):
+    """Matched rows failing the update condition are carried unchanged."""
+    lake, cfg = _seed(spark, tmp_path, [(1, "A", 10.0), (2, "B", 3.0)])
+    src = spark.createDataFrame(
+        [(1, "x", 100.0), (2, "x", 200.0)], "k long, seg string, bal double"
+    )
+    merge_lake_table(
+        spark, lake, *ROUTE, src, ["k"], cfg,
+        matched_update={"bal": "s.bal"},
+        matched_update_condition="t.bal > 5",
+    )
+    assert _read(spark, lake) == {1: ("A", 100.0), 2: ("B", 3.0)}
+
+
+def test_merge_no_insert_when_disabled(spark, tmp_path):
+    lake, cfg = _seed(spark, tmp_path, [(1, "A", 1.0)])
+    src = spark.createDataFrame([(9, "N", 9.0)], "k long, seg string, bal double")
+    merge_lake_table(
+        spark, lake, *ROUTE, src, ["k"], cfg, insert_when_not_matched=False
+    )
+    assert _read(spark, lake) == {1: ("A", 1.0)}
+
+
+def test_merge_insert_aligns_to_target_schema(spark, tmp_path):
+    """Inserted rows take the TARGET schema: source-only columns are
+    dropped, target columns absent from the source become NULL."""
+    lake, cfg = _seed(spark, tmp_path, [(1, "A", 1.0)])
+    src = spark.createDataFrame(
+        [(9, "extra", "N")], "k long, junk string, seg string"
+    )  # no bal column, extra junk column
+    merge_lake_table(spark, lake, *ROUTE, src, ["k"], cfg)
+    out = read_lake_table(spark, lake, *ROUTE)
+    assert set(out.columns) == {"k", "seg", "bal"}
+    got = _read(spark, lake)
+    assert got[9] == ("N", None)
+    assert got[1] == ("A", 1.0)
+
+
+def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
+    """ANSI cardinality rule: >1 source row per key raises instead of
+    picking an arbitrary winner (contrast upsert_lake_table)."""
+    lake, cfg = _seed(spark, tmp_path, [(1, "A", 1.0)])
+    src = spark.createDataFrame(
+        [(1, "x", 2.0), (1, "y", 3.0)], "k long, seg string, bal double"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_lake_table(spark, lake, *ROUTE, src, ["k"], cfg)
+
+
+def test_merge_requires_existing_target_and_valid_args(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    cfg = EngineConfig(output_path=lake)
+    src = spark.createDataFrame([(1, "x", 2.0)], "k long, seg string, bal double")
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        merge_lake_table(spark, lake, *ROUTE, src, ["k"], cfg)
+    lake2, cfg2 = _seed(spark, tmp_path, [(1, "A", 1.0)])
+    with pytest.raises(ValueError, match="key columns"):
+        merge_lake_table(
+            spark, lake2, *ROUTE, src.drop("k"), ["k"], cfg2
+        )
+    with pytest.raises(ValueError, match="unknown target columns"):
+        merge_lake_table(
+            spark, lake2, *ROUTE, src, ["k"], cfg2,
+            matched_update={"nope": "s.bal"},
+        )
+    with pytest.raises(ValueError, match="key columns"):
+        merge_lake_table(
+            spark, lake2, *ROUTE, src, ["k"], cfg2,
+            matched_update={"k": "s.k"},
+        )
+
+
+def test_merge_sidecar_row_count_updated(spark, tmp_path):
+    """The _meta.json sidecar swaps in WITH the merged data (the upsert/
+    compaction crash-safety contract) and carries the new row count."""
+    from iotgp_func_raw_data_ingest_spark.sources.lake import read_route_meta
+
+    lake, cfg = _seed(spark, tmp_path, [(1, "A", 1.0), (2, "B", 2.0)])
+    src = spark.createDataFrame([(9, "N", 9.0)], "k long, seg string, bal double")
+    merge_lake_table(
+        spark, lake, *ROUTE, src, ["k"], cfg, meta_extra={"merge_batch": 7}
+    )
+    meta = read_route_meta(spark, f"{lake}/curated/crm/people")
+    assert meta["row_count"] == 3
+    assert meta["merge_batch"] == 7
