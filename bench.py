@@ -84,17 +84,20 @@ def main() -> None:
             failures.append(name)
             timings[name] = -1.0
 
-    # Settle pass: capture order pollutes a handful of timings — queries
-    # that run right after the Arrow-decode ingest block absorb a
-    # Python-worker warmdown penalty (q31 measured bimodal: 2.9-3.4s solo
-    # steady-state vs 13.1s in-suite, identical code/plan — adjudicated
-    # in BENCH_NOTES_r04.md). Steady-state throughput is the quantity
-    # this bench claims, so re-time every query slower than the settle
-    # threshold once more, now that the suite's transient churn is over,
-    # and keep the min. Bounded cost: only the already-slow tail reruns.
-    settle_s = float(os.environ.get("SPARK_GRAFT_SETTLE_THRESHOLD", "2.0"))
+    # Settle pass, min-of-two for EVERY query (r7 VERDICT task 2):
+    # capture order pollutes in-suite timings — queries that run right
+    # after the Arrow-decode ingest block absorb a Python-worker
+    # warmdown penalty (q31 measured bimodal: 2.9-3.4s solo steady-state
+    # vs 13.1s in-suite, identical code/plan — BENCH_NOTES_r04.md), and
+    # rounds 5-7 each spent a drift adjudication arguing 1.1-1.2×
+    # in-suite swings back to parity with sentinel + solo-retime
+    # evidence. Steady-state throughput is the quantity this bench
+    # claims, so every query is timed TWICE and the min recorded — the
+    # captured number is steady-state by construction (one extra warm
+    # pass ≈ 4 min at sf0.1; sf and pass order identical round-over-
+    # round, so captures stay comparable).
     retimed: dict[str, float] = {}
-    for name in sorted(n for n, t in timings.items() if t > settle_s):
+    for name in sorted(n for n, t in timings.items() if t > 0):
         t0 = time.perf_counter()
         try:
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -8,6 +8,21 @@ Every operator the engine claims is registered here twice:
   the same parquet tables, used by the driver's correctness gate.
 
 Names are stable; ``__spark_entry__.py`` re-exports both dicts.
+
+Lazy-plan convention: a ``QUERIES[name]`` builder constructs a DataFrame
+plan and runs NO Spark job — plan audits and EXPLAIN tooling iterate the
+whole registry and must stay scan-free. The sanctioned exceptions are
+the self-driving harness queries whose SUBJECT is an executed pipeline,
+not a plan: streaming checkpoint/restart legs (q177–q182, q189–q190,
+q197, q202, q219, q226), lake write/maintain/read-back lifecycles
+(q179, q186, q195, q214), and eager SQL DDL/DML scripts (q214, q221,
+q227). Those run jobs in the builder by nature (they write files, drain
+micro-batches, mutate tables) and pin results with localCheckpoint;
+q226's tranche-cut ``max(event_id)`` agg falls under this umbrella — a
+single-column action inside a builder that already executes two
+streaming runs. Everything else must keep plan construction job-free
+(the FastSS sizing tiers in ``operators/dedup.py`` show the pattern for
+operators that want runtime statistics).
 """
 
 from iotgp_func_raw_data_ingest_spark.plans.registry import ORACLES, QUERIES, register

@@ -97,11 +97,20 @@ def synth_keys(spark, n_keys: int):
         F.col("id").alias("rec_id"),
         key.alias("name"),
         F.pmod(F.hash(base_id, F.lit(9)), F.lit(500)).cast("int").alias("blk"),
+        # per-RECORD (not per-base) balance so duplicate pairs have real
+        # survivorship ties to break (max bal, ties → min rec_id)
+        F.pmod(F.hash(F.col("id"), F.lit(11)), F.lit(100_000))
+        .cast("double")
+        .alias("bal"),
     )
 
 
 def main() -> int:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+    # optional substring filter for iterating on ONE tier; a filtered run
+    # prints measurements but never overwrites STRESS.md (partial tables
+    # would masquerade as the full audit)
+    name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
     spark = get_spark(
         "stress", config=EngineConfig(shuffle_partitions=32), master="local[32]"
     )
@@ -173,6 +182,28 @@ def main() -> int:
             "id_a", "id_b"
         )
         return pagerank_from_pairs(pairs, iterations=3, damping=0.85)
+
+    def _entity_resolution(driver_path_max_edges: int):
+        from pyspark.sql import Window
+
+        pairs = D.blocked_levenshtein_pairs(
+            keys, "rec_id", "name", "blk", max_dist=2
+        ).select("id_a", "id_b")
+        labels = D.cluster_neardups(
+            pairs, driver_path_max_edges=driver_path_max_edges
+        ).withColumnRenamed("id", "rec_id")
+        members = keys.join(labels, "rec_id", "left").withColumn(
+            "cluster_id", F.coalesce(F.col("cluster_id"), F.col("rec_id"))
+        )
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col("bal").desc(), F.col("rec_id")
+        )
+        ranked = members.withColumn("rk", F.row_number().over(w))
+        return ranked.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.when(F.col("rk") == 1, F.col("rec_id"))).alias("survivor"),
+            F.sum("bal").alias("sum_bal"),
+        )
 
     ops = {
         "text_profile": lambda: text_profile(docs, "doc_id", "text"),
@@ -260,6 +291,22 @@ def main() -> int:
             pq_queries,
             k=10,
         ),
+        # q225 composed end-to-end: FastSS pairs → connected components
+        # → survivorship. STRESS measured the stages only in isolation
+        # before (r7 VERDICT task 3); the composition feeds the FastSS
+        # output into the clusterer (edges cached once, never re-deriving
+        # the inverted-index join) and joins labels back to the entity
+        # slice for the per-cluster window + rollup. Two variants: the
+        # default driver union-find (edge sets here ~300k ≤ the 1M
+        # driver-path bound) and the forced distributed min-label
+        # fallback — the shape that must hold when edges outgrow the
+        # driver at 100 TB.
+        "entity_resolution(q225 composition)": lambda: _entity_resolution(
+            driver_path_max_edges=1_000_000
+        ),
+        "entity_resolution(distributed min-label)": lambda: _entity_resolution(
+            driver_path_max_edges=0
+        ),
     }
     # --- round-6 tranche-4 surfaces: UDTF, recursive CTE, python source ---
     from iotgp_func_raw_data_ingest_spark.operators.udtfs import register_udtfs
@@ -330,11 +377,17 @@ def main() -> int:
 
     rows = []
     for name, build in ops.items():
+        if name_filter and name_filter not in name:
+            continue
         # audit the COUNTING plan itself: .count() runs a separate query
         # execution, so metrics must be read off the plan that actually
-        # executed (same upstream shuffle stages, final projection pruned)
-        counted = build().agg(F.count(F.lit(1)).alias("n"))
+        # executed (same upstream shuffle stages, final projection pruned).
+        # build() runs INSIDE the timed span: most builders are lazy
+        # (plan-only, ~ms), but the ER composition's clusterer probes its
+        # edge relation eagerly — timing collect() alone would silently
+        # exclude the FastSS join it composes over.
         t0 = time.perf_counter()
+        counted = build().agg(F.count(F.lit(1)).alias("n"))
         n_out = counted.collect()[0]["n"]
         wall = time.perf_counter() - t0
         t = audit_plan(counted._jdf.queryExecution().executedPlan())
@@ -393,6 +446,24 @@ def main() -> int:
         "corpus to see the increment-sized (not history-sized) cost the",
         "daily-dedup workload needs.",
         "",
+        "entity_resolution composes the q225 pipeline end-to-end: the",
+        "FastSS candidate join feeds connected components, whose labels",
+        "join back to the entity slice for the survivorship window +",
+        "rollup. The edge relation is cached once (the inverted-index",
+        "join never re-executes for the clusterer's probe or rounds), so",
+        "the composition's cost over fastss_d2 alone is the components",
+        "pass plus one labels join + one cluster-partitioned window —",
+        "no new shuffle class. Both variants are measured: the driver",
+        "union-find (edge sets are derived metadata, ~orders smaller",
+        "than the corpus) and the forced distributed min-label fallback,",
+        "the shape that must hold when edges outgrow the 1M driver bound",
+        "at 100 TB — its per-round shuffle is sized by edges, never by",
+        "the corpus. Wall time covers the whole composition (the edge",
+        "probe executes the FastSS join eagerly, inside the timed span);",
+        "the shuffle/spill columns audit the final counted plan — the",
+        "FastSS join's own shuffle/spill is the fastss_d2 row (same",
+        "corpus, same operator, measured zero).",
+        "",
         "The sketch tiers run in APPROXIMATE mode here (every group far",
         "exceeds the sketches' exact thresholds — KLL k=2048 items,",
         "Theta 4096 nominal entries), so they price the compaction path:",
@@ -429,6 +500,9 @@ def main() -> int:
         "factor over the native scan, not a per-row tax.",
         "",
     ]
+    if name_filter:
+        print("name filter active — not writing STRESS.md")
+        return 0
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "STRESS.md"
     )
