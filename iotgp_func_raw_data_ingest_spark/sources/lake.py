@@ -618,6 +618,13 @@ def merge_lake_table(
     pre-aggregate the source (contrast upsert_lake_table, which
     documents arbitrary-winner dropDuplicates for the CDC fix-up case).
 
+    Update/insert values are cast to the target column's type; under
+    Spark's default ANSI mode an invalid cast (e.g. a non-numeric
+    string into a numeric column) raises at execution rather than
+    silently nulling — callers running with ANSI off inherit
+    legacy null-on-bad-cast semantics and should validate expressions
+    themselves.
+
     Execution shape: ONE full-outer join of target and source on the
     keys, then a per-column CASE projection — merge semantics need
     both unmatched sides (carry / insert), and full outer compiles to
@@ -676,11 +683,19 @@ def merge_lake_table(
         )
 
     rows_before = existing.count()
-    t = existing.withColumn("_t_present", F.lit(True)).alias("t")
-    s = source.withColumn("_s_present", F.lit(True)).alias("s")
+    # presence markers must not shadow a real column (they drive every
+    # clause decision; a user column of the same name would corrupt the
+    # merge silently)
+    for marker in ("_merge_t_present", "_merge_s_present"):
+        if marker in existing.columns or marker in source.columns:
+            raise ValueError(
+                f"merge_lake_table: column name {marker!r} is reserved"
+            )
+    t = existing.withColumn("_merge_t_present", F.lit(True)).alias("t")
+    s = source.withColumn("_merge_s_present", F.lit(True)).alias("s")
     joined = t.join(s, key_cols, "full_outer")
-    t_here = F.col("t._t_present").isNotNull()
-    s_here = F.col("s._s_present").isNotNull()
+    t_here = F.col("t._merge_t_present").isNotNull()
+    s_here = F.col("s._merge_s_present").isNotNull()
     matched = t_here & s_here
     upd_cond = (
         F.expr(matched_update_condition)

@@ -156,3 +156,15 @@ def test_merge_sidecar_row_count_updated(spark, tmp_path):
     meta = read_route_meta(spark, f"{lake}/curated/crm/people")
     assert meta["row_count"] == 3
     assert meta["merge_batch"] == 7
+
+
+def test_merge_rejects_reserved_marker_columns(spark, tmp_path):
+    """The presence markers drive every clause decision — a user column
+    by the same name must raise, not silently corrupt the merge."""
+    lake, cfg = _seed(spark, tmp_path, [(1, "A", 1.0)])
+    src = spark.createDataFrame(
+        [(1, "x", 2.0, True)],
+        "k long, seg string, bal double, _merge_s_present boolean",
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        merge_lake_table(spark, lake, *ROUTE, src, ["k"], cfg)
