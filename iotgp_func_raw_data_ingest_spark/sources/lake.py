@@ -664,6 +664,11 @@ def merge_lake_table(
         raise ValueError(f"matched_update sets unknown target columns: {bad}")
     if any(c in key_cols for c in (matched_update or {})):
         raise ValueError("matched_update must not reassign key columns")
+    if matched_update_condition and not matched_update:
+        raise ValueError(
+            "matched_update_condition without matched_update has no "
+            "effect — pass the SET map or drop the condition"
+        )
 
     # ANSI cardinality check: >1 source row per key is an error, not an
     # arbitrary winner. One bounded job (merge is an eager maintenance
