@@ -720,8 +720,10 @@ def merge_lake_table(
     out_cols = []
     for c in target_cols:
         if c in key_cols:
-            # join-on-list already coalesced the key into one column
-            out_cols.append(F.col(c))
+            # join-on-list already coalesced the key into one column;
+            # pin it back to the target's type so a narrower/wider
+            # source key can't drift the rewritten schema
+            out_cols.append(F.col(c).cast(existing.schema[c].dataType).alias(c))
             continue
         t_val = F.col(f"t.{c}")
         s_val = F.col(f"s.{c}") if c in source.columns else F.lit(None)

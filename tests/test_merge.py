@@ -180,3 +180,16 @@ def test_merge_rejects_dead_update_condition(spark, tmp_path):
             spark, lake, *ROUTE, src, ["k"], cfg,
             matched_update_condition="s.bal > 0",
         )
+
+
+def test_merge_preserves_target_schema_types(spark, tmp_path):
+    """A source with narrower column types (int key, float bal) must not
+    drift the rewritten route's schema — output types are the target's."""
+    lake, cfg = _seed(spark, tmp_path, [(1, "A", 1.0)])
+    src = spark.createDataFrame(
+        [(9, "N", 9.0)], "k int, seg string, bal float"
+    )
+    merge_lake_table(spark, lake, *ROUTE, src, ["k"], cfg)
+    out = read_lake_table(spark, lake, *ROUTE)
+    assert dict(out.dtypes) == {"k": "bigint", "seg": "string", "bal": "double"}
+    assert _read(spark, lake) == {1: ("A", 1.0), 9: ("N", 9.0)}
