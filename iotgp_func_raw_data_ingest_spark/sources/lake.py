@@ -702,13 +702,18 @@ def merge_lake_table(
     t_here = F.col("t._merge_t_present").isNotNull()
     s_here = F.col("s._merge_s_present").isNotNull()
     matched = t_here & s_here
+    # ANSI: a NULL-valued clause condition means NOT satisfied. when()
+    # already treats NULL as false for the update branch, but the keep
+    # FILTER would drop a NULL row (filter semantics: NULL = out) —
+    # without the coalesce, a matched row whose condition column is
+    # NULL would be silently deleted instead of carried.
     upd_cond = (
-        F.expr(matched_update_condition)
+        F.coalesce(F.expr(matched_update_condition), F.lit(False))
         if matched_update_condition
         else F.lit(True)
     )
     del_cond = (
-        F.expr(matched_delete_condition)
+        F.coalesce(F.expr(matched_delete_condition), F.lit(False))
         if matched_delete_condition
         else F.lit(False)
     )

@@ -193,3 +193,27 @@ def test_merge_preserves_target_schema_types(spark, tmp_path):
     out = read_lake_table(spark, lake, *ROUTE)
     assert dict(out.dtypes) == {"k": "bigint", "seg": "string", "bal": "double"}
     assert _read(spark, lake) == {1: ("A", 1.0), 9: ("N", 9.0)}
+
+
+def test_merge_null_condition_means_not_satisfied(spark, tmp_path):
+    """ANSI: a clause condition evaluating to NULL is NOT satisfied — a
+    matched row whose delete-condition column is NULL must be carried
+    (or updated), never silently deleted by NULL-filter semantics."""
+    lake = str(tmp_path / "lake")
+    spark.createDataFrame(
+        [(1, "A", None), (2, "B", -3.0)], "k long, seg string, bal double"
+    ).write.parquet(f"{lake}/curated/crm/people")
+    cfg = EngineConfig(output_path=lake)
+    src = spark.createDataFrame(
+        [(1, "A2", 5.0), (2, "B2", 6.0)], "k long, seg string, bal double"
+    )
+    merge_lake_table(
+        spark, lake, *ROUTE, src, ["k"], cfg,
+        matched_update={"seg": "s.seg"},
+        matched_update_condition="t.bal > 0",   # NULL for k=1 → carried
+        matched_delete_condition="t.bal < 0",   # NULL for k=1 → no delete
+    )
+    got = _read(spark, lake)
+    # k=1: NULL bal → neither clause fires → carried verbatim
+    # k=2: bal<0 → deleted
+    assert got == {1: ("A", None)}
