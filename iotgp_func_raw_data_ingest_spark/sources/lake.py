@@ -671,10 +671,16 @@ def merge_lake_table(
         )
 
     # ANSI cardinality check: >1 source row per key is an error, not an
-    # arbitrary winner. One bounded job (merge is an eager maintenance
-    # action already); limit(1) stops at the first violation.
+    # arbitrary winner. NULL-keyed source rows are exempt — a NULL key
+    # never matches any target row (join semantics), so several of them
+    # cannot double-match anything; they all land as inserts. One
+    # bounded job (merge is an eager maintenance action already);
+    # limit(1) stops at the first violation.
+    nonnull_keys = source
+    for k in key_cols:
+        nonnull_keys = nonnull_keys.filter(F.col(k).isNotNull())
     dup = (
-        source.groupBy(*key_cols)
+        nonnull_keys.groupBy(*key_cols)
         .count()
         .filter(F.col("count") > 1)
         .limit(1)

@@ -217,3 +217,18 @@ def test_merge_null_condition_means_not_satisfied(spark, tmp_path):
     # k=1: NULL bal → neither clause fires → carried verbatim
     # k=2: bal<0 → deleted
     assert got == {1: ("A", None)}
+
+
+def test_merge_null_source_keys_insert_not_cardinality_error(spark, tmp_path):
+    """NULL source keys never match any target row (join semantics), so
+    several of them are NOT a cardinality violation — each inserts as
+    its own unmatched row."""
+    lake, cfg = _seed(spark, tmp_path, [(1, "A", 1.0)])
+    src = spark.createDataFrame(
+        [(None, "N1", 2.0), (None, "N2", 3.0)], "k long, seg string, bal double"
+    )
+    before, after = merge_lake_table(spark, lake, *ROUTE, src, ["k"], cfg)
+    assert (before, after) == (1, 3)
+    rows = read_lake_table(spark, lake, *ROUTE).collect()
+    assert {r["seg"] for r in rows} == {"A", "N1", "N2"}
+    assert sum(1 for r in rows if r["k"] is None) == 2
