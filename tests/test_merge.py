@@ -232,3 +232,36 @@ def test_merge_null_source_keys_insert_not_cardinality_error(spark, tmp_path):
     rows = read_lake_table(spark, lake, *ROUTE).collect()
     assert {r["seg"] for r in rows} == {"A", "N1", "N2"}
     assert sum(1 for r in rows if r["k"] is None) == 2
+
+
+def test_merge_recovers_crash_windows(spark, tmp_path):
+    """merge_lake_table shares the two-rename swap machinery with
+    compaction/upsert: a stranded .compact-old with no live route (crash
+    between the two renames) and stale .compact-tmp/.compact-old
+    leftovers alongside a live route must both be healed by the next
+    merge — no rows lost, none duplicated."""
+    import os
+
+    lake, cfg = _seed(spark, tmp_path, [(1, "A", 1.0), (2, "B", 2.0)])
+    route = f"{lake}/curated/crm/people"
+    # window (a): rename-out done, rename-in pending → only .compact-old
+    os.rename(route, f"{route}.compact-old")
+    src = spark.createDataFrame([(9, "N", 9.0)], "k long, seg string, bal double")
+    before, after = merge_lake_table(spark, lake, *ROUTE, src, ["k"], cfg)
+    assert (before, after) == (2, 3)
+    assert _read(spark, lake) == {1: ("A", 1.0), 2: ("B", 2.0), 9: ("N", 9.0)}
+    # window (b): stale tmp + old alongside the live route
+    os.makedirs(f"{route}.compact-tmp")
+    with open(f"{route}.compact-tmp/part-half.parquet", "w") as f:
+        f.write("junk")
+    os.makedirs(f"{route}.compact-old")
+    with open(f"{route}.compact-old/part-stale.parquet", "w") as f:
+        f.write("junk")
+    src2 = spark.createDataFrame([(1, "A2", 5.0)], "k long, seg string, bal double")
+    merge_lake_table(
+        spark, lake, *ROUTE, src2, ["k"], cfg,
+        matched_update={"seg": "s.seg", "bal": "s.bal"},
+    )
+    assert _read(spark, lake) == {1: ("A2", 5.0), 2: ("B", 2.0), 9: ("N", 9.0)}
+    assert not os.path.exists(f"{route}.compact-tmp")
+    assert not os.path.exists(f"{route}.compact-old")
