@@ -557,15 +557,21 @@ def simhash64_pairs(
 # Blocked edit-distance fuzzy matching
 # ---------------------------------------------------------------------------
 
-# Safety multiplier on the Catalyst sizeInBytes-derived index bound when
-# the input is file-backed: parquet dictionary/RLE makes the stat
-# compressed bytes (< 1 byte/char; measured 1.36–1.45× under ΣL on the
-# testdata name columns) and Project stat-scaling prices strings at a
-# default 20 B against the 64-char key contract (≤ 3.2×). 3.2 × 5
-# dictionary headroom = 16. Heuristic margin, not a proof — when even
-# the inflated bound fits the session default the lazy path is safe in
+# Safety multipliers on the Catalyst sizeInBytes-derived index bound.
+# The WIDTH factor applies to EVERY plan shape: Project stat-scaling
+# prices strings at a default 20 B even over Range / LocalRelation /
+# in-memory inputs (r8 ADVICE — ΣL ≤ S is NOT sound for non-file plans
+# either once a Project rescales the stat), so a plan generating
+# >20-char keys can undershoot ΣL by up to 3.2× against the 64-char
+# key contract. The DICTIONARY headroom applies only when the plan
+# reads files: parquet dictionary/RLE makes the stat compressed
+# on-disk bytes (< 1 byte/char; measured 1.36–1.45× under ΣL on the
+# testdata name columns, 5× margin). 3.2 × 5 = 16 combined for
+# file-backed inputs. Heuristic margin, not a proof — when even the
+# inflated bound fits the session default the lazy path is safe in
 # practice; anything bigger falls through to the exact length agg.
-_FASTSS_STAT_SAFETY = 16
+_FASTSS_STAT_WIDTH_FACTOR = 3.2
+_FASTSS_STAT_DICT_HEADROOM = 5
 
 
 def _fastss_sort_partitions(
@@ -603,8 +609,9 @@ def _fastss_sort_partitions(
     bound = -1
     if 0 <= s_bytes < (1 << 40):  # real stat, not the sentinel
         bound = 2 * s_bytes if max_dist == 1 else 34 * s_bytes
+        bound = int(bound * _FASTSS_STAT_WIDTH_FACTOR)
         if file_backed:
-            bound *= _FASTSS_STAT_SAFETY
+            bound *= _FASTSS_STAT_DICT_HEADROOM
     if 0 <= bound <= default_parts * 500_000:
         return default_parts  # bound (with margin) fits — lazy
     ln = F.length("txt").cast("long")
@@ -735,19 +742,20 @@ def blocked_levenshtein_pairs(
         #    short record-linkage keys this operator is contracted for
         #    (≲ 64 chars — see docstring) ΣL(L−1)/2 ≤ 32·ΣL, giving
         #    index rows ≤ 2·ΣL (d=1) / ≤ 34·ΣL (d=2). Relating ΣL to S
-        #    is where honesty matters (r7 ADVICE): S is NOT an upper
-        #    bound on ΣL for file-backed inputs — parquet dictionary/
-        #    RLE beats 1 byte/char (measured 1.36–1.45× undershoot on
-        #    the testdata customer names), and Project nodes re-scale
-        #    S pricing strings at a default 20 B (vs the 64-char
-        #    contract → up to 3.2× more undershoot). So: when the plan
-        #    reads files, the bound is inflated by a 16× safety factor
-        #    (3.2 width × 5 dictionary headroom — heuristic margin,
-        #    not a proof); only for non-file inputs (LocalRelation /
-        #    in-memory, where Catalyst sizes actual rows) is ΣL ≤ S
-        #    sound as-is. If the safety-adjusted bound fits the
-        #    session default at the 500k-rows/partition target →
-        #    lazy, no job. This is the audit / small-SF / gate path.
+        #    is where honesty matters (r7+r8 ADVICE): S is NOT an
+        #    upper bound on ΣL for ANY plan with a Project on top —
+        #    Catalyst's Project stat-scaling prices strings at a
+        #    default 20 B (even over Range / in-memory plans, so a
+        #    generated >20-char key undershoots ΣL by up to 3.2×
+        #    against the 64-char contract) — so the 3.2× width factor
+        #    applies unconditionally. File-backed plans additionally
+        #    report compressed on-disk bytes (parquet dictionary/RLE
+        #    beats 1 byte/char; measured 1.36–1.45× undershoot on the
+        #    testdata customer names) and get an extra 5× dictionary
+        #    headroom, 16× combined. Heuristic margin, not a proof.
+        #    If the safety-adjusted bound fits the session default at
+        #    the 500k-rows/partition target → lazy, no job. This is
+        #    the audit / small-SF / gate path.
         # 3. Only when the bound demands MORE partitions (or the stats
         #    are the defaultSizeInBytes sentinel — RDD-backed inputs)
         #    run the exact single-row length agg: at that scale the

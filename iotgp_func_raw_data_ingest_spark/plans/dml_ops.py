@@ -216,7 +216,8 @@ def q227_sql_dml_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM target
         WHERE NOT (k % 7 = 0 AND bal < 0)
         UNION ALL
-        SELECT c_custkey + 1000000, 'NEW-' || c_mktsegment, 50.0
+        SELECT c_custkey + (SELECT MAX(c_custkey) + 1 FROM customer),
+               'NEW-' || c_mktsegment, 50.0
         FROM customer WHERE c_custkey % 11 = 3
     )
     SELECT seg,
@@ -258,10 +259,20 @@ def q228_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         route = f"{lake}/curated/crm/customers"
         cust.write.parquet(route)
         updates = cust.filter(F.col("k") % 7 == 0)
-        inserts = cust.filter(F.col("k") % 11 == 3).select(
-            (F.col("k") + 1_000_000).alias("k"),
-            F.concat(F.lit("NEW-"), F.col("seg")).alias("seg"),
-            F.lit(50.0).alias("bal"),
+        # insert keys re-keyed past max(k): a fixed offset collides with
+        # update keys once customer cardinality reaches it (sf ≳ 7) and
+        # trips the ANSI duplicate-source-key raise — derive the offset
+        # from the data (broadcast 1-row aggregate) so the query is
+        # SF-independent; the oracle mirrors it as a scalar subquery
+        off = cust.agg((F.max("k") + 1).alias("_off"))
+        inserts = (
+            cust.filter(F.col("k") % 11 == 3)
+            .crossJoin(F.broadcast(off))
+            .select(
+                (F.col("k") + F.col("_off")).alias("k"),
+                F.concat(F.lit("NEW-"), F.col("seg")).alias("seg"),
+                F.lit(50.0).alias("bal"),
+            )
         )
         merge_lake_table(
             spark, lake, "curated", "crm", "customers",

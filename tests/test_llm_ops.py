@@ -530,8 +530,9 @@ def test_fastss_sizing_distrusts_compressed_file_stats(spark, tmp_path):
 def test_fastss_sizing_stays_lazy_on_nonfile_stats(spark):
     """Non-file inputs whose Catalyst stats are row-derived (Range →
     Project here; createDataFrame is a LogicalRDD sentinel and goes to
-    the exact agg instead) take the un-inflated bound: sizing must stay
-    job-free and return the session default when the bound fits."""
+    the exact agg instead) take the width-inflated (3.2×) but not
+    dictionary-inflated bound: sizing must stay job-free and return
+    the session default when that bound fits."""
     nonnull = (
         spark.range(200)
         .select(
@@ -546,6 +547,45 @@ def test_fastss_sizing_stays_lazy_on_nonfile_stats(spark):
     parts = D._fastss_sort_partitions(nonnull, max_dist=2)
     assert len(tracker.getJobIdsForGroup(None)) == before, "sizing ran a job"
     assert parts == int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+
+def test_fastss_sizing_width_factor_applies_to_nonfile_plans(spark):
+    """r8 ADVICE: Catalyst's Project stat-scaling prices strings at a
+    default 20 B even over Range/in-memory plans, so a non-file plan
+    generating 64-char keys undershoots ΣL by up to 3.2× — the width
+    factor must apply unconditionally, not only when file-backed.
+    Regression: a Range→Project source whose RAW bound fits the
+    (1-partition) budget but whose width-adjusted bound does not must
+    fall through to the exact length agg and size up; the old
+    file-gated code silently stayed at the default."""
+    # 300 keys × 64 chars: Project stats price txt at 20 B → the raw
+    # 34·S bound fits 500k, but ΣL is 3.2× larger and the true depth-2
+    # index is Σ(1+L+L(L-1)/2) = 300·2081 = 624,300 rows.
+    nonnull = (
+        spark.range(300)
+        .select(
+            F.col("id"),
+            F.rpad(F.format_string("key-%04d", F.col("id")), 64, "x").alias("txt"),
+            F.lit("g").alias("blk"),
+        )
+        .filter(F.col("txt").isNotNull())
+    )
+    assert not nonnull.inputFiles(), "fixture drifted: plan became file-backed"
+    s_bytes = int(
+        nonnull._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    # self-check the regression scenario at a 1-partition (500k) budget:
+    # raw bound fits, width-inflated bound does not
+    assert 34 * s_bytes <= 500_000, "fixture drifted: raw bound no longer fits"
+    assert 34 * s_bytes * 3.2 > 500_000, "fixture drifted: inflated bound fits"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        parts = D._fastss_sort_partitions(nonnull, max_dist=2)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    # exact agg path: 624,300 rows // 500k + 1 = 2 > the 1-partition default
+    assert parts == 2
 
 
 def test_gram_blocked_rejects_null_or_nan_elements(spark):

@@ -175,7 +175,7 @@ def test_merge_rejects_dead_update_condition(spark, tmp_path):
     reject it at the call site."""
     lake, cfg = _seed(spark, tmp_path, [(1, "A", 1.0)])
     src = spark.createDataFrame([(1, "x", 2.0)], "k long, seg string, bal double")
-    with pytest.raises(ValueError, match="no *\neffect|no effect"):
+    with pytest.raises(ValueError, match="no effect"):
         merge_lake_table(
             spark, lake, *ROUTE, src, ["k"], cfg,
             matched_update_condition="s.bal > 0",

@@ -20,7 +20,10 @@ def test_query_matches_oracle(spark, name):
     assert ok, f"{name}: {msg}"
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_query_runs(spark, name):
-    df = QUERIES[name](spark, SF_SMOKE)
-    assert df.count() >= 0
+def test_every_query_has_an_oracle():
+    """Coverage pin: every registered query is DuckDB-oracle-gated (true
+    since r8 — zero rows-only checks remain). If this fires, either add
+    the oracle for the new query or consciously re-introduce a
+    rows-only parametrized check for the genuinely non-SQL-expressible
+    case and list it here."""
+    assert ROWS_ONLY == [], f"queries without oracles: {ROWS_ONLY}"
