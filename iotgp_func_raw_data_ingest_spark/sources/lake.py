@@ -593,6 +593,7 @@ def merge_lake_table(
     matched_update_condition: str | None = None,
     matched_delete_condition: str | None = None,
     insert_when_not_matched: bool = True,
+    evolve_schema: bool = False,
     meta_extra: dict | None = None,
 ) -> tuple[int, int]:
     """ANSI ``MERGE INTO`` semantics over a plain-parquet lake route —
@@ -608,15 +609,30 @@ def merge_lake_table(
       deleted)
     - ``WHEN NOT MATCHED THEN INSERT`` (source row lands with the
       TARGET schema; source columns missing from the target are
-      dropped, target columns missing from the source become NULL)
+      dropped — unless ``evolve_schema=True``, which unions source-only
+      columns into the rewritten schema, NULL-padded for carried target
+      rows, matching the lake's mergeSchema read contract — and target
+      columns missing from the source become NULL)
 
     Clause precedence follows ANSI clause order as declared: a matched
     row is tested against the DELETE condition first, then the UPDATE
-    condition, else carried. The ANSI cardinality rule is enforced: a
-    source with duplicate keys would make a target row match more than
-    one source row (non-deterministic merge), so it raises instead —
-    pre-aggregate the source (contrast upsert_lake_table, which
-    documents arbitrary-winner dropDuplicates for the CDC fix-up case).
+    condition, else carried. The ANSI cardinality rule is enforced the
+    way ANSI (and Delta/Iceberg) state it: it is an error only when a
+    duplicated source key actually MATCHES a target row — that target
+    row would match more than one source row, a non-deterministic
+    merge — so it raises; pre-aggregate the source (contrast
+    upsert_lake_table, which documents arbitrary-winner dropDuplicates
+    for the CDC fix-up case). Duplicate keys among NOT-matched source
+    rows are legitimate and insert one row each, exactly like NULL-keyed
+    rows (which never match anything).
+
+    The source is pinned with an eager ``localCheckpoint`` before any
+    of this: it participates in two actions (the cardinality probe and
+    the merge join/write), and a non-deterministic or
+    concurrently-changing source could otherwise pass the duplicate-key
+    check yet present duplicates to the join. The pin costs one
+    materialization of the source — MERGE already contracts the source
+    to be the small (CDC-batch) side.
 
     Update/insert values are cast to the target column's type; under
     Spark's default ANSI mode an invalid cast (e.g. a non-numeric
@@ -659,7 +675,13 @@ def merge_lake_table(
 
     existing = read_lake_table(spark, lake_path, folder, source_db, table, fmt=fmt)
     target_cols = existing.columns
-    bad = [c for c in (matched_update or {}) if c not in target_cols]
+    evolved = (
+        [c for c in source.columns if c not in target_cols and c not in key_cols]
+        if evolve_schema
+        else []
+    )
+    settable = set(target_cols) | set(evolved)
+    bad = [c for c in (matched_update or {}) if c not in settable]
     if bad:
         raise ValueError(f"matched_update sets unknown target columns: {bad}")
     if any(c in key_cols for c in (matched_update or {})):
@@ -670,28 +692,47 @@ def merge_lake_table(
             "effect — pass the SET map or drop the condition"
         )
 
-    # ANSI cardinality check: >1 source row per key is an error, not an
-    # arbitrary winner. NULL-keyed source rows are exempt — a NULL key
-    # never matches any target row (join semantics), so several of them
-    # cannot double-match anything; they all land as inserts. One
-    # bounded job (merge is an eager maintenance action already);
-    # limit(1) stops at the first violation.
+    # Pin the source before it is executed twice (cardinality probe +
+    # merge join/write): a non-deterministic source (rand-derived keys,
+    # a view over concurrently-changing data) could otherwise pass the
+    # duplicate-key check yet present duplicate keys to the join,
+    # silently producing a multi-matched merge. Eager localCheckpoint
+    # materializes the CDC batch once to executor storage and truncates
+    # lineage — cost ∝ source size, the small side by contract.
+    source = source.localCheckpoint(eager=True)
+
+    # ANSI cardinality check: an error only when a duplicated source key
+    # actually MATCHES a target row (that row would match more than one
+    # source row — non-deterministic merge). Duplicate keys among
+    # NOT-matched rows legitimately insert one row each, and NULL-keyed
+    # source rows are exempt — a NULL key never matches any target row
+    # (join semantics). The common no-duplicate case costs the same one
+    # bounded agg job as the stricter pre-r9 check (limit(1) stops at
+    # the first duplicate); only when duplicates exist is the target
+    # probed, with a key-column-pruned semi-join of the (tiny) dup-key
+    # set against the route.
     nonnull_keys = source
     for k in key_cols:
         nonnull_keys = nonnull_keys.filter(F.col(k).isNotNull())
-    dup = (
+    dup_keys = (
         nonnull_keys.groupBy(*key_cols)
         .count()
         .filter(F.col("count") > 1)
-        .limit(1)
-        .collect()
+        .drop("count")
     )
-    if dup:
-        raise ValueError(
-            "merge_lake_table: source has duplicate keys "
-            f"(e.g. {[dup[0][k] for k in key_cols]}) — a target row would "
-            "match more than one source row; pre-aggregate the source"
+    if dup_keys.limit(1).collect():
+        clash = (
+            dup_keys.join(existing.select(*key_cols), key_cols, "left_semi")
+            .limit(1)
+            .collect()
         )
+        if clash:
+            raise ValueError(
+                "merge_lake_table: source has duplicate keys that match "
+                f"the target (e.g. {[clash[0][k] for k in key_cols]}) — "
+                "that target row would match more than one source row; "
+                "pre-aggregate the source"
+            )
 
     rows_before = existing.count()
     # presence markers must not shadow a real column (they drive every
@@ -729,14 +770,22 @@ def merge_lake_table(
     else:
         keep = keep & t_here
     out_cols = []
-    for c in target_cols:
+    for c in target_cols + evolved:
         if c in key_cols:
             # join-on-list already coalesced the key into one column;
             # pin it back to the target's type so a narrower/wider
             # source key can't drift the rewritten schema
             out_cols.append(F.col(c).cast(existing.schema[c].dataType).alias(c))
             continue
-        t_val = F.col(f"t.{c}")
+        # evolved (source-only) columns: NULL for every target-carried
+        # row, the source value on insert, and updatable via
+        # matched_update like any other column; typed from the source
+        out_type = (
+            existing.schema[c].dataType
+            if c in target_cols
+            else source.schema[c].dataType
+        )
+        t_val = F.col(f"t.{c}") if c in target_cols else F.lit(None).cast(out_type)
         s_val = F.col(f"s.{c}") if c in source.columns else F.lit(None)
         # any target-present row (matched-no-clause OR unmatched-target)
         # carries its value; only source-only rows take the insert value
@@ -748,7 +797,7 @@ def merge_lake_table(
                 .when(t_here, t_val)
                 .otherwise(s_val)
             )
-        out_cols.append(val.cast(existing.schema[c].dataType).alias(c))
+        out_cols.append(val.cast(out_type).alias(c))
     merged = joined.filter(keep).select(*out_cols)
 
     w = merged.write.mode("overwrite").option("maxRecordsPerFile", cfg.max_batch_size)

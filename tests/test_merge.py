@@ -110,14 +110,85 @@ def test_merge_insert_aligns_to_target_schema(spark, tmp_path):
 
 
 def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
-    """ANSI cardinality rule: >1 source row per key raises instead of
-    picking an arbitrary winner (contrast upsert_lake_table)."""
+    """ANSI cardinality rule: >1 source row per key MATCHING a target
+    row raises instead of picking an arbitrary winner (contrast
+    upsert_lake_table)."""
     lake, cfg = _seed(spark, tmp_path, [(1, "A", 1.0)])
     src = spark.createDataFrame(
         [(1, "x", 2.0), (1, "y", 3.0)], "k long, seg string, bal double"
     )
     with pytest.raises(ValueError, match="duplicate keys"):
         merge_lake_table(spark, lake, *ROUTE, src, ["k"], cfg)
+
+
+def test_merge_duplicate_unmatched_source_keys_insert(spark, tmp_path):
+    """ANSI (r8 verdict item): duplicate source keys that match NO
+    target row are legitimate — each NOT-MATCHED row inserts, exactly
+    like Delta/Iceberg merges. The pre-r9 check was stricter than ANSI
+    and raised here."""
+    lake, cfg = _seed(spark, tmp_path, [(1, "A", 1.0)])
+    src = spark.createDataFrame(
+        # key 9 duplicated but unmatched → two inserts; key 1 matched once
+        [(9, "x", 2.0), (9, "y", 3.0), (1, "u", 4.0)],
+        "k long, seg string, bal double",
+    )
+    before, after = merge_lake_table(
+        spark, lake, *ROUTE, src, ["k"], cfg,
+        matched_update={"bal": "s.bal"},
+    )
+    assert (before, after) == (1, 3)
+    rows = sorted(
+        (r["k"], r["seg"], r["bal"])
+        for r in read_lake_table(spark, lake, *ROUTE).collect()
+    )
+    assert rows == [(1, "A", 4.0), (9, "x", 2.0), (9, "y", 3.0)]
+
+
+def test_merge_duplicate_keys_mixed_matched_raises(spark, tmp_path):
+    """A key duplicated in the source AND present in the target raises
+    even when OTHER duplicate keys are unmatched — the semi-join probe
+    must test every duplicate key, not a sample of the dup set."""
+    lake, cfg = _seed(spark, tmp_path, [(5, "A", 1.0)])
+    src = spark.createDataFrame(
+        [(9, "x", 2.0), (9, "y", 3.0), (5, "u", 4.0), (5, "v", 6.0)],
+        "k long, seg string, bal double",
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_lake_table(spark, lake, *ROUTE, src, ["k"], cfg)
+
+
+def test_merge_pins_nondeterministic_source(spark, tmp_path):
+    """r8 ADVICE: the source runs through two actions (cardinality probe,
+    then the merge join) — unpinned, a non-deterministic source could
+    pass the probe yet present duplicate matching keys to the join,
+    silently multi-matching a target row. The eager localCheckpoint pin
+    guarantees both actions see the SAME rows: whatever the rand keys
+    land on, a target-domain key can never appear twice afterwards."""
+    for attempt in range(3):
+        lake, cfg = _seed(
+            spark, tmp_path / f"a{attempt}", [(k, "T", 1.0) for k in range(10)]
+        )
+        src = spark.range(10).select(
+            F.floor(F.rand() * 40).cast("long").alias("k"),  # unseeded
+            F.lit("S").alias("seg"),
+            F.lit(2.0).alias("bal"),
+        )
+        try:
+            merge_lake_table(
+                spark, lake, *ROUTE, src, ["k"], cfg,
+                matched_update={"bal": "s.bal"},
+            )
+        except ValueError:
+            continue  # dup key matched the target — legitimate raise
+        counts = (
+            read_lake_table(spark, lake, *ROUTE)
+            .filter(F.col("k") < 10)
+            .groupBy("k")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        assert counts == 0, "a target key was multi-matched"
 
 
 def test_merge_requires_existing_target_and_valid_args(spark, tmp_path):
@@ -265,3 +336,65 @@ def test_merge_recovers_crash_windows(spark, tmp_path):
     assert _read(spark, lake) == {1: ("A2", 5.0), 2: ("B", 2.0), 9: ("N", 9.0)}
     assert not os.path.exists(f"{route}.compact-tmp")
     assert not os.path.exists(f"{route}.compact-old")
+
+
+def test_merge_evolve_schema_unions_source_columns(spark, tmp_path):
+    """evolve_schema=True: source-only columns join the rewritten schema
+    — NULL for carried/deleted-into-carried target rows, the source
+    value on insert, and settable from matched_update like any target
+    column. Default-off behavior (drop) is pinned by
+    test_merge_insert_aligns_to_target_schema."""
+    lake, cfg = _seed(spark, tmp_path, [(1, "A", 1.0), (2, "B", 2.0)])
+    src = spark.createDataFrame(
+        [(1, "A2", 10.0, "eu"), (9, "N", 9.0, "us")],
+        "k long, seg string, bal double, region string",
+    )
+    before, after = merge_lake_table(
+        spark, lake, *ROUTE, src, ["k"], cfg,
+        matched_update={"bal": "s.bal", "region": "s.region"},
+        evolve_schema=True,
+    )
+    assert (before, after) == (2, 3)
+    out = read_lake_table(spark, lake, *ROUTE)
+    assert out.columns == ["k", "seg", "bal", "region"]
+    rows = {r["k"]: (r["seg"], r["bal"], r["region"]) for r in out.collect()}
+    assert rows == {
+        1: ("A", 10.0, "eu"),   # matched update sets the evolved column
+        2: ("B", 2.0, None),    # carried row is NULL-padded
+        9: ("N", 9.0, "us"),    # insert takes the source value
+    }
+
+
+def test_merge_evolved_column_null_without_update(spark, tmp_path):
+    """An evolved column NOT named in matched_update stays NULL on
+    matched rows — evolution changes the schema, never silently the
+    matched rows' values."""
+    lake, cfg = _seed(spark, tmp_path, [(1, "A", 1.0)])
+    src = spark.createDataFrame(
+        [(1, "x", 5.0, "eu"), (9, "N", 9.0, "us")],
+        "k long, seg string, bal double, region string",
+    )
+    merge_lake_table(
+        spark, lake, *ROUTE, src, ["k"], cfg,
+        matched_update={"bal": "s.bal"},
+        evolve_schema=True,
+    )
+    rows = {
+        r["k"]: (r["bal"], r["region"])
+        for r in read_lake_table(spark, lake, *ROUTE).collect()
+    }
+    assert rows == {1: (5.0, None), 9: (9.0, "us")}
+
+
+def test_merge_update_of_unknown_column_still_rejected(spark, tmp_path):
+    """Without evolve_schema, a matched_update naming a source-only
+    column is a caller error, exactly as before the flag existed."""
+    lake, cfg = _seed(spark, tmp_path, [(1, "A", 1.0)])
+    src = spark.createDataFrame(
+        [(1, "x", 5.0, "eu")], "k long, seg string, bal double, region string"
+    )
+    with pytest.raises(ValueError, match="unknown target columns"):
+        merge_lake_table(
+            spark, lake, *ROUTE, src, ["k"], cfg,
+            matched_update={"region": "s.region"},
+        )
