@@ -291,3 +291,111 @@ def q228_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q229_merge_pruned",
+    oracle="""
+    WITH target AS (
+        SELECT c_custkey AS k, c_mktsegment AS seg, ROUND(c_acctbal, 2) AS bal
+        FROM customer
+    ),
+    merged AS (
+        SELECT k,
+               CASE WHEN k % 101 = 5 AND NOT (bal < 0)
+                    THEN 'CDC-' || seg ELSE seg END AS seg,
+               CASE WHEN k % 101 = 5 AND NOT (bal < 0)
+                    THEN ROUND(bal + 11.5, 2) ELSE bal END AS bal
+        FROM target
+        WHERE NOT (k % 101 = 5 AND bal < 0)
+        UNION ALL
+        SELECT c_custkey + (SELECT MAX(c_custkey) + 1 FROM customer),
+               'INS', 25.0
+        FROM customer WHERE c_custkey % 113 = 7
+    )
+    SELECT seg,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(bal), 2) AS sum_bal
+    FROM merged GROUP BY seg
+    """,
+)
+def q229_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-PRUNED three-clause MERGE (``sources.lake.
+    merge_lake_table_pruned``): the customer dimension is materialized
+    as an 8-file key-clustered lake route, then a ~1% CDC batch (keys
+    k % 101 = 5, plus re-keyed inserts at k % 113 = 7) merges with WHEN
+    MATCHED AND t.bal < 0 THEN DELETE, WHEN MATCHED THEN UPDATE SET
+    seg = 'CDC-'||t.seg, bal = ROUND(t.bal + 11.5, 2), and WHEN NOT
+    MATCHED THEN INSERT. Identical clause semantics to q228's full
+    merge, but a genuinely different physical plan: PLAN (key-pruned
+    scan + range pre-filter + broadcast semi-join on input_file_name)
+    → STAGE (merge join over ONLY the affected files, inserts
+    included, clause counts as an Observation) → COMMIT
+    (manifest-driven per-file replacement; untouched files never read
+    twice nor rewritten). The read-back census must equal the oracle's
+    declarative CASE/WHERE/UNION reconstruction — a file dropped by the
+    pruning plan, an insert lost against the slice, or a mis-replaced
+    original all flip counts or sums. Eager lake lifecycle per the
+    plans/__init__ convention; result pinned with localCheckpoint
+    before the temp route is removed.
+
+    100 TB shape: cost ∝ TOUCHED files, not route size — the dominant
+    production merge (small CDC batch vs huge target) stays a bounded
+    maintenance action. The builder asserts the pruning actually
+    happened (files_rewritten < files_total) so the gate cannot go
+    green on a silent full rewrite."""
+    from iotgp_func_raw_data_ingest_spark.config import EngineConfig
+    from iotgp_func_raw_data_ingest_spark.sources.lake import (
+        merge_lake_table_pruned,
+    )
+
+    t = prep(spark, sf_dir)
+    cust = t["customer"].select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round("c_acctbal", 2).alias("bal"),
+    )
+    work = tempfile.mkdtemp(prefix="q229_")
+    try:
+        lake = f"{work}/lake"
+        cfg = EngineConfig(output_path=lake)
+        route = f"{lake}/curated/crm/customers"
+        # key-clustered multi-file layout so the pruning is real: the
+        # ~1% CDC key set hashes into a strict subset of the 8 files
+        cust.repartition(8, "k").write.parquet(route)
+        updates = cust.filter(F.col("k") % 101 == 5)
+        off = cust.agg((F.max("k") + 1).alias("_off"))
+        inserts = (
+            cust.filter(F.col("k") % 113 == 7)
+            .crossJoin(F.broadcast(off))
+            .select(
+                (F.col("k") + F.col("_off")).alias("k"),
+                F.lit("INS").alias("seg"),
+                F.lit(25.0).alias("bal"),
+            )
+        )
+        report = merge_lake_table_pruned(
+            spark, lake, "curated", "crm", "customers",
+            updates.unionByName(inserts), ["k"], cfg,
+            matched_update={
+                "seg": "CONCAT('CDC-', t.seg)",
+                "bal": "ROUND(t.bal + 11.5, 2)",
+            },
+            matched_delete_condition="t.bal < 0",
+        )
+        if not report["files_rewritten"] < report["files_total"]:
+            raise AssertionError(
+                "q229: merge was not file-pruned "
+                f"({report['files_rewritten']}/{report['files_total']})"
+            )
+        out = (
+            spark.read.parquet(route)
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.round(F.sum("bal"), 2).alias("sum_bal"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

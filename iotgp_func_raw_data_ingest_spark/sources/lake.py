@@ -579,6 +579,173 @@ def upsert_lake_table(
     return rows_before, rows_after
 
 
+def _validate_merge_clauses(
+    target_cols: list[str],
+    source_cols: list[str],
+    key_cols: list[str],
+    matched_update: dict[str, str] | None,
+    matched_update_condition: str | None,
+    evolve_schema: bool,
+) -> list[str]:
+    """Shared MERGE clause validation (full and file-pruned variants).
+    Returns the evolved (source-only, schema-unioned) column list —
+    empty unless ``evolve_schema``."""
+    evolved = (
+        [c for c in source_cols if c not in target_cols and c not in key_cols]
+        if evolve_schema
+        else []
+    )
+    settable = set(target_cols) | set(evolved)
+    bad = [c for c in (matched_update or {}) if c not in settable]
+    if bad:
+        raise ValueError(f"matched_update sets unknown target columns: {bad}")
+    if any(c in key_cols for c in (matched_update or {})):
+        raise ValueError("matched_update must not reassign key columns")
+    if matched_update_condition and not matched_update:
+        raise ValueError(
+            "matched_update_condition without matched_update has no "
+            "effect — pass the SET map or drop the condition"
+        )
+    # presence markers must not shadow a real column (they drive every
+    # clause decision; a user column of the same name would corrupt the
+    # merge silently)
+    for marker in ("_merge_t_present", "_merge_s_present"):
+        if marker in target_cols or marker in source_cols:
+            raise ValueError(f"merge: column name {marker!r} is reserved")
+    return evolved
+
+
+def _check_merge_cardinality(
+    source: DataFrame, target: DataFrame, key_cols: list[str]
+) -> None:
+    """ANSI cardinality check: an error only when a duplicated source key
+    actually MATCHES a target row (that row would match more than one
+    source row — non-deterministic merge). Duplicate keys among
+    NOT-matched rows legitimately insert one row each, and NULL-keyed
+    source rows are exempt — a NULL key never matches any target row
+    (join semantics). The common no-duplicate case costs one bounded agg
+    job (limit(1) stops at the first duplicate); only when duplicates
+    exist is the target probed, with a key-column-pruned semi-join of
+    the (tiny) dup-key set against it. For the pruned merge the caller
+    passes the affected-files slice — equivalent, because every key that
+    matches ANY target row is by construction inside an affected file."""
+    nonnull_keys = source
+    for k in key_cols:
+        nonnull_keys = nonnull_keys.filter(F.col(k).isNotNull())
+    dup_keys = (
+        nonnull_keys.groupBy(*key_cols)
+        .count()
+        .filter(F.col("count") > 1)
+        .drop("count")
+    )
+    if dup_keys.limit(1).collect():
+        clash = (
+            dup_keys.join(target.select(*key_cols), key_cols, "left_semi")
+            .limit(1)
+            .collect()
+        )
+        if clash:
+            raise ValueError(
+                "merge: source has duplicate keys that match "
+                f"the target (e.g. {[clash[0][k] for k in key_cols]}) — "
+                "that target row would match more than one source row; "
+                "pre-aggregate the source"
+            )
+
+
+def _merge_frames(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: list[str],
+    matched_update: dict[str, str] | None,
+    matched_update_condition: str | None,
+    matched_delete_condition: str | None,
+    insert_when_not_matched: bool,
+    evolved: list[str],
+    counts=None,
+) -> DataFrame:
+    """The MERGE relation itself: ONE full-outer join of target and
+    source on the keys, then a per-column CASE projection — merge
+    semantics need both unmatched sides (carry / insert), and full outer
+    compiles to a sort-merge join with a single hash exchange per side;
+    the CASE tree is whole-stage codegen. Shared by the full-rewrite and
+    file-pruned variants (the pruned caller passes only the affected
+    files' rows as ``target``). When ``counts`` (an ``Observation``) is
+    given, per-clause row counts (deleted / updated / inserted /
+    carried) ride the write action for free."""
+    target_cols = target.columns
+    t = target.withColumn("_merge_t_present", F.lit(True)).alias("t")
+    s = source.withColumn("_merge_s_present", F.lit(True)).alias("s")
+    joined = t.join(s, key_cols, "full_outer")
+    t_here = F.col("t._merge_t_present").isNotNull()
+    s_here = F.col("s._merge_s_present").isNotNull()
+    matched = t_here & s_here
+    # ANSI: a NULL-valued clause condition means NOT satisfied. when()
+    # already treats NULL as false for the update branch, but the keep
+    # FILTER would drop a NULL row (filter semantics: NULL = out) —
+    # without the coalesce, a matched row whose condition column is
+    # NULL would be silently deleted instead of carried.
+    upd_cond = (
+        F.coalesce(F.expr(matched_update_condition), F.lit(False))
+        if matched_update_condition
+        else F.lit(True)
+    )
+    del_cond = (
+        F.coalesce(F.expr(matched_delete_condition), F.lit(False))
+        if matched_delete_condition
+        else F.lit(False)
+    )
+    del_flag = matched & del_cond
+    upd_flag = (matched & ~del_cond & upd_cond) if matched_update else F.lit(False)
+    ins_flag = (~t_here & s_here) if insert_when_not_matched else F.lit(False)
+    if counts is not None:
+        one = F.lit(1)
+        joined = joined.observe(
+            counts,
+            F.sum(F.when(del_flag, one).otherwise(0)).alias("deleted"),
+            F.sum(F.when(upd_flag, one).otherwise(0)).alias("updated"),
+            F.sum(F.when(ins_flag, one).otherwise(0)).alias("inserted"),
+            F.sum(
+                F.when(t_here & ~del_flag & ~upd_flag, one).otherwise(0)
+            ).alias("carried"),
+        )
+    keep = ~del_flag
+    if insert_when_not_matched:
+        keep = keep & (t_here | s_here)  # full-outer tautology, kept explicit
+    else:
+        keep = keep & t_here
+    out_cols = []
+    for c in target_cols + evolved:
+        if c in key_cols:
+            # join-on-list already coalesced the key into one column;
+            # pin it back to the target's type so a narrower/wider
+            # source key can't drift the rewritten schema
+            out_cols.append(F.col(c).cast(target.schema[c].dataType).alias(c))
+            continue
+        # evolved (source-only) columns: NULL for every target-carried
+        # row, the source value on insert, and updatable via
+        # matched_update like any other column; typed from the source
+        out_type = (
+            target.schema[c].dataType
+            if c in target_cols
+            else source.schema[c].dataType
+        )
+        t_val = F.col(f"t.{c}") if c in target_cols else F.lit(None).cast(out_type)
+        s_val = F.col(f"s.{c}") if c in source.columns else F.lit(None)
+        # any target-present row (matched-no-clause OR unmatched-target)
+        # carries its value; only source-only rows take the insert value
+        val = F.when(t_here, t_val).otherwise(s_val)
+        if matched_update:
+            upd = F.expr(matched_update[c]) if c in matched_update else t_val
+            val = (
+                F.when(matched & ~del_cond & upd_cond, upd)
+                .when(t_here, t_val)
+                .otherwise(s_val)
+            )
+        out_cols.append(val.cast(out_type).alias(c))
+    return joined.filter(keep).select(*out_cols)
+
+
 def merge_lake_table(
     spark: SparkSession,
     lake_path: str,
@@ -674,23 +841,10 @@ def merge_lake_table(
         )
 
     existing = read_lake_table(spark, lake_path, folder, source_db, table, fmt=fmt)
-    target_cols = existing.columns
-    evolved = (
-        [c for c in source.columns if c not in target_cols and c not in key_cols]
-        if evolve_schema
-        else []
+    evolved = _validate_merge_clauses(
+        existing.columns, source.columns, key_cols,
+        matched_update, matched_update_condition, evolve_schema,
     )
-    settable = set(target_cols) | set(evolved)
-    bad = [c for c in (matched_update or {}) if c not in settable]
-    if bad:
-        raise ValueError(f"matched_update sets unknown target columns: {bad}")
-    if any(c in key_cols for c in (matched_update or {})):
-        raise ValueError("matched_update must not reassign key columns")
-    if matched_update_condition and not matched_update:
-        raise ValueError(
-            "matched_update_condition without matched_update has no "
-            "effect — pass the SET map or drop the condition"
-        )
 
     # Pin the source before it is executed twice (cardinality probe +
     # merge join/write): a non-deterministic source (rand-derived keys,
@@ -700,105 +854,14 @@ def merge_lake_table(
     # materializes the CDC batch once to executor storage and truncates
     # lineage — cost ∝ source size, the small side by contract.
     source = source.localCheckpoint(eager=True)
-
-    # ANSI cardinality check: an error only when a duplicated source key
-    # actually MATCHES a target row (that row would match more than one
-    # source row — non-deterministic merge). Duplicate keys among
-    # NOT-matched rows legitimately insert one row each, and NULL-keyed
-    # source rows are exempt — a NULL key never matches any target row
-    # (join semantics). The common no-duplicate case costs the same one
-    # bounded agg job as the stricter pre-r9 check (limit(1) stops at
-    # the first duplicate); only when duplicates exist is the target
-    # probed, with a key-column-pruned semi-join of the (tiny) dup-key
-    # set against the route.
-    nonnull_keys = source
-    for k in key_cols:
-        nonnull_keys = nonnull_keys.filter(F.col(k).isNotNull())
-    dup_keys = (
-        nonnull_keys.groupBy(*key_cols)
-        .count()
-        .filter(F.col("count") > 1)
-        .drop("count")
-    )
-    if dup_keys.limit(1).collect():
-        clash = (
-            dup_keys.join(existing.select(*key_cols), key_cols, "left_semi")
-            .limit(1)
-            .collect()
-        )
-        if clash:
-            raise ValueError(
-                "merge_lake_table: source has duplicate keys that match "
-                f"the target (e.g. {[clash[0][k] for k in key_cols]}) — "
-                "that target row would match more than one source row; "
-                "pre-aggregate the source"
-            )
+    _check_merge_cardinality(source, existing, key_cols)
 
     rows_before = existing.count()
-    # presence markers must not shadow a real column (they drive every
-    # clause decision; a user column of the same name would corrupt the
-    # merge silently)
-    for marker in ("_merge_t_present", "_merge_s_present"):
-        if marker in existing.columns or marker in source.columns:
-            raise ValueError(
-                f"merge_lake_table: column name {marker!r} is reserved"
-            )
-    t = existing.withColumn("_merge_t_present", F.lit(True)).alias("t")
-    s = source.withColumn("_merge_s_present", F.lit(True)).alias("s")
-    joined = t.join(s, key_cols, "full_outer")
-    t_here = F.col("t._merge_t_present").isNotNull()
-    s_here = F.col("s._merge_s_present").isNotNull()
-    matched = t_here & s_here
-    # ANSI: a NULL-valued clause condition means NOT satisfied. when()
-    # already treats NULL as false for the update branch, but the keep
-    # FILTER would drop a NULL row (filter semantics: NULL = out) —
-    # without the coalesce, a matched row whose condition column is
-    # NULL would be silently deleted instead of carried.
-    upd_cond = (
-        F.coalesce(F.expr(matched_update_condition), F.lit(False))
-        if matched_update_condition
-        else F.lit(True)
+    merged = _merge_frames(
+        existing, source, key_cols,
+        matched_update, matched_update_condition, matched_delete_condition,
+        insert_when_not_matched, evolved,
     )
-    del_cond = (
-        F.coalesce(F.expr(matched_delete_condition), F.lit(False))
-        if matched_delete_condition
-        else F.lit(False)
-    )
-    keep = ~(matched & del_cond)
-    if insert_when_not_matched:
-        keep = keep & (t_here | s_here)  # full-outer tautology, kept explicit
-    else:
-        keep = keep & t_here
-    out_cols = []
-    for c in target_cols + evolved:
-        if c in key_cols:
-            # join-on-list already coalesced the key into one column;
-            # pin it back to the target's type so a narrower/wider
-            # source key can't drift the rewritten schema
-            out_cols.append(F.col(c).cast(existing.schema[c].dataType).alias(c))
-            continue
-        # evolved (source-only) columns: NULL for every target-carried
-        # row, the source value on insert, and updatable via
-        # matched_update like any other column; typed from the source
-        out_type = (
-            existing.schema[c].dataType
-            if c in target_cols
-            else source.schema[c].dataType
-        )
-        t_val = F.col(f"t.{c}") if c in target_cols else F.lit(None).cast(out_type)
-        s_val = F.col(f"s.{c}") if c in source.columns else F.lit(None)
-        # any target-present row (matched-no-clause OR unmatched-target)
-        # carries its value; only source-only rows take the insert value
-        val = F.when(t_here, t_val).otherwise(s_val)
-        if matched_update:
-            upd = F.expr(matched_update[c]) if c in matched_update else t_val
-            val = (
-                F.when(matched & ~del_cond & upd_cond, upd)
-                .when(t_here, t_val)
-                .otherwise(s_val)
-            )
-        out_cols.append(val.cast(out_type).alias(c))
-    merged = joined.filter(keep).select(*out_cols)
 
     w = merged.write.mode("overwrite").option("maxRecordsPerFile", cfg.max_batch_size)
     if fmt in ("parquet", "orc"):
@@ -819,3 +882,263 @@ def merge_lake_table(
     write_route_meta(spark, tmp, meta)
     _swap_into_place(fs, hpath, tmp_p, old_p, path, tmp)
     return rows_before, rows_after
+
+
+def _finish_staged_replace(spark: SparkSession, table_path: str, stage_name: str) -> int:
+    """Complete a READY staged file-replacement: remove every original
+    file named in the stage's ``_manifest.json`` that still exists, move
+    the staged part files into the table, drop the stage. Idempotent —
+    safe to re-run after a crash at any point past the ready marker.
+    Shared commit step of the keyed delete
+    (``maintenance.delete_keys_from_table``) and the file-pruned merge
+    (``merge_lake_table_pruned``). Returns the number of staged files
+    moved in."""
+    import json as _json
+
+    jvm, _, fs = _hadoop_fs(spark, table_path)
+    stage_p = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{stage_name}")
+    manifest_p = jvm.org.apache.hadoop.fs.Path(
+        f"{table_path}/{stage_name}/_manifest.json"
+    )
+    stream = fs.open(manifest_p)
+    try:
+        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    affected = _json.loads(raw.decode("utf-8"))["affected"]
+    for name in affected:
+        p = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{name}")
+        if fs.exists(p):
+            fs.delete(p, False)
+    moved = 0
+    for s in fs.listStatus(stage_p):
+        name = s.getPath().getName()
+        if name.startswith("part-"):
+            fs.rename(
+                s.getPath(), jvm.org.apache.hadoop.fs.Path(f"{table_path}/{name}")
+            )
+            moved += 1
+    fs.delete(stage_p, True)
+    return moved
+
+
+def merge_lake_table_pruned(
+    spark: SparkSession,
+    lake_path: str,
+    folder: str,
+    source_db: str,
+    table: str,
+    source: DataFrame,
+    key_cols: list[str],
+    cfg: EngineConfig,
+    fmt: str = "parquet",
+    matched_update: dict[str, str] | None = None,
+    matched_update_condition: str | None = None,
+    matched_delete_condition: str | None = None,
+    insert_when_not_matched: bool = True,
+    evolve_schema: bool = False,
+) -> dict:
+    """File-pruned ANSI MERGE: clause semantics identical to
+    ``merge_lake_table`` (same ``_validate_merge_clauses`` /
+    ``_check_merge_cardinality`` / ``_merge_frames`` core), but cost
+    ∝ TOUCHED data instead of target size — the property that makes the
+    dominant production merge (a small CDC batch against a huge route)
+    a bounded maintenance action rather than a full-table copy. Use the
+    full-rewrite ``merge_lake_table`` when the source is a large share
+    of the target (its single swap beats many file replacements there).
+
+    Protocol (crash-safe, mirrors ``maintenance.delete_keys_from_table``):
+
+    1. PLAN — one key-column-pruned scan with ``input_file_name()``
+       semi-joined to the broadcast source-key set finds the affected
+       files: every file holding >= 1 source key. A min/max range
+       pre-filter derived from the (pinned) source keys is pushed into
+       the scan, so parquet footer stats skip row groups — and whole
+       files — outside the CDC batch's key range before the join runs.
+       The file list is route-cardinality bounded.
+    2. STAGE — ONLY the affected files' rows run the merge join (full
+       outer with the source + the CASE projection), so unmatched
+       source rows become inserts against the slice — correct against
+       the whole table, because any key matching ANY target row is by
+       construction inside an affected file. The merged slice lands in
+       a dot-prefixed ``.merge-stage-`` dir (invisible to readers) with
+       a ``_manifest.json`` naming the doomed originals, then a
+       ``_ready`` marker. Per-clause row counts ride the staging write
+       as an ``Observation`` — no second pass. A crash here strands an
+       ignorable stage the next invocation clears.
+    3. COMMIT — ``_finish_staged_replace``: delete the originals, move
+       the staged files in, drop the stage; idempotent, healed by the
+       next invocation off the manifest after a mid-commit crash. A
+       reader racing the commit can transiently miss rows from an
+       affected file (the delete-first direction, same as the keyed
+       delete); untouched files are never read twice nor rewritten.
+
+    The route's ``_meta.json`` ``row_count`` (when present) is updated
+    incrementally from the observed insert/delete counts — no full-route
+    census. A crash between COMMIT and the meta write leaves the count
+    stale by the delta; ``maintenance.validate_lake`` surfaces that.
+
+    Scale: the PLAN scan reads only key columns (+ the virtual file
+    name) under the range pre-filter; STAGE reads exactly the affected
+    files once and writes their replacements plus inserts. With a 1%
+    source key spread, ~99% of a 100 TB route is never opened past its
+    footer. The source is broadcast in the PLAN join and pinned with an
+    eager localCheckpoint (it drives three actions: range probe,
+    file-plan collect, merge) — small-side by contract.
+
+    Reference parity: engine-added (SURVEY §2.6); the reference's only
+    write is append-style (src/function_app.py:239-264).
+
+    Returns ``{files_total, files_rewritten, rows_deleted, rows_updated,
+    rows_inserted, rows_carried}`` (carried = affected-file rows kept
+    unchanged; untouched files are not counted — they were never read).
+    """
+    import json as _json
+    import uuid as _uuid
+
+    from pyspark.sql import Observation
+
+    _check_format(fmt)
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    missing = [k for k in key_cols if k not in source.columns]
+    if missing:
+        raise ValueError(f"source is missing key columns: {missing}")
+    path = f"{lake_path.rstrip('/')}/{folder}/{source_db}/{table}"
+    jvm, hpath, fs = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        raise FileNotFoundError(
+            f"merge_lake_table_pruned: target route {path} does not exist — "
+            "MERGE requires an existing target (write it first)"
+        )
+    # heal a crashed commit (ready stage) / clear an aborted stage write
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(".merge-stage-"):
+            ready = jvm.org.apache.hadoop.fs.Path(f"{path}/{name}/_ready")
+            if fs.exists(ready):
+                _finish_staged_replace(spark, path, name)
+            else:
+                fs.delete(st.getPath(), True)
+
+    files_total = sum(
+        1
+        for st in fs.listStatus(hpath)
+        if st.getPath().getName().startswith("part-")
+    )
+
+    r = spark.read
+    if fmt == "parquet":
+        r = r.option("mergeSchema", "true")
+    if fmt == "csv":
+        r = r.option("header", "true")
+    target_all = r.format(fmt).load(path)
+    evolved = _validate_merge_clauses(
+        target_all.columns, source.columns, key_cols,
+        matched_update, matched_update_condition, evolve_schema,
+    )
+
+    # pin once; the source feeds the range probe, the PLAN collect and
+    # the merge join — a non-deterministic source must not drift between
+    source = source.localCheckpoint(eager=True)
+    src_keys = source.select(*key_cols)
+    for k in key_cols:
+        src_keys = src_keys.filter(F.col(k).isNotNull())
+    src_keys = src_keys.distinct()
+
+    # PLAN: range pre-filter (parquet-footer prunable) + broadcast semi-join
+    bounds = src_keys.agg(
+        *[F.min(k).alias(f"_lo_{k}") for k in key_cols],
+        *[F.max(k).alias(f"_hi_{k}") for k in key_cols],
+    ).first()
+    if bounds[f"_lo_{key_cols[0]}"] is not None:  # empty non-null key set -> skip
+        tagged = target_all
+        for k in key_cols:
+            tagged = tagged.filter(
+                F.col(k).between(
+                    F.lit(bounds[f"_lo_{k}"]), F.lit(bounds[f"_hi_{k}"])
+                )
+            )
+        affected = sorted(
+            row["_file"]
+            for row in tagged.withColumn("_file", F.input_file_name())
+            .join(F.broadcast(src_keys), key_cols, "left_semi")
+            .select("_file")
+            .distinct()
+            .collect()
+        )
+    else:
+        affected = []
+
+    result = {
+        "files_total": files_total,
+        "files_rewritten": len(affected),
+        "rows_deleted": 0,
+        "rows_updated": 0,
+        "rows_inserted": 0,
+        "rows_carried": 0,
+    }
+    if not affected and not insert_when_not_matched:
+        return result  # nothing matched, nothing to insert — a no-op
+
+    if affected:
+        rs = spark.read
+        if fmt == "parquet":
+            rs = rs.option("mergeSchema", "true")
+        if fmt == "csv":
+            rs = rs.option("header", "true")
+        slice_df = rs.format(fmt).load(affected)
+        _check_merge_cardinality(source, slice_df, key_cols)
+    else:
+        # insert-only merge: an empty slice with the route's full schema
+        # so inserts align to it exactly like the full merge would
+        slice_df = spark.createDataFrame([], target_all.schema)
+
+    counts = Observation()
+    merged = _merge_frames(
+        slice_df, source, key_cols,
+        matched_update, matched_update_condition, matched_delete_condition,
+        insert_when_not_matched, evolved, counts=counts,
+    )
+
+    stage_name = f".merge-stage-{_uuid.uuid4().hex}"
+    stage = f"{path}/{stage_name}"
+    w = (
+        merged.repartition(max(1, len(affected)))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", cfg.max_batch_size)
+    )
+    if fmt in ("parquet", "orc"):
+        w = w.option("compression", cfg.parquet_compression)
+    if fmt == "csv":
+        w = w.option("header", "true")
+    w.format(fmt).save(stage)
+    got = counts.get
+    result.update(
+        rows_deleted=int(got["deleted"] or 0),
+        rows_updated=int(got["updated"] or 0),
+        rows_inserted=int(got["inserted"] or 0),
+        rows_carried=int(got["carried"] or 0),
+    )
+
+    manifest = _json.dumps(
+        {"affected": [a.rsplit("/", 1)[-1] for a in affected]}
+    ).encode("utf-8")
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(f"{stage}/_manifest.json"), True)
+    try:
+        out.write(bytearray(manifest))
+    finally:
+        out.close()
+    fs.create(jvm.org.apache.hadoop.fs.Path(f"{stage}/_ready"), True).close()
+
+    _finish_staged_replace(spark, path, stage_name)
+
+    meta = read_route_meta(spark, path)
+    if meta and "row_count" in meta:
+        meta["row_count"] = (
+            int(meta["row_count"])
+            + result["rows_inserted"]
+            - result["rows_deleted"]
+        )
+        write_route_meta(spark, path, meta)
+    return result

@@ -353,36 +353,16 @@ def validate_lake(spark: SparkSession, lake_path: str, fmt: str = "parquet") -> 
 
 
 def _finish_keyed_delete(spark: SparkSession, table_path: str, stage_name: str) -> int:
-    """Complete a READY keyed-delete stage: remove every original file
+    """Complete a READY keyed-delete stage — delegates to the shared
+    staged-replace commit step (``lake._finish_staged_replace``, also
+    the commit of the file-pruned merge): remove every original file
     named in the stage manifest that still exists, move the staged
     survivor files into the table, drop the stage. Idempotent — safe to
     re-run after a crash at any point past the ready marker. Returns the
     number of staged files moved in."""
-    import json as _json
+    from iotgp_func_raw_data_ingest_spark.sources.lake import _finish_staged_replace
 
-    from iotgp_func_raw_data_ingest_spark.sources.lake import _hadoop_fs
-
-    jvm, hpath, fs = _hadoop_fs(spark, table_path)
-    stage_p = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{stage_name}")
-    manifest_p = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{stage_name}/_manifest.json")
-    stream = fs.open(manifest_p)
-    try:
-        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
-    finally:
-        stream.close()
-    affected = _json.loads(raw.decode("utf-8"))["affected"]
-    for name in affected:
-        p = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{name}")
-        if fs.exists(p):
-            fs.delete(p, False)
-    moved = 0
-    for s in fs.listStatus(stage_p):
-        name = s.getPath().getName()
-        if name.startswith("part-"):
-            fs.rename(s.getPath(), jvm.org.apache.hadoop.fs.Path(f"{table_path}/{name}"))
-            moved += 1
-    fs.delete(stage_p, True)
-    return moved
+    return _finish_staged_replace(spark, table_path, stage_name)
 
 
 def delete_keys_from_table(

@@ -1,0 +1,255 @@
+"""merge_lake_table_pruned: file pruning, full-merge equivalence,
+per-clause counts, manifest-driven crash recovery, and the incremental
+meta update. The clause-semantics core is shared with merge_lake_table
+(covered row-level in test_merge.py); these tests pin what the PRUNED
+variant adds — cost ∝ touched files, never a full-route rewrite."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iotgp_func_raw_data_ingest_spark.config import EngineConfig
+from iotgp_func_raw_data_ingest_spark.sources.lake import (
+    _finish_staged_replace,
+    merge_lake_table,
+    merge_lake_table_pruned,
+    read_lake_table,
+    read_route_meta,
+    write_route_meta,
+)
+
+ROUTE = ("curated", "crm", "accounts")
+
+
+def _seed(spark, base, n=1000, files=8):
+    """n-row route hash-clustered into `files` part files on the key, so
+    a small key set touches a strict subset of files."""
+    lake = str(base / "lake")
+    route = f"{lake}/curated/crm/accounts"
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 64).cast("string").alias("seg"),
+        (F.col("id") % 97).cast("double").alias("bal"),
+    )
+    df.repartition(files, "k").write.parquet(route)
+    return lake, route, EngineConfig(output_path=lake)
+
+
+def _rows(spark, route):
+    return sorted(
+        ((r["k"], r["seg"], r["bal"]) for r in spark.read.parquet(route).collect()),
+        key=lambda t: (t[0] is None, t[0] or 0, t[1], t[2]),
+    )
+
+
+def test_pruned_rewrites_only_affected_files(spark, tmp_path):
+    lake, route, cfg = _seed(spark, tmp_path)
+    before_files = {f for f in os.listdir(route) if f.startswith("part-")}
+    # two co-located keys (same physical file) + one new key
+    tagged = (
+        spark.read.parquet(route)
+        .select("k", F.input_file_name().alias("f"))
+        .collect()
+    )
+    by_file: dict[str, list[int]] = {}
+    for r in tagged:
+        by_file.setdefault(r["f"], []).append(r["k"])
+    colocated = sorted(next(iter(by_file.values())))[:2]
+    src = spark.createDataFrame(
+        [(colocated[0], "UPD", 1.5), (colocated[1], "UPD", 2.5), (10_000, "NEW", 9.0)],
+        "k long, seg string, bal double",
+    )
+    report = merge_lake_table_pruned(
+        spark, lake, *ROUTE, src, ["k"], cfg,
+        matched_update={"seg": "s.seg", "bal": "s.bal"},
+    )
+    assert report["files_total"] == 8
+    assert 1 <= report["files_rewritten"] < 8
+    assert report["rows_updated"] == 2
+    assert report["rows_inserted"] == 1
+    assert report["rows_deleted"] == 0
+    after_files = {f for f in os.listdir(route) if f.startswith("part-")}
+    # untouched originals keep their exact names — never rewritten
+    assert len(before_files & after_files) == 8 - report["files_rewritten"]
+    out = {r["k"]: (r["seg"], r["bal"]) for r in spark.read.parquet(route).collect()}
+    assert out[colocated[0]] == ("UPD", 1.5)
+    assert out[colocated[1]] == ("UPD", 2.5)
+    assert out[10_000] == ("NEW", 9.0)
+    assert len(out) == 1001
+
+
+def test_pruned_matches_full_merge(spark, tmp_path):
+    """Equivalence oracle: the pruned merge must produce byte-identical
+    row sets to the full-rewrite merge for the same three-clause spec."""
+    lake_a, route_a, cfg_a = _seed(spark, tmp_path / "a", n=500, files=6)
+    lake_b, route_b, cfg_b = _seed(spark, tmp_path / "b", n=500, files=6)
+    src = spark.createDataFrame(
+        # updates (k%50==0 → matched), deletes via bal>90 condition,
+        # inserts (k ≥ 500), and a NULL-keyed row (always inserts)
+        [(0, "u", 10.0), (50, "u", 95.0), (100, "u", 20.0),
+         (777, "n", 1.0), (888, "n", 2.0), (None, "nullk", 3.0)],
+        "k long, seg string, bal double",
+    )
+    kwargs = dict(
+        matched_update={"seg": "s.seg", "bal": "ROUND(s.bal + 0.5, 2)"},
+        matched_update_condition="s.bal < 90",
+        matched_delete_condition="s.bal > 90",
+    )
+    merge_lake_table(spark, lake_a, *ROUTE, src, ["k"], cfg_a, **kwargs)
+    report = merge_lake_table_pruned(
+        spark, lake_b, *ROUTE, src, ["k"], cfg_b, **kwargs
+    )
+    assert _rows(spark, route_a) == _rows(spark, route_b)
+    assert report["rows_deleted"] == 1   # k=50, s.bal 95 > 90
+    assert report["rows_updated"] == 2   # k=0, k=100
+    assert report["rows_inserted"] == 3  # 777, 888, NULL-keyed
+    assert report["files_rewritten"] < 6
+
+
+def test_pruned_insert_only_touches_nothing(spark, tmp_path):
+    """A source with no matching keys rewrites ZERO files — inserts are
+    appended as new part files; every original survives untouched."""
+    lake, route, cfg = _seed(spark, tmp_path, n=200, files=4)
+    before_files = {f for f in os.listdir(route) if f.startswith("part-")}
+    src = spark.createDataFrame(
+        [(9_001, "N", 1.0), (9_002, "N", 2.0)], "k long, seg string, bal double"
+    )
+    report = merge_lake_table_pruned(spark, lake, *ROUTE, src, ["k"], cfg)
+    assert report["files_rewritten"] == 0
+    assert report["rows_inserted"] == 2
+    assert report["rows_carried"] == 0
+    after_files = {f for f in os.listdir(route) if f.startswith("part-")}
+    assert before_files <= after_files  # originals all still there
+    assert spark.read.parquet(route).count() == 202
+
+
+def test_pruned_noop_when_nothing_matches_and_insert_disabled(spark, tmp_path):
+    lake, route, cfg = _seed(spark, tmp_path, n=100, files=2)
+    src = spark.createDataFrame([(9_999, "N", 1.0)], "k long, seg string, bal double")
+    report = merge_lake_table_pruned(
+        spark, lake, *ROUTE, src, ["k"], cfg, insert_when_not_matched=False
+    )
+    assert report == {
+        "files_total": 2, "files_rewritten": 0, "rows_deleted": 0,
+        "rows_updated": 0, "rows_inserted": 0, "rows_carried": 0,
+    }
+    assert spark.read.parquet(route).count() == 100
+
+
+def test_pruned_ansi_cardinality(spark, tmp_path):
+    """Same ANSI rule as the full merge: duplicate matched keys raise,
+    duplicate unmatched keys insert one row each."""
+    lake, route, cfg = _seed(spark, tmp_path, n=50, files=2)
+    dup_unmatched = spark.createDataFrame(
+        [(9_000, "a", 1.0), (9_000, "b", 2.0)], "k long, seg string, bal double"
+    )
+    report = merge_lake_table_pruned(
+        spark, lake, *ROUTE, dup_unmatched, ["k"], cfg
+    )
+    assert report["rows_inserted"] == 2
+    dup_matched = spark.createDataFrame(
+        [(7, "a", 1.0), (7, "b", 2.0)], "k long, seg string, bal double"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_lake_table_pruned(spark, lake, *ROUTE, dup_matched, ["k"], cfg)
+
+
+def test_pruned_crash_windows(spark, tmp_path):
+    """The three windows of the staged-replace protocol: (a) an aborted
+    (unready) stage is cleared; (b) a READY stage from a crashed commit
+    is healed by the next invocation BEFORE it plans; (c) the finish
+    step is idempotent across a mid-commit crash (original already
+    deleted, staged file not yet moved)."""
+    lake, route, cfg = _seed(spark, tmp_path, n=200, files=4)
+
+    # (a) aborted stage: no _ready marker → cleared, data untouched
+    os.makedirs(f"{route}/.merge-stage-aborted")
+    with open(f"{route}/.merge-stage-aborted/part-junk.parquet", "w") as fh:
+        fh.write("junk")
+    src = spark.createDataFrame([(9_100, "N", 1.0)], "k long, seg string, bal double")
+    merge_lake_table_pruned(spark, lake, *ROUTE, src, ["k"], cfg)
+    assert not os.path.exists(f"{route}/.merge-stage-aborted")
+    assert spark.read.parquet(route).count() == 201
+
+    # (b) READY stage simulating a crash after the marker: replacement
+    # content for one victim file, sealed manifest — the next merge
+    # invocation must commit it first
+    victim = sorted(
+        f for f in os.listdir(route) if f.startswith("part-")
+    )[0]
+    victim_df = spark.read.parquet(f"{route}/{victim}")
+    n_victim = victim_df.count()
+    stage = f"{route}/.merge-stage-crashed"
+    victim_df.withColumn("seg", F.lit("HEALED")).coalesce(1).write.parquet(stage)
+    with open(f"{stage}/_manifest.json", "w") as fh:
+        json.dump({"affected": [victim]}, fh)
+    open(f"{stage}/_ready", "w").close()
+    total_before = spark.read.parquet(route).count()
+    src2 = spark.createDataFrame([(9_200, "N", 2.0)], "k long, seg string, bal double")
+    merge_lake_table_pruned(spark, lake, *ROUTE, src2, ["k"], cfg)
+    assert not os.path.exists(stage)
+    assert not os.path.exists(f"{route}/{victim}")
+    got = spark.read.parquet(route)
+    assert got.count() == total_before + 1  # healed swap is 1:1 + new insert
+    assert got.filter(F.col("seg") == "HEALED").count() == n_victim
+
+    # (c) idempotent finish: build a ready stage, run finish, delete one
+    # staged artifact mid-way is impossible to interleave here — instead
+    # re-run finish after a manual partial commit (original pre-deleted)
+    victim2 = sorted(
+        f for f in os.listdir(route) if f.startswith("part-")
+    )[0]
+    v2_df = spark.read.parquet(f"{route}/{victim2}")
+    n_v2 = v2_df.count()
+    stage2 = f"{route}/.merge-stage-partial"
+    v2_df.withColumn("seg", F.lit("TWICE")).coalesce(1).write.parquet(stage2)
+    with open(f"{stage2}/_manifest.json", "w") as fh:
+        json.dump({"affected": [victim2]}, fh)
+    open(f"{stage2}/_ready", "w").close()
+    os.remove(f"{route}/{victim2}")  # simulate crash AFTER original delete
+    moved = _finish_staged_replace(spark, route, ".merge-stage-partial")
+    assert moved == 1
+    got2 = spark.read.parquet(route)
+    assert got2.filter(F.col("seg") == "TWICE").count() == n_v2
+    assert not os.path.exists(stage2)
+
+
+def test_pruned_updates_meta_incrementally(spark, tmp_path):
+    lake, route, cfg = _seed(spark, tmp_path, n=300, files=3)
+    write_route_meta(spark, route, {"row_count": 300, "kind": "test"})
+    src = spark.createDataFrame(
+        # one delete (bal 96 > 90 for k=96), two inserts
+        [(96, "d", 0.0), (9_001, "N", 1.0), (9_002, "N", 2.0)],
+        "k long, seg string, bal double",
+    )
+    report = merge_lake_table_pruned(
+        spark, lake, *ROUTE, src, ["k"], cfg,
+        matched_delete_condition="t.bal > 90",
+    )
+    assert report["rows_deleted"] == 1 and report["rows_inserted"] == 2
+    meta = read_route_meta(spark, route)
+    assert meta["row_count"] == 301  # 300 - 1 + 2, no full-route census
+    assert meta["kind"] == "test"
+    assert spark.read.parquet(route).count() == 301
+
+
+def test_pruned_evolve_schema(spark, tmp_path):
+    lake, route, cfg = _seed(spark, tmp_path, n=100, files=2)
+    src = spark.createDataFrame(
+        [(1, "u", 5.0, "eu"), (9_001, "N", 9.0, "us")],
+        "k long, seg string, bal double, region string",
+    )
+    merge_lake_table_pruned(
+        spark, lake, *ROUTE, src, ["k"], cfg,
+        matched_update={"bal": "s.bal", "region": "s.region"},
+        evolve_schema=True,
+    )
+    out = read_lake_table(spark, lake, *ROUTE)
+    assert "region" in out.columns  # mergeSchema read unions evolved files
+    rows = {r["k"]: r["region"] for r in out.collect()}
+    assert rows[1] == "eu" and rows[9_001] == "us"
+    assert rows[2] is None  # untouched file NULL-pads under mergeSchema

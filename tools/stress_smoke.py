@@ -375,6 +375,76 @@ def main() -> int:
         }
     )
 
+    # --- round-9: file-pruned MERGE vs full-rewrite MERGE ---
+    # Two identical n-row targets, RANGE-clustered on the key into 64
+    # files (the production CDC shape: recent keys live together), then
+    # the same ~1% tail-of-keyspace CDC batch (updates + deletes +
+    # inserts) merged through each variant. The comparison the tier
+    # exists for: the pruned wall is bounded by the TOUCHED files (the
+    # range pre-filter + manifest semi-join land on 1–2 of 64), the full
+    # rewrite's by the whole route. Builders are eager maintenance
+    # actions — wall covers the whole merge; the shuffle column audits
+    # only the trivial 1-row report plan (the merges' own shuffles are
+    # the point of the wall number, printed per-run below).
+    import shutil as _shutil
+
+    from iotgp_func_raw_data_ingest_spark.sources.lake import (
+        merge_lake_table,
+        merge_lake_table_pruned,
+    )
+
+    merge_work = os.path.join("/tmp", f"stress_merge_{n_docs}")
+    if not name_filter or "merge" in name_filter:
+        _shutil.rmtree(merge_work, ignore_errors=True)
+        merge_target = spark.range(n_docs).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 64).cast("string").alias("seg"),
+            (F.col("id") % 9973).cast("double").alias("bal"),
+        )
+        for variant in ("full", "pruned"):
+            merge_target.repartitionByRange(64, "k").write.parquet(
+                f"{merge_work}/{variant}/curated/crm/accounts"
+            )
+
+    def _merge_stress(variant: str):
+        lake = f"{merge_work}/{variant}"
+        upd = spark.range(int(n_docs * 0.99), n_docs).select(
+            F.col("id").alias("k"),
+            F.lit("cdc").alias("seg"),
+            (F.col("id") % 9973).cast("double").alias("bal"),
+        )
+        ins = spark.range(n_docs, n_docs + n_docs // 200).select(
+            F.col("id").alias("k"),
+            F.lit("ins").alias("seg"),
+            F.lit(2.0).alias("bal"),
+        )
+        src = upd.unionByName(ins)
+        mcfg = EngineConfig(output_path=lake, max_batch_size=500_000)
+        kwargs = dict(
+            matched_update={"bal": "ROUND(s.bal + 1.0, 2)"},
+            matched_delete_condition="t.bal > 9000",
+        )
+        if variant == "pruned":
+            rep = merge_lake_table_pruned(
+                spark, lake, "curated", "crm", "accounts",
+                src, ["k"], mcfg, **kwargs,
+            )
+        else:
+            b, a = merge_lake_table(
+                spark, lake, "curated", "crm", "accounts",
+                src, ["k"], mcfg, **kwargs,
+            )
+            rep = {"rows_before": b, "rows_after": a}
+        print(f"  merge[{variant}]: {rep}", flush=True)
+        return spark.createDataFrame([{k2: int(v) for k2, v in rep.items()}])
+
+    ops.update(
+        {
+            "merge_full_rewrite(1% CDC batch)": lambda: _merge_stress("full"),
+            "merge_pruned(1% CDC batch)": lambda: _merge_stress("pruned"),
+        }
+    )
+
     rows = []
     for name, build in ops.items():
         if name_filter and name_filter not in name:
@@ -498,6 +568,22 @@ def main() -> int:
         "Python DataSource (pyarrow, RecordBatch yields): columnar",
         "batches make the custom source's overhead a near-constant",
         "factor over the native scan, not a per-row tax.",
+        "",
+        "The merge tiers (r9) run the SAME ~1% tail-of-keyspace CDC batch",
+        "(updates + conditional deletes + inserts) against two identical",
+        "range-clustered 64-file targets. merge_full_rewrite pays the",
+        "carried-copy economics: every row of the route flows through the",
+        "full-outer join and is rewritten. merge_pruned's PLAN step",
+        "(min/max range pre-filter + broadcast semi-join on",
+        "input_file_name) confines the join and the rewrite to the 1–2",
+        "files actually holding CDC keys, plus one insert file — its wall",
+        "is bounded by touched data, the property that keeps a small CDC",
+        "merge a bounded maintenance action on a 100 TB route. Both",
+        "builders are eager lake lifecycles, so their wall times are the",
+        "measurement and the shuffle column (auditing only the 1-row",
+        "report plan) reads ~0 by construction; the per-run report line",
+        "above the table carries files_rewritten/files_total and the",
+        "per-clause row counts.",
         "",
     ]
     if name_filter:
