@@ -296,18 +296,21 @@ def q228_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q229_merge_pruned",
     oracle="""
-    WITH target AS (
+    WITH cut AS (
+        SELECT MAX(c_custkey) - MAX(c_custkey) // 100 AS c FROM customer
+    ),
+    target AS (
         SELECT c_custkey AS k, c_mktsegment AS seg, ROUND(c_acctbal, 2) AS bal
         FROM customer
     ),
     merged AS (
         SELECT k,
-               CASE WHEN k % 101 = 5 AND NOT (bal < 0)
+               CASE WHEN k > (SELECT c FROM cut) AND NOT (bal < 0)
                     THEN 'CDC-' || seg ELSE seg END AS seg,
-               CASE WHEN k % 101 = 5 AND NOT (bal < 0)
+               CASE WHEN k > (SELECT c FROM cut) AND NOT (bal < 0)
                     THEN ROUND(bal + 11.5, 2) ELSE bal END AS bal
         FROM target
-        WHERE NOT (k % 101 = 5 AND bal < 0)
+        WHERE NOT (k > (SELECT c FROM cut) AND bal < 0)
         UNION ALL
         SELECT c_custkey + (SELECT MAX(c_custkey) + 1 FROM customer),
                'INS', 25.0
@@ -322,28 +325,34 @@ def q228_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q229_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILE-PRUNED three-clause MERGE (``sources.lake.
     merge_lake_table_pruned``): the customer dimension is materialized
-    as an 8-file key-clustered lake route, then a ~1% CDC batch (keys
-    k % 101 = 5, plus re-keyed inserts at k % 113 = 7) merges with WHEN
-    MATCHED AND t.bal < 0 THEN DELETE, WHEN MATCHED THEN UPDATE SET
-    seg = 'CDC-'||t.seg, bal = ROUND(t.bal + 11.5, 2), and WHEN NOT
-    MATCHED THEN INSERT. Identical clause semantics to q228's full
-    merge, but a genuinely different physical plan: PLAN (key-pruned
-    scan + range pre-filter + broadcast semi-join on input_file_name)
-    → STAGE (merge join over ONLY the affected files, inserts
-    included, clause counts as an Observation) → COMMIT
-    (manifest-driven per-file replacement; untouched files never read
-    twice nor rewritten). The read-back census must equal the oracle's
-    declarative CASE/WHERE/UNION reconstruction — a file dropped by the
-    pruning plan, an insert lost against the slice, or a mis-replaced
-    original all flip counts or sums. Eager lake lifecycle per the
-    plans/__init__ convention; result pinned with localCheckpoint
-    before the temp route is removed.
+    as an 8-file RANGE-clustered lake route (the production CDC shape —
+    recent keys live together), then the contiguous top-1%-of-keyspace
+    CDC slice (k > max − max//100, plus re-keyed inserts at
+    k % 113 = 7) merges with WHEN MATCHED AND t.bal < 0 THEN DELETE,
+    WHEN MATCHED THEN UPDATE SET seg = 'CDC-'||t.seg,
+    bal = ROUND(t.bal + 11.5, 2), and WHEN NOT MATCHED THEN INSERT.
+    Identical clause semantics to q228's full merge, but a genuinely
+    different physical plan: PLAN (key-pruned scan + range pre-filter +
+    broadcast semi-join on input_file_name) → STAGE (merge join over
+    ONLY the affected files, inserts included, clause counts as an
+    Observation) → COMMIT (manifest-driven per-file replacement;
+    untouched files never read twice nor rewritten). The read-back
+    census must equal the oracle's declarative CASE/WHERE/UNION
+    reconstruction — a file dropped by the pruning plan, an insert lost
+    against the slice, or a mis-replaced original all flip counts or
+    sums. Eager lake lifecycle per the plans/__init__ convention;
+    result pinned with localCheckpoint before the temp route is
+    removed.
 
     100 TB shape: cost ∝ TOUCHED files, not route size — the dominant
     production merge (small CDC batch vs huge target) stays a bounded
     maintenance action. The builder asserts the pruning actually
-    happened (files_rewritten < files_total) so the gate cannot go
-    green on a silent full rewrite."""
+    happened (files_rewritten < files_total) at EVERY scale factor —
+    the contiguous CDC slice against the range-clustered layout touches
+    at most the tail file plus a boundary straddle — so the gate cannot
+    go green on a silent full rewrite. The cut is integer arithmetic
+    (max − max//100) on both sides; a float cut would risk a
+    boundary-row disagreement between the engines."""
     from iotgp_func_raw_data_ingest_spark.config import EngineConfig
     from iotgp_func_raw_data_ingest_spark.sources.lake import (
         merge_lake_table_pruned,
@@ -360,10 +369,14 @@ def q229_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         lake = f"{work}/lake"
         cfg = EngineConfig(output_path=lake)
         route = f"{lake}/curated/crm/customers"
-        # key-clustered multi-file layout so the pruning is real: the
-        # ~1% CDC key set hashes into a strict subset of the 8 files
-        cust.repartition(8, "k").write.parquet(route)
-        updates = cust.filter(F.col("k") % 101 == 5)
+        # RANGE-clustered multi-file layout so the pruning is real at
+        # every SF: the contiguous top-1% CDC key slice lands in the
+        # tail file (+ at most a boundary straddle), never all 8 — a
+        # hash layout would scatter any key set across every file
+        cust.repartitionByRange(8, "k").write.parquet(route)
+        max_k = cust.agg(F.max("k")).first()[0]
+        cut = max_k - max_k // 100
+        updates = cust.filter(F.col("k") > cut)
         off = cust.agg((F.max("k") + 1).alias("_off"))
         inserts = (
             cust.filter(F.col("k") % 113 == 7)

@@ -815,9 +815,10 @@ def merge_lake_table(
     tree is whole-stage codegen. The rewrite lands in a temp dir and
     swaps in with the same two-rename crash-safe commit as compaction
     and upsert (shared ``_recover_swap`` / ``_swap_into_place``). At
-    100 TB the carried-row copy dominates exactly like upsert — scope
-    routes so merges touch bounded partitions (the delete path with
-    file pruning is ``maintenance.delete_keys_from_table``).
+    100 TB the carried-row copy dominates exactly like upsert — for the
+    dominant small-CDC-batch case use ``merge_lake_table_pruned``
+    (identical clause semantics, cost ∝ touched files); the keyed
+    delete with file pruning is ``maintenance.delete_keys_from_table``.
 
     Reference parity: engine-added (SURVEY §2.6); the reference's only
     write is append-style (src/function_app.py:239-264, merge=concat
