@@ -1007,6 +1007,11 @@ def merge_lake_table_pruned(
         raise ValueError(f"source is missing key columns: {missing}")
     path = f"{lake_path.rstrip('/')}/{folder}/{source_db}/{table}"
     jvm, hpath, fs = _hadoop_fs(spark, path)
+    # heal a crashed WHOLE-ROUTE swap first (a prior compaction/upsert/
+    # full merge that died between its two renames leaves the data at
+    # <path>.compact-old with nothing live) — idempotent, and without it
+    # a pruned merge after such a crash would raise route-not-found
+    _recover_swap(jvm, fs, hpath, path)
     if not fs.exists(hpath):
         raise FileNotFoundError(
             f"merge_lake_table_pruned: target route {path} does not exist — "
@@ -1042,6 +1047,17 @@ def merge_lake_table_pruned(
     # pin once; the source feeds the range probe, the PLAN collect and
     # the merge join — a non-deterministic source must not drift between
     source = source.localCheckpoint(eager=True)
+    if not source.head(1):
+        # empty CDC batch (routine in production): a true no-op — don't
+        # stage an empty part file into the route
+        return {
+            "files_total": files_total,
+            "files_rewritten": 0,
+            "rows_deleted": 0,
+            "rows_updated": 0,
+            "rows_inserted": 0,
+            "rows_carried": 0,
+        }
     src_keys = source.select(*key_cols)
     for k in key_cols:
         src_keys = src_keys.filter(F.col(k).isNotNull())

@@ -253,3 +253,87 @@ def test_pruned_evolve_schema(spark, tmp_path):
     rows = {r["k"]: r["region"] for r in out.collect()}
     assert rows[1] == "eu" and rows[9_001] == "us"
     assert rows[2] is None  # untouched file NULL-pads under mergeSchema
+
+
+def test_pruned_composite_key(spark, tmp_path):
+    """Multi-column keys: the range pre-filter becomes a per-column
+    bounding box (a superset of the needed files — correctness never
+    depends on it) and the semi-join/merge run on the full key tuple."""
+    lake = str(tmp_path / "lake")
+    route = f"{lake}/curated/crm/accounts"
+    df = spark.range(400).select(
+        (F.col("id") % 20).alias("k1"),
+        (F.col("id") / 20).cast("long").alias("k2"),
+        F.lit("T").alias("seg"),
+        F.col("id").cast("double").alias("bal"),
+    )
+    df.repartition(4, "k1", "k2").write.parquet(route)
+    cfg = EngineConfig(output_path=lake)
+    src = spark.createDataFrame(
+        [(3, 0, "u", 1.0), (3, 19, "u", 2.0), (99, 99, "n", 3.0)],
+        "k1 long, k2 long, seg string, bal double",
+    )
+    report = merge_lake_table_pruned(
+        spark, lake, *ROUTE, src, ["k1", "k2"], cfg,
+        matched_update={"seg": "s.seg", "bal": "s.bal"},
+    )
+    assert report["rows_updated"] == 2
+    assert report["rows_inserted"] == 1
+    out = {
+        (r["k1"], r["k2"]): (r["seg"], r["bal"])
+        for r in spark.read.parquet(route).collect()
+    }
+    assert out[(3, 0)] == ("u", 1.0)      # id=3
+    assert out[(3, 19)] == ("u", 2.0)     # id=383
+    assert out[(99, 99)] == ("n", 3.0)    # insert
+    assert len(out) == 401
+
+
+def test_pruned_nonparquet_format(spark, tmp_path):
+    """The staged-replace protocol is format-agnostic (input_file_name
+    + manifest + rename work for any file source) — pin the json leg."""
+    lake = str(tmp_path / "lake")
+    route = f"{lake}/curated/crm/accounts"
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.lit("T").alias("seg"),
+        F.col("id").cast("double").alias("bal"),
+    )
+    df.repartitionByRange(4, "k").write.json(route)
+    cfg = EngineConfig(output_path=lake)
+    src = spark.createDataFrame(
+        [(99, "u", 5.0), (500, "n", 1.0)], "k long, seg string, bal double"
+    )
+    report = merge_lake_table_pruned(
+        spark, lake, *ROUTE, src, ["k"], cfg, fmt="json",
+        matched_update={"bal": "s.bal"},
+    )
+    assert report["files_rewritten"] == 1
+    assert report["rows_updated"] == 1 and report["rows_inserted"] == 1
+    out = {r["k"]: r["bal"] for r in spark.read.json(route).collect()}
+    assert out[99] == 5.0 and out[500] == 1.0 and len(out) == 101
+
+
+def test_pruned_empty_source_is_noop(spark, tmp_path):
+    """An empty CDC batch (routine in production) must not stage an
+    empty part file into the route — a true no-op."""
+    lake, route, cfg = _seed(spark, tmp_path, n=50, files=2)
+    before = sorted(os.listdir(route))
+    src = spark.createDataFrame([], "k long, seg string, bal double")
+    report = merge_lake_table_pruned(spark, lake, *ROUTE, src, ["k"], cfg)
+    assert report["files_rewritten"] == 0 and report["rows_inserted"] == 0
+    assert sorted(os.listdir(route)) == before
+
+
+def test_pruned_heals_crashed_full_merge_swap(spark, tmp_path):
+    """A prior compaction/upsert/full-merge that died between its two
+    renames leaves the route at <path>.compact-old with nothing live —
+    the pruned merge must restore it before planning instead of raising
+    route-not-found."""
+    lake, route, cfg = _seed(spark, tmp_path, n=50, files=2)
+    os.rename(route, f"{route}.compact-old")
+    src = spark.createDataFrame([(9_000, "N", 1.0)], "k long, seg string, bal double")
+    report = merge_lake_table_pruned(spark, lake, *ROUTE, src, ["k"], cfg)
+    assert report["rows_inserted"] == 1
+    assert spark.read.parquet(route).count() == 51
+    assert not os.path.exists(f"{route}.compact-old")
