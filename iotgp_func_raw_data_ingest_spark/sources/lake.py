@@ -551,10 +551,16 @@ def upsert_lake_table(
         return 0, n
 
     existing = read_lake_table(spark, lake_path, folder, source_db, table, fmt=fmt)
-    rows_before = existing.count()
-    carried = existing.join(
-        updates.select(*key_cols), key_cols, "left_anti"
-    )
+    # rows_before rides the rewrite itself: the anti-join scans every
+    # existing row anyway, so an Observation on that scan replaces a
+    # whole extra route read (r8 verdict note — one fewer full scan per
+    # upsert, which is real money at 100 TB)
+    from pyspark.sql import Observation
+
+    before_obs = Observation()
+    carried = existing.observe(
+        before_obs, F.count(F.lit(1)).alias("n")
+    ).join(updates.select(*key_cols), key_cols, "left_anti")
     merged = carried.unionByName(updates, allowMissingColumns=True)
     w = merged.write.mode("overwrite").option("maxRecordsPerFile", cfg.max_batch_size)
     if fmt in ("parquet", "orc"):
@@ -562,9 +568,12 @@ def upsert_lake_table(
     if fmt == "csv":
         w = w.option("header", "true")
     w.format(fmt).save(tmp)
+    rows_before = int(before_obs.get["n"] or 0)
 
     # count the merged output from the temp dir and seal the sidecar in
-    # BEFORE the swap: data + metadata become visible together
+    # BEFORE the swap: data + metadata become visible together (the
+    # read-back also verifies the landed files, which an Observation on
+    # the write plan could not)
     r = spark.read
     if fmt == "parquet":
         r = r.option("mergeSchema", "true")
@@ -857,9 +866,18 @@ def merge_lake_table(
     source = source.localCheckpoint(eager=True)
     _check_merge_cardinality(source, existing, key_cols)
 
-    rows_before = existing.count()
+    # rows_before rides the merge join itself: the full-outer join scans
+    # every target row anyway, so an Observation on that scan replaces a
+    # whole extra route read (r8 verdict note). The observed node lives
+    # ONLY in the write plan — the cardinality probe above uses the raw
+    # frame, so a probe execution can never satisfy the observation with
+    # a partial (limit-stopped) scan's count.
+    from pyspark.sql import Observation
+
+    before_obs = Observation()
     merged = _merge_frames(
-        existing, source, key_cols,
+        existing.observe(before_obs, F.count(F.lit(1)).alias("n")),
+        source, key_cols,
         matched_update, matched_update_condition, matched_delete_condition,
         insert_when_not_matched, evolved,
     )
@@ -870,7 +888,10 @@ def merge_lake_table(
     if fmt == "csv":
         w = w.option("header", "true")
     w.format(fmt).save(tmp)
+    rows_before = int(before_obs.get["n"] or 0)
 
+    # the read-back census also verifies the landed files, which an
+    # Observation on the write plan could not — it stays a real read
     r = spark.read
     if fmt == "parquet":
         r = r.option("mergeSchema", "true")
