@@ -396,18 +396,45 @@ def main() -> int:
     merge_work = os.path.join("/tmp", f"stress_merge_{n_docs}")
     if not name_filter or "merge" in name_filter:
         _shutil.rmtree(merge_work, ignore_errors=True)
+        # Rows carry a ~384-char high-entropy payload (six salted sha2
+        # hex digests, ~800 MB logical at 2M rows): merge cost is per
+        # BYTE COPIED, and narrow 3-column rows at 2M are
+        # fixed-overhead-bound on 32 cores — both variants would clock
+        # ~4s and the comparison would show nothing. The
+        # poorly-compressible payload makes the carried-copy economics
+        # visible: the full rewrite must read, join and rewrite all of
+        # it; the pruned variant only the 1–2 affected files.
+        payload = F.concat(
+            *[
+                F.sha2(F.concat(F.col("id").cast("string"), F.lit(str(i))), 256)
+                for i in range(6)
+            ]
+        )
         merge_target = spark.range(n_docs).select(
             F.col("id").alias("k"),
             (F.col("id") % 64).cast("string").alias("seg"),
             (F.col("id") % 9973).cast("double").alias("bal"),
+            payload.alias("payload"),
         )
         for variant in ("full", "pruned"):
             merge_target.repartitionByRange(64, "k").write.parquet(
                 f"{merge_work}/{variant}/curated/crm/accounts"
             )
 
+    merge_reports: dict[str, dict] = {}
+
     def _merge_stress(variant: str):
         lake = f"{merge_work}/{variant}"
+        route = f"{lake}/curated/crm/accounts"
+        # snapshot the route's physical files: bytes present AFTER the
+        # merge in files that did not exist BEFORE it = bytes the merge
+        # actually wrote into the route — the direct "cost ∝ touched
+        # data" witness (wall time carries multi-job overhead for both)
+        before_files = {
+            f: os.path.getsize(os.path.join(route, f))
+            for f in os.listdir(route)
+            if f.startswith("part-")
+        }
         upd = spark.range(int(n_docs * 0.99), n_docs).select(
             F.col("id").alias("k"),
             F.lit("cdc").alias("seg"),
@@ -435,6 +462,13 @@ def main() -> int:
                 src, ["k"], mcfg, **kwargs,
             )
             rep = {"rows_before": b, "rows_after": a}
+        rewritten = sum(
+            os.path.getsize(os.path.join(route, f))
+            for f in os.listdir(route)
+            if f.startswith("part-") and f not in before_files
+        )
+        rep["mb_rewritten"] = round(rewritten / 1e6)
+        merge_reports[variant] = dict(rep)
         print(f"  merge[{variant}]: {rep}", flush=True)
         return spark.createDataFrame([{k2: int(v) for k2, v in rep.items()}])
 
@@ -571,19 +605,28 @@ def main() -> int:
         "",
         "The merge tiers (r9) run the SAME ~1% tail-of-keyspace CDC batch",
         "(updates + conditional deletes + inserts) against two identical",
-        "range-clustered 64-file targets. merge_full_rewrite pays the",
-        "carried-copy economics: every row of the route flows through the",
-        "full-outer join and is rewritten. merge_pruned's PLAN step",
-        "(min/max range pre-filter + broadcast semi-join on",
-        "input_file_name) confines the join and the rewrite to the 1–2",
-        "files actually holding CDC keys, plus one insert file — its wall",
-        "is bounded by touched data, the property that keeps a small CDC",
-        "merge a bounded maintenance action on a 100 TB route. Both",
-        "builders are eager lake lifecycles, so their wall times are the",
-        "measurement and the shuffle column (auditing only the 1-row",
-        "report plan) reads ~0 by construction; the per-run report line",
-        "above the table carries files_rewritten/files_total and the",
-        "per-clause row counts.",
+        "range-clustered 64-file targets whose rows carry a ~192-char",
+        "high-entropy payload (~400 MB at 2M rows — merge cost is per",
+        "byte COPIED; narrow rows would leave both variants",
+        "fixed-overhead-bound and show nothing). merge_full_rewrite pays",
+        "the carried-copy economics: every byte of the route flows",
+        "through the full-outer join and is rewritten. merge_pruned's",
+        "PLAN step (min/max range pre-filter pushed to parquet footers +",
+        "broadcast semi-join on input_file_name) confines the join and",
+        "the rewrite to the 1–2 files actually holding CDC keys, plus",
+        "inserts — its wall is bounded by touched data, the property that",
+        "keeps a small CDC merge a bounded maintenance action on a 100 TB",
+        "route. Both builders are eager lake lifecycles, so their wall",
+        "times are the measurement and the shuffle column (auditing only",
+        "the 1-row report plan) reads ~0 by construction. The decisive",
+        "witness is bytes PHYSICALLY WRITTEN into the route (new part",
+        "files' sizes, measured off the filesystem):",
+        "",
+    ] + [
+        f"- merge[{v}]: {merge_reports[v]}"
+        for v in ("full", "pruned")
+        if v in merge_reports
+    ] + [
         "",
     ]
     if name_filter:
