@@ -595,6 +595,8 @@ def _validate_merge_clauses(
     matched_update: dict[str, str] | None,
     matched_update_condition: str | None,
     evolve_schema: bool,
+    not_matched_condition: str | None = None,
+    insert_when_not_matched: bool = True,
 ) -> list[str]:
     """Shared MERGE clause validation (full and file-pruned variants).
     Returns the evolved (source-only, schema-unioned) column list —
@@ -614,6 +616,11 @@ def _validate_merge_clauses(
         raise ValueError(
             "matched_update_condition without matched_update has no "
             "effect — pass the SET map or drop the condition"
+        )
+    if not_matched_condition and not insert_when_not_matched:
+        raise ValueError(
+            "not_matched_condition without insert_when_not_matched has no "
+            "effect — enable the insert clause or drop the condition"
         )
     # presence markers must not shadow a real column (they drive every
     # clause decision; a user column of the same name would corrupt the
@@ -672,6 +679,7 @@ def _merge_frames(
     insert_when_not_matched: bool,
     evolved: list[str],
     counts=None,
+    not_matched_condition: str | None = None,
 ) -> DataFrame:
     """The MERGE relation itself: ONE full-outer join of target and
     source on the keys, then a per-column CASE projection — merge
@@ -706,7 +714,18 @@ def _merge_frames(
     )
     del_flag = matched & del_cond
     upd_flag = (matched & ~del_cond & upd_cond) if matched_update else F.lit(False)
-    ins_flag = (~t_here & s_here) if insert_when_not_matched else F.lit(False)
+    # WHEN NOT MATCHED [AND not_matched_condition] THEN INSERT — same
+    # ANSI NULL-means-not-satisfied coalesce as the matched conditions;
+    # an unmatched source row failing (or NULLing) the condition is
+    # simply dropped, never inserted
+    ins_cond = (
+        F.coalesce(F.expr(not_matched_condition), F.lit(False))
+        if not_matched_condition
+        else F.lit(True)
+    )
+    ins_flag = (
+        (~t_here & s_here & ins_cond) if insert_when_not_matched else F.lit(False)
+    )
     if counts is not None:
         one = F.lit(1)
         joined = joined.observe(
@@ -718,11 +737,10 @@ def _merge_frames(
                 F.when(t_here & ~del_flag & ~upd_flag, one).otherwise(0)
             ).alias("carried"),
         )
-    keep = ~del_flag
-    if insert_when_not_matched:
-        keep = keep & (t_here | s_here)  # full-outer tautology, kept explicit
-    else:
-        keep = keep & t_here
+    # a target row survives unless deleted; a source-only row survives
+    # only when its insert clause fires (unconditional inserts make this
+    # the old full-outer tautology)
+    keep = (t_here & ~del_flag) | ins_flag
     out_cols = []
     for c in target_cols + evolved:
         if c in key_cols:
@@ -769,6 +787,7 @@ def merge_lake_table(
     matched_update_condition: str | None = None,
     matched_delete_condition: str | None = None,
     insert_when_not_matched: bool = True,
+    not_matched_condition: str | None = None,
     evolve_schema: bool = False,
     meta_extra: dict | None = None,
 ) -> tuple[int, int]:
@@ -783,12 +802,16 @@ def merge_lake_table(
       ``t.col``; omitted columns keep their target value; ``None``
       update dict means matched rows are carried unchanged unless
       deleted)
-    - ``WHEN NOT MATCHED THEN INSERT`` (source row lands with the
-      TARGET schema; source columns missing from the target are
-      dropped — unless ``evolve_schema=True``, which unions source-only
-      columns into the rewritten schema, NULL-padded for carried target
-      rows, matching the lake's mergeSchema read contract — and target
-      columns missing from the source become NULL)
+    - ``WHEN NOT MATCHED [AND not_matched_condition] THEN INSERT``
+      (source row lands with the TARGET schema; source columns missing
+      from the target are dropped — unless ``evolve_schema=True``, which
+      unions source-only columns into the rewritten schema, NULL-padded
+      for carried target rows, matching the lake's mergeSchema read
+      contract — and target columns missing from the source become
+      NULL). An unmatched source row failing — or NULLing — the
+      condition is dropped, never inserted: the ANSI shape a CDC apply
+      needs so a delete tombstone for an absent key no-ops instead of
+      inserting the tombstone.
 
     Clause precedence follows ANSI clause order as declared: a matched
     row is tested against the DELETE condition first, then the UPDATE
@@ -854,6 +877,7 @@ def merge_lake_table(
     evolved = _validate_merge_clauses(
         existing.columns, source.columns, key_cols,
         matched_update, matched_update_condition, evolve_schema,
+        not_matched_condition, insert_when_not_matched,
     )
 
     # Pin the source before it is executed twice (cardinality probe +
@@ -880,6 +904,7 @@ def merge_lake_table(
         source, key_cols,
         matched_update, matched_update_condition, matched_delete_condition,
         insert_when_not_matched, evolved,
+        not_matched_condition=not_matched_condition,
     )
 
     w = merged.write.mode("overwrite").option("maxRecordsPerFile", cfg.max_batch_size)
@@ -958,6 +983,7 @@ def merge_lake_table_pruned(
     matched_update_condition: str | None = None,
     matched_delete_condition: str | None = None,
     insert_when_not_matched: bool = True,
+    not_matched_condition: str | None = None,
     evolve_schema: bool = False,
 ) -> dict:
     """File-pruned ANSI MERGE: clause semantics identical to
@@ -1063,6 +1089,7 @@ def merge_lake_table_pruned(
     evolved = _validate_merge_clauses(
         target_all.columns, source.columns, key_cols,
         matched_update, matched_update_condition, evolve_schema,
+        not_matched_condition, insert_when_not_matched,
     )
 
     # pin once; the source feeds the range probe, the PLAN collect and
@@ -1137,6 +1164,7 @@ def merge_lake_table_pruned(
         slice_df, source, key_cols,
         matched_update, matched_update_condition, matched_delete_condition,
         insert_when_not_matched, evolved, counts=counts,
+        not_matched_condition=not_matched_condition,
     )
 
     stage_name = f".merge-stage-{_uuid.uuid4().hex}"

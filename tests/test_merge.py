@@ -398,3 +398,40 @@ def test_merge_update_of_unknown_column_still_rejected(spark, tmp_path):
             spark, lake, *ROUTE, src, ["k"], cfg,
             matched_update={"region": "s.region"},
         )
+
+
+def test_merge_not_matched_condition_gates_insert(spark, tmp_path):
+    """WHEN NOT MATCHED AND <condition> THEN INSERT: unmatched source
+    rows failing — or NULLing (ANSI: NULL means not satisfied) — the
+    condition are dropped, never inserted; matched rows are unaffected
+    by the insert condition."""
+    lake, cfg = _seed(spark, tmp_path, [(1, "A", 10.0)])
+    src = spark.createDataFrame(
+        # 1 matched → update regardless of insert condition;
+        # 8 unmatched, op='u' → inserts; 9 unmatched, op='d' (a CDC
+        # tombstone for an absent key) → dropped; 10 unmatched, op NULL
+        # → condition is NULL → dropped
+        [(1, "A2", 1.0, "u"), (8, "N", 8.0, "u"), (9, "X", 9.0, "d"),
+         (10, "Y", 2.0, None)],
+        "k long, seg string, bal double, op string",
+    )
+    before, after = merge_lake_table(
+        spark, lake, *ROUTE, src, ["k"], cfg,
+        matched_update={"seg": "s.seg", "bal": "s.bal"},
+        not_matched_condition="s.op <> 'd'",
+    )
+    assert (before, after) == (1, 2)
+    assert _read(spark, lake) == {1: ("A2", 1.0), 8: ("N", 8.0)}
+
+
+def test_merge_not_matched_condition_requires_insert(spark, tmp_path):
+    """A not_matched_condition with the insert clause disabled can never
+    fire — reject it as a caller error instead of silently ignoring."""
+    lake, cfg = _seed(spark, tmp_path, [(1, "A", 1.0)])
+    src = spark.createDataFrame([(9, "N", 9.0)], "k long, seg string, bal double")
+    with pytest.raises(ValueError, match="no effect"):
+        merge_lake_table(
+            spark, lake, *ROUTE, src, ["k"], cfg,
+            insert_when_not_matched=False,
+            not_matched_condition="s.bal > 0",
+        )

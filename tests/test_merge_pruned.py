@@ -337,3 +337,25 @@ def test_pruned_heals_crashed_full_merge_swap(spark, tmp_path):
     assert report["rows_inserted"] == 1
     assert spark.read.parquet(route).count() == 51
     assert not os.path.exists(f"{route}.compact-old")
+
+
+def test_pruned_not_matched_condition(spark, tmp_path):
+    """Conditional insert through the PRUNED path: a CDC delete
+    tombstone for an absent key must no-op (not insert the tombstone),
+    while a passing unmatched row still inserts — including when the
+    source matches zero files (the empty-slice insert-only plan)."""
+    lake, route, cfg = _seed(spark, tmp_path, n=100, files=4)
+    src = spark.createDataFrame(
+        # all keys unmatched: 500 passes, 501 fails ('d'), 502 NULL cond
+        [(500, "N", 5.0, "u"), (501, "X", 6.0, "d"), (502, "Y", 7.0, None)],
+        "k long, seg string, bal double, op string",
+    )
+    report = merge_lake_table_pruned(
+        spark, lake, *ROUTE, src, ["k"], cfg,
+        not_matched_condition="s.op <> 'd'",
+    )
+    assert report["files_rewritten"] == 0
+    assert report["rows_inserted"] == 1
+    out = {r["k"] for r in spark.read.parquet(route).collect()}
+    assert 500 in out and 501 not in out and 502 not in out
+    assert len(out) == 101
