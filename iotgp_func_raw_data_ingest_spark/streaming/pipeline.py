@@ -226,6 +226,111 @@ def start_upsert_stream(
     return writer.start()
 
 
+def start_cdc_merge_stream(
+    changes_stream: DataFrame,
+    lake_path: str,
+    folder: str,
+    source_db: str,
+    table: str,
+    key_cols: list[str],
+    seq_col: str,
+    cfg: EngineConfig,
+    checkpoint_dir: str,
+    op_col: str = "op",
+    delete_op: str = "d",
+    set_cols: list[str] | None = None,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """Tombstone-aware CDC apply: each micro-batch of change rows
+    (Debezium-style — an ``op_col`` marking deletes, a monotone
+    ``seq_col`` ordering changes, the remaining columns carrying the
+    row's NEW values) is applied to one lake route via the file-pruned
+    three-clause merge (``sources.lake.merge_lake_table_pruned``):
+
+    - latest change per key within the batch wins (row_number over
+      ``seq_col`` descending — CDC feeds legitimately carry several
+      changes for one key per batch; ``start_upsert_stream``'s
+      arbitrary-winner dropDuplicates is wrong for them);
+    - ``op = delete_op``  → WHEN MATCHED THEN DELETE; for an ABSENT key
+      the tombstone no-ops via the insert clause's condition
+      (``WHEN NOT MATCHED AND s.op <> delete_op THEN INSERT``) instead
+      of inserting the tombstone row;
+    - any other op (create/update/snapshot-read) → upsert: WHEN MATCHED
+      THEN UPDATE SET col = s.col for every data column, WHEN NOT
+      MATCHED THEN INSERT.
+
+    The op/seq columns never land in the target: inserts take the
+    TARGET schema (source-only columns are dropped) and the update SET
+    map covers only data columns — ``set_cols`` if given, else every
+    source column that is not a key / op / seq column (which must then
+    all exist in the target; pass ``set_cols`` explicitly when the feed
+    carries extra metadata columns).
+
+    Idempotence: the committed-batch ledger (as in the ingest/upsert
+    streams) makes at-least-once foreachBatch effectively-once outside
+    the crash-between-commit-and-marker window. Cross-batch ordering is
+    the stream's arrival order — correct for a CDC log replayed in
+    offset order, where ``seq_col`` is monotone with arrival.
+
+    Scale: per batch, cost ∝ TOUCHED files (the pruned merge's PLAN/
+    STAGE/COMMIT protocol), not route size — a small CDC batch against
+    a 100 TB route stays a bounded maintenance action; the intra-batch
+    collapse is one window function over the (small) batch.
+
+    Reference parity: engine-added (SURVEY §2.6); the reference's only
+    write is append-style (src/function_app.py:239-264).
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    # op_col/delete_op are spliced into merge clause expressions — keep
+    # them out of SQL-injection territory at construction time
+    if "'" in delete_op:
+        raise ValueError("delete_op must not contain a single quote")
+    if not op_col.isidentifier():
+        raise ValueError(f"op_col must be a plain identifier, got {op_col!r}")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        from iotgp_func_raw_data_ingest_spark.sources.lake import (
+            merge_lake_table_pruned,
+        )
+
+        spark = batch_df.sparkSession
+        if batch_committed(spark, checkpoint_dir, batch_id):
+            return
+        missing = [c for c in (*key_cols, op_col, seq_col) if c not in batch_df.columns]
+        if missing:
+            raise ValueError(f"CDC stream is missing columns: {missing}")
+        w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        data_cols = set_cols or [
+            c
+            for c in batch_df.columns
+            if c not in key_cols and c not in (op_col, seq_col)
+        ]
+        merge_lake_table_pruned(
+            spark, lake_path, folder, source_db, table, latest, key_cols, cfg,
+            matched_update={c: f"s.{c}" for c in data_cols},
+            matched_delete_condition=f"s.{op_col} = '{delete_op}'",
+            not_matched_condition=f"s.{op_col} <> '{delete_op}'",
+        )
+        mark_batch_committed(spark, checkpoint_dir, batch_id)
+
+    writer = changes_stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_rollup_stream(
     events_stream: DataFrame,
     lake_path: str,

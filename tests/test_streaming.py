@@ -308,3 +308,97 @@ def test_stream_dedup_within_watermark_drops_redelivery(spark, tmp_path):
     assert sorted((r["k"], r["payload"]) for r in out) == [
         (1, "a"), (2, "b"), (3, "c"),
     ]
+
+
+def test_streaming_cdc_merge_applies_tombstones(spark, tmp_path):
+    """start_cdc_merge_stream: tombstone-aware CDC apply through the
+    file-pruned merge — latest-per-key-by-seq within a batch, matched
+    deletes, upserts for any non-delete op, and a tombstone for an
+    ABSENT key no-ops instead of inserting the tombstone row. Two
+    micro-batches (maxFilesPerTrigger=1, pinned order) pin the
+    cross-batch sequencing; op/seq columns never land in the target."""
+    from iotgp_func_raw_data_ingest_spark.sources.lake import (
+        read_lake_table,
+        upsert_lake_table,
+    )
+    from iotgp_func_raw_data_ingest_spark.streaming.pipeline import (
+        start_cdc_merge_stream,
+    )
+
+    cfg = EngineConfig(max_batch_size=1000)
+    lake = str(tmp_path / "lake")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["id", "name", "v"]
+    )
+    upsert_lake_table(spark, lake, "f", "db", "t", base, ["id"], cfg)
+
+    src = tmp_path / "changes"
+    src.mkdir()
+    import json as _json
+    import os as _os
+
+    # batch 0: update 1 twice (seq 5 wins), delete 2, tombstone for
+    # absent 9 (must no-op), insert 4
+    b0 = [
+        {"id": 1, "name": "A0", "v": 11, "op": "u", "seq": 4},
+        {"id": 1, "name": "A1", "v": 12, "op": "u", "seq": 5},
+        {"id": 2, "name": None, "v": None, "op": "d", "seq": 6},
+        {"id": 9, "name": None, "v": None, "op": "d", "seq": 7},
+        {"id": 4, "name": "dd", "v": 40, "op": "c", "seq": 8},
+    ]
+    # batch 1 (applied after): re-update 1, insert-then-delete 5
+    b1 = [
+        {"id": 1, "name": "A2", "v": 13, "op": "u", "seq": 9},
+        {"id": 5, "name": "e", "v": 50, "op": "c", "seq": 10},
+        {"id": 5, "name": None, "v": None, "op": "d", "seq": 11},
+    ]
+    for i, batch in enumerate((b0, b1)):
+        p = src / f"b{i}.json"
+        p.write_text("\n".join(_json.dumps(r) for r in batch) + "\n")
+        _os.utime(p, (1_700_000_000 + i * 10,) * 2)
+
+    changes = (
+        spark.readStream.schema("id long, name string, v long, op string, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = start_cdc_merge_stream(
+        changes, lake, "f", "db", "t", ["id"], "seq", cfg, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    out = read_lake_table(spark, lake, "f", "db", "t")
+    assert set(out.columns) == {"id", "name", "v"}  # op/seq never land
+    got = {r.id: (r.name, r.v) for r in out.collect()}
+    assert got == {
+        1: ("A2", 13),  # batch-0 collapse (A1 over A0), then batch-1 re-update
+        3: ("c", 30),   # untouched
+        4: ("dd", 40),  # inserted
+        # 2 deleted; 9 tombstone no-op; 5 insert-then-delete collapses away
+    }
+
+
+def test_streaming_cdc_merge_rejects_bad_ops(spark, tmp_path):
+    """op_col/delete_op are spliced into clause expressions — constructor
+    rejects injection-shaped values before any batch runs."""
+    import pytest
+
+    from iotgp_func_raw_data_ingest_spark.streaming.pipeline import (
+        start_cdc_merge_stream,
+    )
+
+    cfg = EngineConfig(max_batch_size=1000)
+    (tmp_path / "never-read").mkdir()
+    changes = spark.readStream.schema("id long, op string, seq long").json(
+        str(tmp_path / "never-read")
+    )
+    with pytest.raises(ValueError, match="single quote"):
+        start_cdc_merge_stream(
+            changes, str(tmp_path / "lake"), "f", "db", "t", ["id"], "seq",
+            cfg, str(tmp_path / "ckpt"), delete_op="d' OR '1'='1",
+        )
+    with pytest.raises(ValueError, match="identifier"):
+        start_cdc_merge_stream(
+            changes, str(tmp_path / "lake"), "f", "db", "t", ["id"], "seq",
+            cfg, str(tmp_path / "ckpt"), op_col="op; drop",
+        )
