@@ -431,6 +431,10 @@ def compact_lake_table(
 
     jvm, hpath, fs = _hadoop_fs(spark, path)
     tmp, old, tmp_p, old_p = _recover_swap(jvm, fs, hpath, path)
+    # a READY staged replace (crashed keyed delete / pruned merge) must
+    # land BEFORE the whole-route rewrite reads the doomed originals —
+    # the swap would otherwise discard the stage's intent entirely
+    heal_staged_replaces(spark, path)
 
     files_before = sum(
         1 for f in fs.listStatus(hpath) if f.getPath().getName().startswith("part-")
@@ -526,6 +530,10 @@ def upsert_lake_table(
     path = f"{lake_path.rstrip('/')}/{folder}/{source_db}/{table}"
     jvm, hpath, fs = _hadoop_fs(spark, path)
     tmp, old, tmp_p, old_p = _recover_swap(jvm, fs, hpath, path)
+    # complete any READY staged replace before reading the route (see
+    # heal_staged_replaces — a whole-route rewrite over doomed originals
+    # would resurrect deleted keys / drop a crashed merge's output)
+    heal_staged_replaces(spark, path)
 
     # Last-write-wins must hold WITHIN a batch too: duplicate keys inside
     # one ``updates`` frame collapse to a single (arbitrary, since rows
@@ -872,6 +880,10 @@ def merge_lake_table(
             f"merge_lake_table: target route {path} does not exist — "
             "MERGE requires an existing target (write it first)"
         )
+    # complete any READY staged replace before reading the route (see
+    # heal_staged_replaces — the full-route swap would otherwise discard
+    # a crashed keyed delete's / pruned merge's committed intent)
+    heal_staged_replaces(spark, path)
 
     existing = read_lake_table(spark, lake_path, folder, source_db, table, fmt=fmt)
     evolved = _validate_merge_clauses(
@@ -953,20 +965,69 @@ def _finish_staged_replace(spark: SparkSession, table_path: str, stage_name: str
     finally:
         stream.close()
     affected = _json.loads(raw.decode("utf-8"))["affected"]
+    # every step below CHECKS its FS return and raises instead of
+    # continuing: once the originals start dying, the staged files are
+    # the only copy of their rows — silently dropping the stage (or one
+    # file of it) on a failed rename would be permanent data loss. A
+    # raise leaves the READY stage in place, so the next invocation
+    # (or validate_lake) retries the finish idempotently.
     for name in affected:
         p = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{name}")
-        if fs.exists(p):
-            fs.delete(p, False)
+        if fs.exists(p) and not fs.delete(p, False):
+            raise IOError(
+                f"staged replace: could not delete original {name} in "
+                f"{table_path} — stage left in place for retry"
+            )
     moved = 0
     for s in fs.listStatus(stage_p):
         name = s.getPath().getName()
         if name.startswith("part-"):
-            fs.rename(
+            if not fs.rename(
                 s.getPath(), jvm.org.apache.hadoop.fs.Path(f"{table_path}/{name}")
-            )
+            ):
+                raise IOError(
+                    f"staged replace: could not move {name} into "
+                    f"{table_path} — stage left in place for retry"
+                )
             moved += 1
     fs.delete(stage_p, True)
     return moved
+
+
+# Every staged-replace writer's stage-dir prefix. Healing must be
+# CROSS-KIND: a READY .delete-stage- left by a crashed keyed delete and
+# a READY .merge-stage- left by a crashed pruned merge are the same
+# protocol (manifest + _ready + staged part files), and a writer that
+# heals only its own kind would plan against doomed originals — the
+# next healer of the OTHER kind would then move the stale staged copies
+# in over the new output (duplicated survivors, resurrected deletes).
+_STAGE_PREFIXES = (".merge-stage-", ".delete-stage-")
+
+
+def heal_staged_replaces(spark: SparkSession, table_path: str) -> int:
+    """Heal every pending staged file-replacement in a route/table dir:
+    complete READY stages (crashed after their ``_ready`` marker, before
+    or mid commit) via ``_finish_staged_replace``; clear aborted
+    (unready) ones. Idempotent; no-op on a missing dir. Called by every
+    staged writer (keyed delete, pruned merge) AND every whole-route
+    rewriter (compaction, upsert, full merge) before they plan against
+    the route — a whole-route swap that ignored a READY stage would
+    silently discard its intent (e.g. resurrect deleted keys). Returns
+    the number of READY stages completed."""
+    jvm, hpath, fs = _hadoop_fs(spark, table_path)
+    if not fs.exists(hpath):
+        return 0
+    healed = 0
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(_STAGE_PREFIXES):
+            ready = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{name}/_ready")
+            if fs.exists(ready):
+                _finish_staged_replace(spark, table_path, name)
+                healed += 1
+            else:
+                fs.delete(st.getPath(), True)
+    return healed
 
 
 def merge_lake_table_pruned(
@@ -1064,15 +1125,9 @@ def merge_lake_table_pruned(
             f"merge_lake_table_pruned: target route {path} does not exist — "
             "MERGE requires an existing target (write it first)"
         )
-    # heal a crashed commit (ready stage) / clear an aborted stage write
-    for st in fs.listStatus(hpath):
-        name = st.getPath().getName()
-        if st.isDirectory() and name.startswith(".merge-stage-"):
-            ready = jvm.org.apache.hadoop.fs.Path(f"{path}/{name}/_ready")
-            if fs.exists(ready):
-                _finish_staged_replace(spark, path, name)
-            else:
-                fs.delete(st.getPath(), True)
+    # heal crashed commits (ready stages, OURS OR the keyed delete's) /
+    # clear aborted stage writes — cross-kind, see heal_staged_replaces
+    heal_staged_replaces(spark, path)
 
     files_total = sum(
         1
@@ -1080,12 +1135,7 @@ def merge_lake_table_pruned(
         if st.getPath().getName().startswith("part-")
     )
 
-    r = spark.read
-    if fmt == "parquet":
-        r = r.option("mergeSchema", "true")
-    if fmt == "csv":
-        r = r.option("header", "true")
-    target_all = r.format(fmt).load(path)
+    target_all = read_lake_table(spark, lake_path, folder, source_db, table, fmt=fmt)
     evolved = _validate_merge_clauses(
         target_all.columns, source.columns, key_cols,
         matched_update, matched_update_condition, evolve_schema,

@@ -409,17 +409,15 @@ def delete_keys_from_table(
     _check_format(fmt)
     jvm, hpath, fs = _hadoop_fs(spark, table_path)
 
-    # heal a crashed commit (ready stage) / clear an aborted stage write
-    for s in fs.listStatus(hpath):
-        name = s.getPath().getName()
-        if s.isDirectory() and name.startswith(".delete-stage-"):
-            ready = jvm.org.apache.hadoop.fs.Path(
-                f"{table_path}/{name}/_ready"
-            )
-            if fs.exists(ready):
-                _finish_keyed_delete(spark, table_path, name)
-            else:
-                fs.delete(s.getPath(), True)
+    # heal crashed commits (ready stages, OURS OR the pruned merge's) /
+    # clear aborted stage writes — cross-kind: planning against a READY
+    # stage's doomed originals would double-apply once the other
+    # writer's healer ran (see lake.heal_staged_replaces)
+    from iotgp_func_raw_data_ingest_spark.sources.lake import (
+        heal_staged_replaces,
+    )
+
+    heal_staged_replaces(spark, table_path)
 
     files_total = sum(
         1 for s in fs.listStatus(hpath)

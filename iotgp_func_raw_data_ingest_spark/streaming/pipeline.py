@@ -313,9 +313,17 @@ def start_cdc_merge_stream(
             for c in batch_df.columns
             if c not in key_cols and c not in (op_col, seq_col)
         ]
+        bad_names = [c for c in data_cols if "`" in c]
+        if bad_names:
+            raise ValueError(
+                f"CDC data columns must not contain backticks: {bad_names}"
+            )
         merge_lake_table_pruned(
             spark, lake_path, folder, source_db, table, latest, key_cols, cfg,
-            matched_update={c: f"s.{c}" for c in data_cols},
+            # backtick-quote: feed schemas carry legal-but-non-identifier
+            # names ('first name', 'bal-ance') that would otherwise parse
+            # as expressions inside the SET map
+            matched_update={c: f"s.`{c}`" for c in data_cols},
             matched_delete_condition=f"s.{op_col} = '{delete_op}'",
             not_matched_condition=f"s.{op_col} <> '{delete_op}'",
         )

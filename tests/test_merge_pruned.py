@@ -359,3 +359,78 @@ def test_pruned_not_matched_condition(spark, tmp_path):
     out = {r["k"] for r in spark.read.parquet(route).collect()}
     assert 500 in out and 501 not in out and 502 not in out
     assert len(out) == 101
+
+
+def test_cross_kind_stage_healing(spark, tmp_path):
+    """A READY .delete-stage- left by a crashed keyed delete must be
+    completed by the NEXT writer of ANY kind before it plans — a pruned
+    merge that ignored it would read the doomed originals and the
+    delete's next healer would then move stale staged copies in over
+    the merge output (duplicated survivors, resurrected deletes). Same
+    for a whole-route rewriter (upsert), whose swap would silently
+    discard the stage's intent entirely."""
+    lake, route, cfg = _seed(spark, tmp_path, n=200, files=4)
+    victim = sorted(f for f in os.listdir(route) if f.startswith("part-"))[0]
+    victim_df = spark.read.parquet(f"{route}/{victim}")
+    dead_keys = {r["k"] for r in victim_df.limit(3).collect()}
+    survivors = victim_df.filter(~F.col("k").isin(*dead_keys))
+    stage = f"{route}/.delete-stage-crashed"
+    survivors.coalesce(1).write.parquet(stage)
+    with open(f"{stage}/_manifest.json", "w") as fh:
+        json.dump({"affected": [victim]}, fh)
+    open(f"{stage}/_ready", "w").close()
+
+    src = spark.createDataFrame([(9_300, "N", 1.0)], "k long, seg string, bal double")
+    merge_lake_table_pruned(spark, lake, *ROUTE, src, ["k"], cfg)
+    out = {r["k"] for r in spark.read.parquet(route).collect()}
+    assert not (dead_keys & out)          # the crashed delete landed first
+    assert 9_300 in out
+    assert out == set(range(200)) - dead_keys | {9_300}
+    assert not os.path.exists(stage)
+
+    # whole-route rewriter: upsert over a pending READY merge stage
+    victim2 = sorted(f for f in os.listdir(route) if f.startswith("part-"))[0]
+    v2 = spark.read.parquet(f"{route}/{victim2}")
+    n_v2 = v2.count()
+    stage2 = f"{route}/.merge-stage-crashed"
+    v2.withColumn("seg", F.lit("HEALED")).coalesce(1).write.parquet(stage2)
+    with open(f"{stage2}/_manifest.json", "w") as fh:
+        json.dump({"affected": [victim2]}, fh)
+    open(f"{stage2}/_ready", "w").close()
+    from iotgp_func_raw_data_ingest_spark.sources.lake import upsert_lake_table
+
+    upsert_lake_table(
+        spark, lake, *ROUTE,
+        spark.createDataFrame([(9_400, "U", 2.0)], "k long, seg string, bal double"),
+        ["k"], cfg,
+    )
+    got = spark.read.parquet(route)
+    assert got.filter(F.col("seg") == "HEALED").count() == n_v2
+    assert got.filter(F.col("k") == 9_400).count() == 1
+    assert not os.path.exists(stage2)
+
+
+def test_finish_staged_replace_raises_on_failed_rename(spark, tmp_path):
+    """Once the COMMIT step starts deleting originals, the staged files
+    are the only copy of their rows: a failed rename must RAISE and
+    leave the READY stage in place for an idempotent retry — silently
+    continuing and dropping the stage would be permanent data loss."""
+    lake, route, cfg = _seed(spark, tmp_path, n=100, files=2)
+    files = sorted(f for f in os.listdir(route) if f.startswith("part-"))
+    victim, blocker = files[0], files[1]
+    stage = f"{route}/.merge-stage-collide"
+    os.makedirs(stage)
+    # staged part file whose name collides with a LIVE route file that
+    # is NOT in the manifest — local FS rename onto an existing path
+    # returns false, modeling a transient FS failure mid-commit
+    import shutil as _shutil
+
+    _shutil.copy(f"{route}/{victim}", f"{stage}/{blocker}")
+    with open(f"{stage}/_manifest.json", "w") as fh:
+        json.dump({"affected": [victim]}, fh)
+    open(f"{stage}/_ready", "w").close()
+    with pytest.raises(IOError, match="stage left in place"):
+        _finish_staged_replace(spark, route, ".merge-stage-collide")
+    # the stage survives for retry; the staged copy was not destroyed
+    assert os.path.exists(f"{stage}/{blocker}")
+    assert os.path.exists(f"{stage}/_ready")

@@ -402,3 +402,40 @@ def test_streaming_cdc_merge_rejects_bad_ops(spark, tmp_path):
             changes, str(tmp_path / "lake"), "f", "db", "t", ["id"], "seq",
             cfg, str(tmp_path / "ckpt"), op_col="op; drop",
         )
+
+
+def test_streaming_cdc_merge_nonidentifier_columns(spark, tmp_path):
+    """Feed schemas carry legal-but-non-identifier column names
+    ('bal-ance'): the SET map must backtick-quote them — unquoted,
+    s.bal-ance parses as a subtraction and the batch dies (or silently
+    computes garbage). Backticked names themselves are rejected."""
+    from iotgp_func_raw_data_ingest_spark.sources.lake import (
+        read_lake_table,
+        upsert_lake_table,
+    )
+    from iotgp_func_raw_data_ingest_spark.streaming.pipeline import (
+        start_cdc_merge_stream,
+    )
+
+    cfg = EngineConfig(max_batch_size=1000)
+    lake = str(tmp_path / "lake")
+    base = spark.createDataFrame([(1, 10), (2, 20)], ["id", "bal-ance"])
+    upsert_lake_table(spark, lake, "f", "db", "t", base, ["id"], cfg)
+
+    src = tmp_path / "changes"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        '{"id": 1, "bal-ance": 99, "op": "u", "seq": 1}\n'
+    )
+    changes = spark.readStream.schema(
+        "id long, `bal-ance` long, op string, seq long"
+    ).json(str(src))
+    q = start_cdc_merge_stream(
+        changes, lake, "f", "db", "t", ["id"], "seq", cfg, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    got = {
+        r["id"]: r["bal-ance"]
+        for r in read_lake_table(spark, lake, "f", "db", "t").collect()
+    }
+    assert got == {1: 99, 2: 20}

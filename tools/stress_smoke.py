@@ -394,7 +394,14 @@ def main() -> int:
     )
 
     merge_work = os.path.join("/tmp", f"stress_merge_{n_docs}")
-    if not name_filter or "merge" in name_filter:
+    # setup gate must mirror the run loop's `name_filter in name` test —
+    # a filter like "pruned" runs a merge tier, so it must also seed the
+    # targets ("merge" in name_filter would skip them and crash the tier)
+    _merge_tier_names = (
+        "merge_full_rewrite(1% CDC batch)",
+        "merge_pruned(1% CDC batch)",
+    )
+    if not name_filter or any(name_filter in n for n in _merge_tier_names):
         _shutil.rmtree(merge_work, ignore_errors=True)
         # Rows carry a ~384-char high-entropy payload (six salted sha2
         # hex digests, ~800 MB logical at 2M rows): merge cost is per
@@ -605,8 +612,8 @@ def main() -> int:
         "",
         "The merge tiers (r9) run the SAME ~1% tail-of-keyspace CDC batch",
         "(updates + conditional deletes + inserts) against two identical",
-        "range-clustered 64-file targets whose rows carry a ~192-char",
-        "high-entropy payload (~400 MB at 2M rows — merge cost is per",
+        "range-clustered 64-file targets whose rows carry a ~384-char",
+        "high-entropy payload (~800 MB at 2M rows — merge cost is per",
         "byte COPIED; narrow rows would leave both variants",
         "fixed-overhead-bound and show nothing). merge_full_rewrite pays",
         "the carried-copy economics: every byte of the route flows",
