@@ -400,6 +400,7 @@ def main() -> int:
     _merge_tier_names = (
         "merge_full_rewrite(1% CDC batch)",
         "merge_pruned(1% CDC batch)",
+        "cdc_apply_stream(3 micro-batches)",
     )
     if not name_filter or any(name_filter in n for n in _merge_tier_names):
         _shutil.rmtree(merge_work, ignore_errors=True)
@@ -423,7 +424,7 @@ def main() -> int:
             (F.col("id") % 9973).cast("double").alias("bal"),
             payload.alias("payload"),
         )
-        for variant in ("full", "pruned"):
+        for variant in ("full", "pruned", "cdc"):
             merge_target.repartitionByRange(64, "k").write.parquet(
                 f"{merge_work}/{variant}/curated/crm/accounts"
             )
@@ -479,10 +480,90 @@ def main() -> int:
         print(f"  merge[{variant}]: {rep}", flush=True)
         return spark.createDataFrame([{k2: int(v) for k2, v in rep.items()}])
 
+    def _cdc_stream_stress():
+        """The CONTINUOUS form of the pruned-merge tier: three
+        temporally-clustered CDC micro-batches (each a contiguous ~0.33%
+        key slice of the tail, plus inserts and absent-key tombstones)
+        applied through streaming.pipeline.start_cdc_merge_stream. The
+        witness is the same as merge_pruned's — total bytes physically
+        rewritten across all batches stays a small multiple of the
+        touched slice, never of the route — plus the per-batch overhead
+        being flat (each batch pays one PLAN scan + staged replace)."""
+        from iotgp_func_raw_data_ingest_spark.plans.streaming_queries2 import (
+            _write_ordered_tranches,
+        )
+        from iotgp_func_raw_data_ingest_spark.streaming.pipeline import (
+            start_cdc_merge_stream,
+        )
+
+        lake = f"{merge_work}/cdc"
+        route = f"{lake}/curated/crm/accounts"
+        before_files = {
+            f for f in os.listdir(route) if f.startswith("part-")
+        }
+        slice_w = n_docs // 300  # ~0.33% of keyspace per batch
+        tranches = []
+        for i in range(3):
+            lo = n_docs - (3 - i) * slice_w
+            upd = spark.range(lo, lo + slice_w).select(
+                F.col("id").alias("k"),
+                F.lit("cdc").alias("seg"),
+                (F.col("id") % 9973).cast("double").alias("bal"),
+                F.when(F.col("id") % 9973 > 9000, "d").otherwise("u").alias("op"),
+                (F.col("id") * 10 + i).alias("seq"),
+            )
+            ins = spark.range(
+                n_docs + i * (n_docs // 600), n_docs + (i + 1) * (n_docs // 600)
+            ).select(
+                F.col("id").alias("k"),
+                F.lit("ins").alias("seg"),
+                F.lit(2.0).alias("bal"),
+                F.lit("c").alias("op"),
+                (F.col("id") * 10 + i).alias("seq"),
+            )
+            tomb = spark.range(
+                3 * n_docs + i * 100, 3 * n_docs + i * 100 + 100
+            ).select(  # absent keys: must no-op, not insert tombstones
+                F.col("id").alias("k"),
+                F.lit(None).cast("string").alias("seg"),
+                F.lit(None).cast("double").alias("bal"),
+                F.lit("d").alias("op"),
+                (F.col("id") * 10 + i).alias("seq"),
+            )
+            tranches.append(upd.unionByName(ins).unionByName(tomb))
+        in_dir = f"{merge_work}/cdc_in"
+        _write_ordered_tranches(tranches, in_dir)
+        schema = tranches[0].schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        mcfg = EngineConfig(output_path=lake, max_batch_size=500_000)
+        q = start_cdc_merge_stream(
+            stream, lake, "curated", "crm", "accounts",
+            ["k"], "seq", mcfg, f"{merge_work}/cdc_ckpt",
+        )
+        q.awaitTermination()
+        rewritten = sum(
+            os.path.getsize(os.path.join(route, f))
+            for f in os.listdir(route)
+            if f.startswith("part-") and f not in before_files
+        )
+        rep = {
+            "batches": 3,
+            "mb_rewritten": round(rewritten / 1e6),
+            "rows_after": spark.read.parquet(route).count(),
+        }
+        merge_reports["cdc_stream"] = dict(rep)
+        print(f"  cdc_stream: {rep}", flush=True)
+        return spark.createDataFrame([{k2: int(v) for k2, v in rep.items()}])
+
     ops.update(
         {
             "merge_full_rewrite(1% CDC batch)": lambda: _merge_stress("full"),
             "merge_pruned(1% CDC batch)": lambda: _merge_stress("pruned"),
+            "cdc_apply_stream(3 micro-batches)": _cdc_stream_stress,
         }
     )
 
@@ -633,6 +714,23 @@ def main() -> int:
         f"- merge[{v}]: {merge_reports[v]}"
         for v in ("full", "pruned")
         if v in merge_reports
+    ] + [
+        "",
+        "cdc_apply_stream is the CONTINUOUS form of merge_pruned: three",
+        "temporally-clustered micro-batches (each a contiguous ~0.33% key",
+        "slice of the tail, plus inserts and 100 absent-key tombstones",
+        "that must no-op) applied through",
+        "streaming.pipeline.start_cdc_merge_stream over the same",
+        "range-clustered 64-file payload route. Its bytes-rewritten total",
+        "is the sum of three touched-slice replacements — bounded by CDC",
+        "locality per batch, never by route size — and the committed-batch",
+        "ledger plus per-batch PLAN/STAGE/COMMIT overhead is the flat",
+        "per-batch cost a steady trickle pays:",
+        "",
+    ] + [
+        f"- {k}: {merge_reports[k]}"
+        for k in ("cdc_stream",)
+        if k in merge_reports
     ] + [
         "",
     ]
