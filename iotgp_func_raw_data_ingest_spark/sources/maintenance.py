@@ -306,12 +306,18 @@ def validate_lake(spark: SparkSession, lake_path: str, fmt: str = "parquet") -> 
                 ]
                 # a crashed write_lake_typed leaves its dot-prefixed
                 # staging dir inside the route (invisible to readers,
-                # but the batch it staged never landed)
+                # but the batch it staged never landed); a crashed
+                # keyed delete / pruned merge leaves a .delete-stage- /
+                # .merge-stage- dir (READY ones are completed by the
+                # next maintenance writer via heal_staged_replaces —
+                # their presence here means one crashed)
                 stranded += [
                     s.getPath().getName()
                     for s in fs.listStatus(table_p)
                     if s.isDirectory()
-                    and s.getPath().getName().startswith(".stage-")
+                    and s.getPath().getName().startswith(
+                        (".stage-", ".merge-stage-", ".delete-stage-")
+                    )
                 ]
                 # a hard crash mid sidecar-swap leaves _meta.json.new;
                 # the batch it belongs to is fully on disk (the .new

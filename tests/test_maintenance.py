@@ -295,3 +295,22 @@ def test_approx_quantile_rollup_is_mergeable(spark, tmp_path):
         for r in full.collect()
     }
     assert got == full_got
+
+
+def test_validate_lake_flags_staged_replace_dirs(spark, tmp_path):
+    """A stranded .merge-stage- / .delete-stage- dir (crashed pruned
+    merge or keyed delete) must surface in the route's stranded list —
+    presence means a writer crashed, even though readers never see the
+    dot-dir and the next maintenance writer heals it."""
+    import os
+
+    from iotgp_func_raw_data_ingest_spark.sources.maintenance import validate_lake
+
+    lake = str(tmp_path / "lake")
+    route = f"{lake}/f/db/t"
+    spark.range(10).selectExpr("id AS k").write.parquet(route)
+    os.makedirs(f"{route}/.merge-stage-x")
+    os.makedirs(f"{route}/.delete-stage-y")
+    (rep,) = validate_lake(spark, lake)
+    assert ".merge-stage-x" in rep["stranded"]
+    assert ".delete-stage-y" in rep["stranded"]
