@@ -1,6 +1,6 @@
-"""Round-9 streaming tranche: the tombstone-aware CDC apply
-(``streaming.pipeline.start_cdc_merge_stream`` — the one streaming
-entry point added this round) gets a driver CORRECTNESS row.
+"""Round-9/10 streaming tranche: the tombstone-aware CDC apply
+(``streaming.pipeline.start_cdc_merge_stream``) under the driver
+CORRECTNESS gate.
 
 q230 is hash-gateable because the change feed is a pure function of the
 ``customer`` table and the apply is ORDER-INDEPENDENT by construction:
@@ -8,6 +8,17 @@ every change for a given key lands in the same micro-batch (tranche =
 key mod 3), so the final state is "latest change per key by seq"
 regardless of which batch arrives first — which is exactly what the
 DuckDB oracle reconstructs declaratively.
+
+q231 (round 10) drops that by-construction crutch: changes for ONE key
+are deliberately SPLIT across micro-batches in anti-chronological order
+(the newer change arrives in an EARLIER batch), and correctness comes
+from ``persist_seq=True`` — the route-persisted ``_seq`` column guards
+the matched clauses with ``s._seq > t._seq``, so stale updates and
+stale tombstones are carried instead of clobbering newer rows. The
+oracle is still the declarative latest-per-key-by-seq reconstruction;
+the feed is designed so no key hits the documented physical-delete
+resurrection window (a WINNING delete is always in the last batch — see
+``start_cdc_merge_stream``'s docstring for why that window exists).
 """
 
 from __future__ import annotations
@@ -185,6 +196,196 @@ def q230_cdc_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(
                     F.count(F.lit(1)).cast("bigint").alias("n"),
                     F.round(F.sum("bal"), 2).alias("sum_bal"),
+                )
+            )
+            return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q231_cdc_out_of_order",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(c_custkey AS BIGINT) AS k,
+               c_mktsegment AS seg,
+               ROUND(c_acctbal, 2) AS bal
+        FROM customer
+    ),
+    off AS (SELECT MAX(k) + 1 AS o FROM base),
+    changes AS (
+        SELECT k, 'N-' || seg AS seg, ROUND(bal + 5.5, 2) AS bal,
+               'u' AS op, k * 10 + 8 AS seq
+        FROM base WHERE k % 5 = 1
+        UNION ALL
+        SELECT k, 'O-' || seg, ROUND(bal + 1.25, 2), 'u', k * 10 + 3
+        FROM base WHERE k % 5 = 1
+        UNION ALL
+        SELECT k, 'K-' || seg, ROUND(bal + 2.75, 2), 'u', k * 10 + 7
+        FROM base WHERE k % 17 = 2
+        UNION ALL
+        SELECT k, NULL, NULL, 'd', k * 10 + 4 FROM base WHERE k % 17 = 2
+        UNION ALL
+        SELECT k, 'T-' || seg, ROUND(bal + 9.0, 2), 'u', k * 10 + 1
+        FROM base WHERE k % 13 = 4
+        UNION ALL
+        SELECT k, NULL, NULL, 'd', k * 10 + 9 FROM base WHERE k % 13 = 4
+        UNION ALL
+        SELECT k + o, 'INS', 44.0, 'c', (k + o) * 10 + 2
+        FROM base, off WHERE k % 11 = 3
+        UNION ALL
+        SELECT k + o, 'STALE', 1.0, 'u', (k + o) * 10 + 1
+        FROM base, off WHERE k % 11 = 3
+        UNION ALL
+        SELECT k + 2 * o, NULL, NULL, 'd', (k + 2 * o) * 10 + 5
+        FROM base, off WHERE k % 19 = 6
+    ),
+    latest AS (
+        SELECT k, seg, bal, op, seq FROM (
+            SELECT c.*, ROW_NUMBER() OVER (
+                PARTITION BY k ORDER BY seq DESC
+            ) AS rn
+            FROM changes c
+        ) WHERE rn = 1
+    ),
+    final AS (
+        SELECT b.k, b.seg, b.bal, CAST(NULL AS BIGINT) AS sq
+        FROM base b LEFT JOIN latest l ON b.k = l.k
+        WHERE l.k IS NULL                      -- untouched rows carried
+        UNION ALL
+        SELECT l.k, l.seg, l.bal, l.seq
+        FROM latest l WHERE l.op <> 'd'        -- latest-by-seq survivors
+    )
+    SELECT seg,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(bal), 2) AS sum_bal,
+           CAST(SUM(sq) AS BIGINT) AS sum_seq
+    FROM final GROUP BY seg
+    """,
+)
+def q231_cdc_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order CDC apply under ``persist_seq=True``
+    (``streaming.pipeline.start_cdc_merge_stream``): the change feed
+    splits each key's changes ACROSS micro-batches with the NEWER change
+    arriving in an EARLIER batch, so a seq-blind apply (q230's contract)
+    would end wrong — the persisted ``_seq`` guard must reject every
+    stale change for the final state to equal the declarative
+    latest-per-key-by-seq oracle.
+
+    Feed design (per base key k; re-key offset o = max(k)+1):
+
+    - k%5=1  — newer update seq k*10+8 in batch 0, STALE update seq
+      k*10+3 in batch 2 (must be carried: stale-update rejection);
+    - k%17=2 — newer update seq k*10+7 in batch 0, STALE tombstone seq
+      k*10+4 in batch 1 (must be carried: stale-tombstone rejection);
+    - k%13=4 — update seq k*10+1 in batch 0, WINNING delete seq k*10+9
+      in batch 2 (in-order delete still lands; winning deletes are
+      always in the LAST batch so the feed never crosses the documented
+      physical-delete resurrection window);
+    - k%11=3 — re-keyed INSERT seq (k+o)*10+2 in batch 0, STALE update
+      seq (k+o)*10+1 in batch 1 (insert records its seq; the guard then
+      rejects the stale update against the INSERTED row);
+    - k%19=6 — tombstone for the ABSENT key k+2o (no-ops via the
+      conditional insert clause, as in q230).
+
+    Overlapping classes compose to latest-by-seq because every class
+    uses a distinct seq suffix (no duplicate (key, seq) pairs — the
+    content-hash tiebreaker never engages, keeping the oracle exact).
+
+    What the hash pins beyond q230: the schema-evolved ``_seq`` column
+    itself (``sum_seq`` aggregates it — a guard that silently failed
+    OPEN would apply the stale seq and shift the sum; one that failed
+    CLOSED would miss the late id-class updates), stale-update and
+    stale-tombstone carries, and insert-seq recording. The drained
+    stream is restarted against its checkpoint (ledger idempotence),
+    as in q230.
+
+    100 TB shape: identical to q230 — per batch, the pruned merge's
+    PLAN/STAGE/COMMIT keeps cost ∝ touched files; the guard adds one
+    comparison per matched row inside the existing merge projection
+    (no new shuffle, no second pass); ``_seq`` adds 8 bytes/row of
+    route storage, the price of out-of-order safety.
+
+    Reference parity: engine-added (SURVEY §2.6); the reference has no
+    ordering semantics at all (at-least-once per-event,
+    src/function_app.py:302-310)."""
+    from iotgp_func_raw_data_ingest_spark.streaming.pipeline import (
+        start_cdc_merge_stream,
+    )
+
+    t = prep(spark, sf_dir)
+    cust = t["customer"].select(
+        F.col("c_custkey").cast("bigint").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round("c_acctbal", 2).alias("bal"),
+    )
+    work = tempfile.mkdtemp(prefix="q231_")
+    try:
+        with _few_shuffle_partitions(spark):
+            lake = f"{work}/lake"
+            cfg = EngineConfig(output_path=lake)
+            route = f"{lake}/curated/crm/customers"
+            cust.repartitionByRange(8, "k").write.parquet(route)
+
+            off = cust.agg((F.max("k") + 1).alias("o")).first()["o"]
+            k = F.col("k")
+            null_s = F.lit(None).cast("string")
+            null_d = F.lit(None).cast("double")
+
+            def _chg(filt, key, seg, bal, op, seq, batch):
+                return cust.filter(filt).select(
+                    key.alias("k"), seg.alias("seg"), bal.alias("bal"),
+                    F.lit(op).alias("op"), seq.alias("seq"),
+                    F.lit(batch).alias("b"),
+                )
+
+            changes = (
+                # newer-in-earlier-batch pairs (the out-of-order core)
+                _chg(k % 5 == 1, k, F.concat(F.lit("N-"), "seg"),
+                     F.round(F.col("bal") + 5.5, 2), "u", k * 10 + 8, 0)
+                .unionByName(_chg(k % 5 == 1, k, F.concat(F.lit("O-"), "seg"),
+                                  F.round(F.col("bal") + 1.25, 2), "u",
+                                  k * 10 + 3, 2))
+                .unionByName(_chg(k % 17 == 2, k, F.concat(F.lit("K-"), "seg"),
+                                  F.round(F.col("bal") + 2.75, 2), "u",
+                                  k * 10 + 7, 0))
+                .unionByName(_chg(k % 17 == 2, k, null_s, null_d, "d",
+                                  k * 10 + 4, 1))
+                .unionByName(_chg(k % 13 == 4, k, F.concat(F.lit("T-"), "seg"),
+                                  F.round(F.col("bal") + 9.0, 2), "u",
+                                  k * 10 + 1, 0))
+                .unionByName(_chg(k % 13 == 4, k, null_s, null_d, "d",
+                                  k * 10 + 9, 2))
+                .unionByName(_chg(k % 11 == 3, k + off, F.lit("INS"),
+                                  F.lit(44.0), "c", (k + off) * 10 + 2, 0))
+                .unionByName(_chg(k % 11 == 3, k + off, F.lit("STALE"),
+                                  F.lit(1.0), "u", (k + off) * 10 + 1, 1))
+                .unionByName(_chg(k % 19 == 6, k + 2 * off, null_s, null_d,
+                                  "d", (k + 2 * off) * 10 + 5, 1))
+            )
+            _write_ordered_tranches(
+                [changes.filter(F.col("b") == i).drop("b") for i in range(3)],
+                f"{work}/in",
+            )
+            feed_schema = changes.drop("b").schema
+            for _restart in range(2):  # 2nd: restart on a drained checkpoint
+                stream = (
+                    spark.readStream.schema(feed_schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(f"{work}/in")
+                )
+                q = start_cdc_merge_stream(
+                    stream, lake, "curated", "crm", "customers",
+                    ["k"], "seq", cfg, f"{work}/ckpt", persist_seq=True,
+                )
+                q.awaitTermination()
+            out = (
+                spark.read.option("mergeSchema", "true").parquet(route)
+                .groupBy("seg")
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n"),
+                    F.round(F.sum("bal"), 2).alias("sum_bal"),
+                    F.sum("_seq").cast("bigint").alias("sum_seq"),
                 )
             )
             return out.localCheckpoint(eager=True)

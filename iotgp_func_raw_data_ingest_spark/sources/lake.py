@@ -33,6 +33,24 @@ of the single-row LIST<STRING> layout (queryable, prunable; SURVEY.md
 §1.5), Spark part-file naming instead of wall-clock filenames (§7.4),
 sorted column order instead of first-seen (distributed first-seen is
 non-deterministic).
+
+SINGLE-WRITER-PER-ROUTE CONTRACT (maintenance operations): at most one
+maintenance writer — compaction, z-order, upsert, full/pruned merge,
+keyed delete, retention — may run against ONE route at a time. Appends
+(write_lake_typed / write_lake_generic / the ingest streams) are safe
+alongside anything. The staged-replace and swap protocols are
+crash-consistent under ANY sequential interleaving (every writer heals
+its predecessors' wreckage first), but two maintenance writers live on
+the same route can interfere: writer B's pre-plan healing may complete
+or clear writer A's in-flight stage, and both may plan against the same
+originals. Two defenses soften (not replace) the contract: unready
+stages are only cleared after a quiet period (``heal_staged_replaces``
+grace window — a LIVE writer's stage keeps a fresh mtime heartbeat and
+survives), and each stage carries a ``_lease`` naming its writer for
+diagnosis. Concurrent maintenance across DIFFERENT routes is always
+fine — routes share no files. Enforce the per-route serialization in
+the scheduler (one maintenance queue per route), exactly like every
+file-level lakehouse maintenance tool.
 """
 
 from __future__ import annotations
@@ -602,18 +620,36 @@ def _validate_merge_clauses(
     key_cols: list[str],
     matched_update: dict[str, str] | None,
     matched_update_condition: str | None,
-    evolve_schema: bool,
+    evolve_schema: bool | list[str],
     not_matched_condition: str | None = None,
     insert_when_not_matched: bool = True,
 ) -> list[str]:
     """Shared MERGE clause validation (full and file-pruned variants).
     Returns the evolved (source-only, schema-unioned) column list —
-    empty unless ``evolve_schema``."""
-    evolved = (
-        [c for c in source_cols if c not in target_cols and c not in key_cols]
-        if evolve_schema
-        else []
-    )
+    empty unless ``evolve_schema``. ``evolve_schema`` may be an explicit
+    column list: evolve ONLY those source columns into the target — the
+    shape a caller needs when the source carries working columns (CDC
+    op/seq markers) that must NOT land, alongside one that must (the
+    persisted ``_seq``)."""
+    if isinstance(evolve_schema, (list, tuple)):
+        wanted = set(evolve_schema)
+        bad = wanted - set(source_cols)
+        if bad:
+            raise ValueError(
+                f"evolve_schema names columns absent from the source: "
+                f"{sorted(bad)}"
+            )
+        evolved = [
+            c
+            for c in source_cols
+            if c in wanted and c not in target_cols and c not in key_cols
+        ]
+    elif evolve_schema:
+        evolved = [
+            c for c in source_cols if c not in target_cols and c not in key_cols
+        ]
+    else:
+        evolved = []
     settable = set(target_cols) | set(evolved)
     bad = [c for c in (matched_update or {}) if c not in settable]
     if bad:
@@ -699,7 +735,20 @@ def _merge_frames(
     given, per-clause row counts (deleted / updated / inserted /
     carried) ride the write action for free."""
     target_cols = target.columns
-    t = target.withColumn("_merge_t_present", F.lit(True)).alias("t")
+    # evolved (source-only) columns exist on the target side as typed
+    # NULLs from here on, so clause conditions may reference them —
+    # e.g. the CDC stream's stale guard `t._seq IS NULL OR s._seq >
+    # t._seq` must resolve on the FIRST apply, when no target file
+    # carries _seq yet (NULL = older-than-everything, exactly the
+    # guard's intent). The out_cols projection below still treats them
+    # as evolved (NULL carry, source value on insert).
+    t_aug = target
+    for c in evolved:
+        if c not in target_cols:
+            t_aug = t_aug.withColumn(
+                c, F.lit(None).cast(source.schema[c].dataType)
+            )
+    t = t_aug.withColumn("_merge_t_present", F.lit(True)).alias("t")
     s = source.withColumn("_merge_s_present", F.lit(True)).alias("s")
     joined = t.join(s, key_cols, "full_outer")
     t_here = F.col("t._merge_t_present").isNotNull()
@@ -796,7 +845,7 @@ def merge_lake_table(
     matched_delete_condition: str | None = None,
     insert_when_not_matched: bool = True,
     not_matched_condition: str | None = None,
-    evolve_schema: bool = False,
+    evolve_schema: bool | list[str] = False,
     meta_extra: dict | None = None,
 ) -> tuple[int, int]:
     """ANSI ``MERGE INTO`` semantics over a plain-parquet lake route —
@@ -944,14 +993,25 @@ def merge_lake_table(
 
 
 def _finish_staged_replace(spark: SparkSession, table_path: str, stage_name: str) -> int:
-    """Complete a READY staged file-replacement: remove every original
-    file named in the stage's ``_manifest.json`` that still exists, move
-    the staged part files into the table, drop the stage. Idempotent —
-    safe to re-run after a crash at any point past the ready marker.
-    Shared commit step of the keyed delete
+    """Complete a READY staged file-replacement: move the staged part
+    files into the table FIRST, then remove every original file named in
+    the stage's ``_manifest.json`` that still exists, then drop the
+    stage. Idempotent — safe to re-run after a crash at any point past
+    the ready marker. Shared commit step of the keyed delete
     (``maintenance.delete_keys_from_table``) and the file-pruned merge
     (``merge_lake_table_pruned``). Returns the number of staged files
-    moved in."""
+    moved in.
+
+    Ordering rationale (reader atomicity): staged part files carry fresh
+    Spark-generated names, so moving them in before deleting the
+    originals is always collision-free in the happy path — and a reader
+    racing the commit transiently sees DUPLICATED rows from an affected
+    file (old + replacement both live) instead of MISSING rows, the
+    strictly safer failure direction for every consumer that tolerates
+    at-least-once (delete-first could silently drop rows from a
+    snapshot). A raise on any failed move/delete leaves the READY stage
+    in place for an idempotent retry; because moves precede deletes, a
+    failed MOVE also leaves every original intact."""
     import json as _json
 
     jvm, _, fs = _hadoop_fs(spark, table_path)
@@ -966,18 +1026,11 @@ def _finish_staged_replace(spark: SparkSession, table_path: str, stage_name: str
         stream.close()
     affected = _json.loads(raw.decode("utf-8"))["affected"]
     # every step below CHECKS its FS return and raises instead of
-    # continuing: once the originals start dying, the staged files are
-    # the only copy of their rows — silently dropping the stage (or one
-    # file of it) on a failed rename would be permanent data loss. A
-    # raise leaves the READY stage in place, so the next invocation
-    # (or validate_lake) retries the finish idempotently.
-    for name in affected:
-        p = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{name}")
-        if fs.exists(p) and not fs.delete(p, False):
-            raise IOError(
-                f"staged replace: could not delete original {name} in "
-                f"{table_path} — stage left in place for retry"
-            )
+    # continuing: the staged files become the only copy of their rows
+    # once the originals die — silently dropping the stage (or one file
+    # of it) would be permanent data loss. A raise leaves the READY
+    # stage in place, so the next invocation (or validate_lake) retries
+    # the finish idempotently.
     moved = 0
     for s in fs.listStatus(stage_p):
         name = s.getPath().getName()
@@ -987,9 +1040,17 @@ def _finish_staged_replace(spark: SparkSession, table_path: str, stage_name: str
             ):
                 raise IOError(
                     f"staged replace: could not move {name} into "
-                    f"{table_path} — stage left in place for retry"
+                    f"{table_path} — stage (and originals) left in place "
+                    "for retry"
                 )
             moved += 1
+    for name in affected:
+        p = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{name}")
+        if fs.exists(p) and not fs.delete(p, False):
+            raise IOError(
+                f"staged replace: could not delete original {name} in "
+                f"{table_path} — stage left in place for retry"
+            )
     fs.delete(stage_p, True)
     return moved
 
@@ -1003,17 +1064,91 @@ def _finish_staged_replace(spark: SparkSession, table_path: str, stage_name: str
 # in over the new output (duplicated survivors, resurrected deletes).
 _STAGE_PREFIXES = (".merge-stage-", ".delete-stage-")
 
+# An UNREADY stage younger than this is assumed to belong to a LIVE
+# writer mid-staging and is left alone by healing (see
+# heal_staged_replaces). 15 minutes comfortably exceeds any staging
+# write's commit-protocol gaps between file creations, while still
+# clearing genuinely aborted stages on the next maintenance pass.
+UNREADY_STAGE_GRACE_SECONDS = 900.0
 
-def heal_staged_replaces(spark: SparkSession, table_path: str) -> int:
+
+def _stage_newest_mtime_millis(fs, stage_path) -> int:
+    """Newest modification time (epoch millis) across a stage dir, every
+    nested dir, and every file — the liveness heartbeat of a staging
+    write in progress (Spark's committer keeps creating/renaming task
+    files, touching mtimes all the way down). Bounded: a stage holds
+    only the replacement files for the touched set."""
+    newest = fs.getFileStatus(stage_path).getModificationTime()
+    stack = [stage_path]
+    while stack:
+        for st in fs.listStatus(stack.pop()):
+            newest = max(newest, st.getModificationTime())
+            if st.isDirectory():
+                stack.append(st.getPath())
+    return newest
+
+
+def write_stage_lease(spark: SparkSession, stage: str, kind: str) -> str:
+    """Create the stage dir (if needed) and drop a ``_lease`` JSON into
+    it — writer id + kind + creation time — BEFORE the staging write
+    begins. The lease pins the stage's creation instant for the healing
+    grace window even if the Spark write has not created a file yet, and
+    names the owning writer so an operator inspecting a stranded stage
+    can tell whose it was. Returns the writer id. (The staging write
+    itself must then use append mode so the lease survives.)"""
+    import datetime as _dt
+    import json as _json
+    import uuid as _uuid
+
+    jvm, _, fs = _hadoop_fs(spark, stage)
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(stage))
+    writer_id = _uuid.uuid4().hex
+    lease = _json.dumps(
+        {
+            "writer": writer_id,
+            "kind": kind,
+            "created_utc": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+        },
+        sort_keys=True,
+    ).encode("utf-8")
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(f"{stage}/_lease"), True)
+    try:
+        out.write(bytearray(lease))
+    finally:
+        out.close()
+    return writer_id
+
+
+def heal_staged_replaces(
+    spark: SparkSession,
+    table_path: str,
+    unready_grace_seconds: float = UNREADY_STAGE_GRACE_SECONDS,
+) -> int:
     """Heal every pending staged file-replacement in a route/table dir:
     complete READY stages (crashed after their ``_ready`` marker, before
     or mid commit) via ``_finish_staged_replace``; clear aborted
-    (unready) ones. Idempotent; no-op on a missing dir. Called by every
-    staged writer (keyed delete, pruned merge) AND every whole-route
-    rewriter (compaction, upsert, full merge) before they plan against
-    the route — a whole-route swap that ignored a READY stage would
-    silently discard its intent (e.g. resurrect deleted keys). Returns
-    the number of READY stages completed."""
+    (unready) ones ONLY once they have been quiet for
+    ``unready_grace_seconds``. Idempotent; no-op on a missing dir.
+    Called by every staged writer (keyed delete, pruned merge) AND every
+    whole-route rewriter (compaction, upsert, full merge) before they
+    plan against the route — a whole-route swap that ignored a READY
+    stage would silently discard its intent (e.g. resurrect deleted
+    keys). Returns the number of READY stages completed.
+
+    The grace window is the cheap half of the SINGLE-WRITER-PER-ROUTE
+    contract (module docstring): an unready stage with a recent mtime
+    anywhere in its tree is indistinguishable from a live writer
+    mid-staging, and deleting it out from under that writer would let
+    the writer seal (manifest + ``_ready``) a gutted stage — committing
+    a replacement with files missing, i.e. silent data loss. Healing
+    therefore skips quiet-period stages (they are dot-prefixed and
+    invisible to readers; a skipped orphan is cleared by the next pass
+    after the grace elapses). READY stages heal regardless of age:
+    ``_ready`` only lands after every staged file, so they are sealed
+    and safe by construction. Pass ``unready_grace_seconds=0`` to force
+    immediate clearing when the operator KNOWS no writer is live."""
+    import time as _time
+
     jvm, hpath, fs = _hadoop_fs(spark, table_path)
     if not fs.exists(hpath):
         return 0
@@ -1026,7 +1161,11 @@ def heal_staged_replaces(spark: SparkSession, table_path: str) -> int:
                 _finish_staged_replace(spark, table_path, name)
                 healed += 1
             else:
-                fs.delete(st.getPath(), True)
+                age = _time.time() - (
+                    _stage_newest_mtime_millis(fs, st.getPath()) / 1000.0
+                )
+                if age >= unready_grace_seconds:
+                    fs.delete(st.getPath(), True)
     return healed
 
 
@@ -1045,7 +1184,7 @@ def merge_lake_table_pruned(
     matched_delete_condition: str | None = None,
     insert_when_not_matched: bool = True,
     not_matched_condition: str | None = None,
-    evolve_schema: bool = False,
+    evolve_schema: bool | list[str] = False,
 ) -> dict:
     """File-pruned ANSI MERGE: clause semantics identical to
     ``merge_lake_table`` (same ``_validate_merge_clauses`` /
@@ -1075,12 +1214,14 @@ def merge_lake_table_pruned(
        ``_ready`` marker. Per-clause row counts ride the staging write
        as an ``Observation`` — no second pass. A crash here strands an
        ignorable stage the next invocation clears.
-    3. COMMIT — ``_finish_staged_replace``: delete the originals, move
-       the staged files in, drop the stage; idempotent, healed by the
+    3. COMMIT — ``_finish_staged_replace``: move the staged files in,
+       delete the originals, drop the stage; idempotent, healed by the
        next invocation off the manifest after a mid-commit crash. A
-       reader racing the commit can transiently miss rows from an
-       affected file (the delete-first direction, same as the keyed
-       delete); untouched files are never read twice nor rewritten.
+       reader racing the commit can transiently see DUPLICATED rows
+       from an affected file (move-first — old and replacement both
+       live for an instant; same direction as the keyed delete), never
+       missing rows; untouched files are never read twice nor
+       rewritten.
 
     The route's ``_meta.json`` ``row_count`` (when present) is updated
     incrementally from the observed insert/delete counts — no full-route
@@ -1203,6 +1344,20 @@ def merge_lake_table_pruned(
         if fmt == "csv":
             rs = rs.option("header", "true")
         slice_df = rs.format(fmt).load(affected)
+        # align the slice to the FULL route schema: under schema
+        # evolution the affected files may collectively lack a column
+        # that newer files carry (e.g. the CDC stream's persisted _seq)
+        # — without the null-pad, a SET on that column would be silently
+        # dropped from the rewrite and the slice's rows would lose it
+        have = set(slice_df.columns)
+        slice_df = slice_df.select(
+            *[
+                F.col(c)
+                if c in have
+                else F.lit(None).cast(target_all.schema[c].dataType).alias(c)
+                for c in target_all.columns
+            ]
+        )
         _check_merge_cardinality(source, slice_df, key_cols)
     else:
         # insert-only merge: an empty slice with the route's full schema
@@ -1219,9 +1374,12 @@ def merge_lake_table_pruned(
 
     stage_name = f".merge-stage-{_uuid.uuid4().hex}"
     stage = f"{path}/{stage_name}"
+    # lease first (single-writer contract diagnostics + healing grace
+    # anchor), then APPEND-mode staging write so the lease survives
+    write_stage_lease(spark, stage, "merge")
     w = (
         merged.repartition(max(1, len(affected)))
-        .write.mode("overwrite")
+        .write.mode("append")
         .option("maxRecordsPerFile", cfg.max_batch_size)
     )
     if fmt in ("parquet", "orc"):

@@ -395,12 +395,15 @@ def delete_keys_from_table(
        with a ``_manifest.json`` naming the originals, then a ``_ready``
        marker — nothing live has changed yet; a crash here strands an
        ignorable stage that the next invocation clears.
-    3. COMMIT — delete the originals, rename the staged files in, drop
-       the stage (``_finish_keyed_delete``, idempotent). A reader racing
-       the commit can transiently miss survivor rows from an affected
-       file (deleted keys vanish FIRST — the right failure direction for
-       a forget request); a crash mid-commit is healed by the next
-       invocation re-running the finish step off the manifest.
+    3. COMMIT — rename the staged survivor files in, delete the
+       originals, drop the stage (``_finish_keyed_delete``, idempotent).
+       A reader racing the commit transiently sees survivor rows
+       DUPLICATED from an affected file (move-first — original and
+       replacement both live for an instant), never missing; the doomed
+       keys are fully gone the moment the commit completes, which is
+       when a forget request is satisfied either way. A crash mid-commit
+       is healed by the next invocation re-running the finish step off
+       the manifest.
 
     Returns ``{files_total, files_rewritten, rows_deleted, rows_kept}``.
     """
@@ -456,9 +459,14 @@ def delete_keys_from_table(
         .observe(obs_out, F.count(F.lit(1)).alias("n"))
     )
 
+    from iotgp_func_raw_data_ingest_spark.sources.lake import write_stage_lease
+
     stage_name = f".delete-stage-{_uuid.uuid4().hex}"
     stage = f"{table_path}/{stage_name}"
-    survivors.repartition(max(1, len(affected))).write.mode("overwrite").format(
+    # lease first (single-writer contract diagnostics + healing grace
+    # anchor), then APPEND-mode staging write so the lease survives
+    write_stage_lease(spark, stage, "delete")
+    survivors.repartition(max(1, len(affected))).write.mode("append").format(
         fmt
     ).save(stage)
     n_before = int(obs_in.get["n"])

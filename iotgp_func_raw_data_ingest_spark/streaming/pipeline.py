@@ -239,6 +239,7 @@ def start_cdc_merge_stream(
     op_col: str = "op",
     delete_op: str = "d",
     set_cols: list[str] | None = None,
+    persist_seq: bool = False,
     trigger_seconds: int | None = None,
 ) -> StreamingQuery:
     """Tombstone-aware CDC apply: each micro-batch of change rows
@@ -272,6 +273,25 @@ def start_cdc_merge_stream(
     the stream's arrival order — correct for a CDC log replayed in
     offset order, where ``seq_col`` is monotone with arrival.
 
+    ``persist_seq=True`` removes that arrival-order requirement for
+    rows the target HOLDS: the route keeps an engine-managed ``_seq``
+    column (schema-evolved in on the first apply; pre-existing rows read
+    as NULL = older-than-everything), and the matched clauses are
+    guarded with ``s._seq > t._seq`` — a stale update or stale tombstone
+    arriving in a later batch than a newer change for the same key is
+    carried (no-op) instead of clobbering the newer row. Deterministic
+    intra-batch collapse still runs first. Inserts record the arriving
+    seq. LIMITATION (inherent to physical deletes): once a key's row is
+    DELETED, its ``_seq`` is gone — a stale non-delete change for that
+    key arriving in a later batch is indistinguishable from a first
+    insert and resurrects the row (likewise a tombstone arriving before
+    its key's insert no-ops, then the insert lands). Closing that window
+    needs tombstone retention (soft-delete rows), which changes the
+    route's read contract; out-of-scope here and documented so the
+    operator can choose feed partitioning (key-hash partitioned CDC
+    topics keep per-key order and never hit it). ``_seq`` is reserved:
+    a feed carrying its own ``_seq`` column is rejected.
+
     Scale: per batch, cost ∝ TOUCHED files (the pruned merge's PLAN/
     STAGE/COMMIT protocol), not route size — a small CDC batch against
     a 100 TB route stays a bounded maintenance action; the intra-batch
@@ -283,11 +303,20 @@ def start_cdc_merge_stream(
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
     # op_col/delete_op are spliced into merge clause expressions — keep
-    # them out of SQL-injection territory at construction time
-    if "'" in delete_op:
-        raise ValueError("delete_op must not contain a single quote")
+    # them out of SQL-injection territory at construction time (the
+    # backslash is Spark's string-escape char: unrejected it would
+    # corrupt the clause literal and fail only at batch time)
+    if "'" in delete_op or "\\" in delete_op:
+        raise ValueError(
+            "delete_op must not contain a single quote or backslash"
+        )
     if not op_col.isidentifier():
         raise ValueError(f"op_col must be a plain identifier, got {op_col!r}")
+    if set_cols is not None and not set_cols:
+        raise ValueError(
+            "set_cols=[] would update nothing on match — pass None to "
+            "derive the SET map from the feed schema, or name the columns"
+        )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
@@ -302,30 +331,64 @@ def start_cdc_merge_stream(
         missing = [c for c in (*key_cols, op_col, seq_col) if c not in batch_df.columns]
         if missing:
             raise ValueError(f"CDC stream is missing columns: {missing}")
-        w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+        if persist_seq and "_seq" in batch_df.columns:
+            raise ValueError(
+                "persist_seq reserves the _seq column; the feed must not "
+                "carry one"
+            )
+        # deterministic collapse: latest change per key by seq, with a
+        # content-hash tiebreaker — duplicate seq values for one key
+        # would otherwise pick a partition-layout-dependent winner
+        # (identical duplicate rows tie to the same content, so the
+        # winner is unchanged either way)
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col(seq_col).desc(),
+            F.xxhash64(*[F.col(c) for c in batch_df.columns]).desc(),
+        )
         latest = (
             batch_df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        data_cols = set_cols or [
-            c
-            for c in batch_df.columns
-            if c not in key_cols and c not in (op_col, seq_col)
-        ]
+        # an explicit empty set_cols is rejected at construction; None
+        # (the default) derives the map from the feed schema
+        data_cols = (
+            list(set_cols)
+            if set_cols is not None
+            else [
+                c
+                for c in batch_df.columns
+                if c not in key_cols and c not in (op_col, seq_col)
+            ]
+        )
         bad_names = [c for c in data_cols if "`" in c]
         if bad_names:
             raise ValueError(
                 f"CDC data columns must not contain backticks: {bad_names}"
             )
+        stale_guard = ""
+        evolve: bool | list[str] = False
+        if persist_seq:
+            latest = latest.withColumn("_seq", F.col(seq_col))
+            data_cols = [*data_cols, "_seq"]
+            # NULL t._seq = pre-persist_seq row (or schema-evolved
+            # carry) — older than any arriving change by definition
+            stale_guard = " AND (t._seq IS NULL OR s._seq > t._seq)"
+            evolve = ["_seq"]
         merge_lake_table_pruned(
             spark, lake_path, folder, source_db, table, latest, key_cols, cfg,
             # backtick-quote: feed schemas carry legal-but-non-identifier
             # names ('first name', 'bal-ance') that would otherwise parse
             # as expressions inside the SET map
             matched_update={c: f"s.`{c}`" for c in data_cols},
-            matched_delete_condition=f"s.{op_col} = '{delete_op}'",
+            matched_update_condition=(
+                stale_guard.removeprefix(" AND ") if stale_guard else None
+            ),
+            matched_delete_condition=(
+                f"s.{op_col} = '{delete_op}'{stale_guard}"
+            ),
             not_matched_condition=f"s.{op_col} <> '{delete_op}'",
+            evolve_schema=evolve,
         )
         mark_batch_committed(spark, checkpoint_dir, batch_id)
 

@@ -99,8 +99,13 @@ def test_crashed_commit_heals_from_manifest(spark, tmp_path):
     assert spark.read.parquet(table).count() == total_before - (n_victim - n_kept)
 
     # and the healing path inside delete_keys_from_table itself: an
-    # UNREADY stranded stage is cleared without touching live data
+    # UNREADY stranded stage is cleared without touching live data —
+    # once it has aged past the live-writer grace window (backdated
+    # here; a FRESH unready stage is presumed live and left alone, see
+    # test_stage_lease.py)
     os.makedirs(f"{table}/.delete-stage-aborted")
+    stale = 1_700_000_000
+    os.utime(f"{table}/.delete-stage-aborted", (stale, stale))
     report = delete_keys_from_table(
         spark, table, "user_id", spark.createDataFrame([(999,)], "user_id long")
     )

@@ -166,10 +166,16 @@ def test_pruned_crash_windows(spark, tmp_path):
     deleted, staged file not yet moved)."""
     lake, route, cfg = _seed(spark, tmp_path, n=200, files=4)
 
-    # (a) aborted stage: no _ready marker → cleared, data untouched
+    # (a) aborted stage: no _ready marker → cleared once past the
+    # live-writer grace window (backdated here — a fresh unready stage
+    # is presumed to belong to a live writer; see test_stage_lease.py),
+    # data untouched
     os.makedirs(f"{route}/.merge-stage-aborted")
     with open(f"{route}/.merge-stage-aborted/part-junk.parquet", "w") as fh:
         fh.write("junk")
+    stale = 1_700_000_000
+    os.utime(f"{route}/.merge-stage-aborted/part-junk.parquet", (stale, stale))
+    os.utime(f"{route}/.merge-stage-aborted", (stale, stale))
     src = spark.createDataFrame([(9_100, "N", 1.0)], "k long, seg string, bal double")
     merge_lake_table_pruned(spark, lake, *ROUTE, src, ["k"], cfg)
     assert not os.path.exists(f"{route}/.merge-stage-aborted")
@@ -411,10 +417,13 @@ def test_cross_kind_stage_healing(spark, tmp_path):
 
 
 def test_finish_staged_replace_raises_on_failed_rename(spark, tmp_path):
-    """Once the COMMIT step starts deleting originals, the staged files
-    are the only copy of their rows: a failed rename must RAISE and
-    leave the READY stage in place for an idempotent retry — silently
-    continuing and dropping the stage would be permanent data loss."""
+    """The staged files become the only copy of their rows once the
+    originals die: a failed move must RAISE and leave the READY stage in
+    place for an idempotent retry — silently continuing and dropping the
+    stage would be permanent data loss. And because the COMMIT moves
+    staged files in BEFORE deleting originals (reader atomicity:
+    transient duplicates, never missing rows), a failed move must also
+    leave every original intact."""
     lake, route, cfg = _seed(spark, tmp_path, n=100, files=2)
     files = sorted(f for f in os.listdir(route) if f.startswith("part-"))
     victim, blocker = files[0], files[1]
@@ -429,8 +438,10 @@ def test_finish_staged_replace_raises_on_failed_rename(spark, tmp_path):
     with open(f"{stage}/_manifest.json", "w") as fh:
         json.dump({"affected": [victim]}, fh)
     open(f"{stage}/_ready", "w").close()
-    with pytest.raises(IOError, match="stage left in place"):
+    with pytest.raises(IOError, match="left in place"):
         _finish_staged_replace(spark, route, ".merge-stage-collide")
-    # the stage survives for retry; the staged copy was not destroyed
+    # the stage survives for retry; the staged copy was not destroyed;
+    # move-first ordering means the manifest's original is ALSO intact
     assert os.path.exists(f"{stage}/{blocker}")
     assert os.path.exists(f"{stage}/_ready")
+    assert os.path.exists(f"{route}/{victim}")

@@ -439,3 +439,218 @@ def test_streaming_cdc_merge_nonidentifier_columns(spark, tmp_path):
         for r in read_lake_table(spark, lake, "f", "db", "t").collect()
     }
     assert got == {1: 99, 2: 20}
+
+
+def test_streaming_cdc_merge_rejects_backslash_and_empty_set_cols(spark, tmp_path):
+    """delete_op is spliced into a SQL string literal: a backslash
+    (Spark's string-escape char) would corrupt the clause and fail only
+    at batch time — reject at construction, like the single quote. An
+    explicit set_cols=[] (update NOTHING on match) is almost surely a
+    bug (matched non-delete changes would silently carry stale values)
+    — rejected with guidance; None still derives the map."""
+    from iotgp_func_raw_data_ingest_spark.streaming.pipeline import (
+        start_cdc_merge_stream,
+    )
+
+    cfg = EngineConfig(max_batch_size=1000)
+    (tmp_path / "never-read").mkdir()
+    changes = spark.readStream.schema("id long, op string, seq long").json(
+        str(tmp_path / "never-read")
+    )
+    with pytest.raises(ValueError, match="backslash"):
+        start_cdc_merge_stream(
+            changes, str(tmp_path / "lake"), "f", "db", "t", ["id"], "seq",
+            cfg, str(tmp_path / "ckpt"), delete_op="d\\",
+        )
+    with pytest.raises(ValueError, match="set_cols"):
+        start_cdc_merge_stream(
+            changes, str(tmp_path / "lake"), "f", "db", "t", ["id"], "seq",
+            cfg, str(tmp_path / "ckpt"), set_cols=[],
+        )
+
+
+def test_streaming_cdc_merge_duplicate_seq_deterministic(spark, tmp_path):
+    """Duplicate seq values for one key within a batch: the collapse
+    breaks the tie on a full-row content hash (xxhash64 over the feed
+    columns, descending), so the winner is a pure function of the DATA
+    — not of partition layout. The test computes the expected winner
+    with the same expression and pins exact equality."""
+    from pyspark.sql import functions as F
+
+    from iotgp_func_raw_data_ingest_spark.sources.lake import upsert_lake_table
+    from iotgp_func_raw_data_ingest_spark.streaming.pipeline import (
+        start_cdc_merge_stream,
+    )
+
+    cfg = EngineConfig(max_batch_size=1000)
+    lake = str(tmp_path / "lake")
+    base = spark.createDataFrame([(1, "a", 10)], ["id", "name", "v"])
+    upsert_lake_table(spark, lake, "f", "db", "t", base, ["id"], cfg)
+
+    dup = [
+        {"id": 1, "name": "x", "v": 11, "op": "u", "seq": 5},
+        {"id": 1, "name": "y", "v": 12, "op": "u", "seq": 5},
+    ]
+    src = tmp_path / "changes"
+    src.mkdir()
+    (src / "b0.json").write_text("\n".join(json.dumps(r) for r in dup) + "\n")
+    schema = "id long, name string, v long, op string, seq long"
+    changes = spark.readStream.schema(schema).json(str(src))
+    q = start_cdc_merge_stream(
+        changes, lake, "f", "db", "t", ["id"], "seq", cfg, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    expected = (
+        spark.createDataFrame([tuple(r.values()) for r in dup], schema)
+        .withColumn("_h", F.xxhash64("id", "name", "v", "op", "seq"))
+        .orderBy(F.col("_h").desc())
+        .first()
+    )
+    got = {
+        r.id: (r.name, r.v)
+        for r in read_lake_table(spark, lake, "f", "db", "t").collect()
+    }
+    assert got == {1: (expected["name"], expected["v"])}
+
+
+def test_streaming_cdc_merge_persist_seq_rejects_stale(spark, tmp_path):
+    """persist_seq=True: the route keeps an engine-managed _seq column
+    and the matched clauses are guarded with s._seq > t._seq — a later
+    BATCH carrying an earlier CHANGE (re-partitioned / replayed CDC
+    feed) must not clobber the newer row. Batch 0 carries the NEWER
+    changes, batch 1 the stale ones:
+
+    - stale update for a key updated at a higher seq  → carried
+    - stale tombstone for a key updated at a higher seq → carried
+    - stale update for a key INSERTED at a higher seq  → carried
+    - a NEWER update arriving late (id=3)              → applied
+    """
+    from iotgp_func_raw_data_ingest_spark.sources.lake import upsert_lake_table
+    from iotgp_func_raw_data_ingest_spark.streaming.pipeline import (
+        start_cdc_merge_stream,
+    )
+
+    cfg = EngineConfig(max_batch_size=1000)
+    lake = str(tmp_path / "lake")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["id", "name", "v"]
+    )
+    upsert_lake_table(spark, lake, "f", "db", "t", base, ["id"], cfg)
+
+    import os as _os
+
+    b0 = [  # the NEWER changes arrive first
+        {"id": 1, "name": "NEW", "v": 11, "op": "u", "seq": 20},
+        {"id": 4, "name": "INS", "v": 40, "op": "c", "seq": 40},
+    ]
+    b1 = [  # then the stale ones — every one must be rejected…
+        {"id": 1, "name": "OLD", "v": 99, "op": "u", "seq": 10},
+        {"id": 1, "name": None, "v": None, "op": "d", "seq": 15},
+        {"id": 4, "name": "OLDINS", "v": 98, "op": "u", "seq": 35},
+        # …except a genuinely newer change riding the same late batch
+        {"id": 3, "name": "LATE", "v": 33, "op": "u", "seq": 50},
+    ]
+    src = tmp_path / "changes"
+    src.mkdir()
+    for i, batch in enumerate((b0, b1)):
+        p = src / f"b{i}.json"
+        p.write_text("\n".join(json.dumps(r) for r in batch) + "\n")
+        _os.utime(p, (1_700_000_000 + i * 10,) * 2)
+
+    changes = (
+        spark.readStream.schema("id long, name string, v long, op string, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = start_cdc_merge_stream(
+        changes, lake, "f", "db", "t", ["id"], "seq", cfg,
+        str(tmp_path / "ckpt"), persist_seq=True,
+    )
+    q.awaitTermination(180)
+
+    out = read_lake_table(spark, lake, "f", "db", "t")
+    # op/seq never land; the persisted _seq column does
+    assert set(out.columns) == {"id", "name", "v", "_seq"}
+    got = {r.id: (r.name, r.v, r["_seq"]) for r in out.collect()}
+    assert got == {
+        1: ("NEW", 11, 20),   # stale update AND stale tombstone rejected
+        2: ("b", 20, None),   # untouched pre-persist_seq row: _seq NULL
+        3: ("LATE", 33, 50),  # newer change in the late batch applied
+        4: ("INS", 40, 40),   # insert records its seq; stale upd rejected
+    }
+
+
+def test_streaming_cdc_merge_persist_seq_documented_resurrection(spark, tmp_path):
+    """The DOCUMENTED limitation of physical deletes: once a key's row
+    (and its _seq) is gone, a stale non-delete change in a later batch
+    is indistinguishable from a first insert and resurrects the row.
+    Pinned so the behavior is explicit, not accidental — closing it
+    needs tombstone retention (docstring)."""
+    from iotgp_func_raw_data_ingest_spark.sources.lake import upsert_lake_table
+    from iotgp_func_raw_data_ingest_spark.streaming.pipeline import (
+        start_cdc_merge_stream,
+    )
+
+    cfg = EngineConfig(max_batch_size=1000)
+    lake = str(tmp_path / "lake")
+    base = spark.createDataFrame([(2, "b", 20)], ["id", "name", "v"])
+    upsert_lake_table(spark, lake, "f", "db", "t", base, ["id"], cfg)
+
+    import os as _os
+
+    b0 = [{"id": 2, "name": None, "v": None, "op": "d", "seq": 30}]
+    b1 = [{"id": 2, "name": "GHOST", "v": 66, "op": "u", "seq": 10}]
+    src = tmp_path / "changes"
+    src.mkdir()
+    for i, batch in enumerate((b0, b1)):
+        p = src / f"b{i}.json"
+        p.write_text("\n".join(json.dumps(r) for r in batch) + "\n")
+        _os.utime(p, (1_700_000_000 + i * 10,) * 2)
+
+    changes = (
+        spark.readStream.schema("id long, name string, v long, op string, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = start_cdc_merge_stream(
+        changes, lake, "f", "db", "t", ["id"], "seq", cfg,
+        str(tmp_path / "ckpt"), persist_seq=True,
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r.id: (r.name, r.v)
+        for r in read_lake_table(spark, lake, "f", "db", "t").collect()
+    }
+    assert got == {2: ("GHOST", 66)}  # the documented resurrection
+
+
+def test_streaming_cdc_merge_persist_seq_reserves_seq_column(spark, tmp_path):
+    """A feed carrying its own _seq column under persist_seq is
+    rejected (the column is engine-managed)."""
+    from iotgp_func_raw_data_ingest_spark.sources.lake import upsert_lake_table
+    from iotgp_func_raw_data_ingest_spark.streaming.pipeline import (
+        start_cdc_merge_stream,
+    )
+
+    cfg = EngineConfig(max_batch_size=1000)
+    lake = str(tmp_path / "lake")
+    upsert_lake_table(
+        spark, lake, "f", "db", "t",
+        spark.createDataFrame([(1, 10)], ["id", "v"]), ["id"], cfg,
+    )
+    src = tmp_path / "changes"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        '{"id": 1, "v": 11, "op": "u", "seq": 1, "_seq": 7}\n'
+    )
+    changes = spark.readStream.schema(
+        "id long, v long, op string, seq long, _seq long"
+    ).json(str(src))
+    q = start_cdc_merge_stream(
+        changes, lake, "f", "db", "t", ["id"], "seq", cfg,
+        str(tmp_path / "ckpt"), persist_seq=True,
+    )
+    with pytest.raises(Exception, match="_seq"):
+        q.awaitTermination(120)

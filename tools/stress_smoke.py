@@ -488,7 +488,12 @@ def main() -> int:
         witness is the same as merge_pruned's — total bytes physically
         rewritten across all batches stays a small multiple of the
         touched slice, never of the route — plus the per-batch overhead
-        being flat (each batch pays one PLAN scan + staged replace)."""
+        being flat (each batch pays one PLAN scan + staged replace).
+        Runs with persist_seq=True (the recommended production mode,
+        r10): the route-persisted _seq guard adds one comparison per
+        matched row inside the merge projection and 8 bytes/row to the
+        rewritten slice — the witness shows that staying touched-slice
+        sized."""
         from iotgp_func_raw_data_ingest_spark.plans.streaming_queries2 import (
             _write_ordered_tranches,
         )
@@ -543,6 +548,7 @@ def main() -> int:
         q = start_cdc_merge_stream(
             stream, lake, "curated", "crm", "accounts",
             ["k"], "seq", mcfg, f"{merge_work}/cdc_ckpt",
+            persist_seq=True,
         )
         q.awaitTermination()
         rewritten = sum(
