@@ -311,14 +311,44 @@ def validate_lake(spark: SparkSession, lake_path: str, fmt: str = "parquet") -> 
                 # .merge-stage- dir (READY ones are completed by the
                 # next maintenance writer via heal_staged_replaces —
                 # their presence here means one crashed)
-                stranded += [
-                    s.getPath().getName()
-                    for s in fs.listStatus(table_p)
-                    if s.isDirectory()
-                    and s.getPath().getName().startswith(
-                        (".stage-", ".merge-stage-", ".delete-stage-")
+                for s in fs.listStatus(table_p):
+                    sname = s.getPath().getName()
+                    if not (
+                        s.isDirectory()
+                        and sname.startswith(
+                            (".stage-", ".merge-stage-", ".delete-stage-")
+                        )
+                    ):
+                        continue
+                    # staged-replace stages carry a _lease naming their
+                    # writer (lake.write_stage_lease) — surface it so an
+                    # operator inspecting a stranded stage can tell
+                    # whose it was and how old it is
+                    lease_p = jvm.org.apache.hadoop.fs.Path(
+                        f"{dest}/{sname}/_lease"
                     )
-                ]
+                    if fs.exists(lease_p):
+                        import json as _json
+
+                        stream = fs.open(lease_p)
+                        try:
+                            raw = bytes(
+                                jvm.org.apache.commons.io.IOUtils.toByteArray(
+                                    stream
+                                )
+                            )
+                        finally:
+                            stream.close()
+                        try:
+                            lease = _json.loads(raw.decode("utf-8"))
+                            sname += (
+                                f" (lease: {lease.get('kind')}/"
+                                f"{str(lease.get('writer'))[:8]} "
+                                f"{lease.get('created_utc')})"
+                            )
+                        except ValueError:
+                            sname += " (lease: unreadable)"
+                    stranded.append(sname)
                 # a hard crash mid sidecar-swap leaves _meta.json.new;
                 # the batch it belongs to is fully on disk (the .new
                 # name only lands after every data file), so completing

@@ -163,3 +163,24 @@ def test_mid_commit_idempotence_under_move_first_order(spark, tmp_path):
     got = spark.read.parquet(route)
     assert got.count() == 100
     assert got.filter(F.col("seg") == "MOVED").count() == n_victim
+
+
+def test_validate_lake_surfaces_lease_identity(spark, tmp_path):
+    """An operator inspecting a stranded stage via validate_lake sees
+    WHOSE it was (writer id + kind + creation time from the _lease) —
+    the diagnosis half of the single-writer contract."""
+    from iotgp_func_raw_data_ingest_spark.sources.maintenance import validate_lake
+
+    lake, route, cfg = _seed(spark, tmp_path, n=20, files=1)
+    stage = f"{route}/.merge-stage-stranded"
+    writer_id = write_stage_lease(spark, stage, "merge")
+    reports = validate_lake(spark, lake)
+    (rep,) = [r for r in reports if r["route"] == "curated/crm/accounts"]
+    tagged = [s for s in rep["stranded"] if s.startswith(".merge-stage-stranded")]
+    assert len(tagged) == 1
+    assert f"lease: merge/{writer_id[:8]}" in tagged[0]
+    # a hand-made stage without a lease keeps the bare name (back-compat)
+    os.makedirs(f"{route}/.delete-stage-bare")
+    reports = validate_lake(spark, lake)
+    (rep,) = [r for r in reports if r["route"] == "curated/crm/accounts"]
+    assert ".delete-stage-bare" in rep["stranded"]
