@@ -451,8 +451,10 @@ def compact_lake_table(
     tmp, old, tmp_p, old_p = _recover_swap(jvm, fs, hpath, path)
     # a READY staged replace (crashed keyed delete / pruned merge) must
     # land BEFORE the whole-route rewrite reads the doomed originals —
-    # the swap would otherwise discard the stage's intent entirely
+    # the swap would otherwise discard the stage's intent entirely; a
+    # surviving UNREADY (fresh, possibly live) stage refuses the swap
     heal_staged_replaces(spark, path)
+    refuse_live_unready_stages(spark, path)
 
     files_before = sum(
         1 for f in fs.listStatus(hpath) if f.getPath().getName().startswith("part-")
@@ -550,8 +552,10 @@ def upsert_lake_table(
     tmp, old, tmp_p, old_p = _recover_swap(jvm, fs, hpath, path)
     # complete any READY staged replace before reading the route (see
     # heal_staged_replaces — a whole-route rewrite over doomed originals
-    # would resurrect deleted keys / drop a crashed merge's output)
+    # would resurrect deleted keys / drop a crashed merge's output); a
+    # surviving UNREADY (fresh, possibly live) stage refuses the swap
     heal_staged_replaces(spark, path)
+    refuse_live_unready_stages(spark, path)
 
     # Last-write-wins must hold WITHIN a batch too: duplicate keys inside
     # one ``updates`` frame collapse to a single (arbitrary, since rows
@@ -931,8 +935,10 @@ def merge_lake_table(
         )
     # complete any READY staged replace before reading the route (see
     # heal_staged_replaces — the full-route swap would otherwise discard
-    # a crashed keyed delete's / pruned merge's committed intent)
+    # a crashed keyed delete's / pruned merge's committed intent); a
+    # surviving UNREADY (fresh, possibly live) stage refuses the swap
     heal_staged_replaces(spark, path)
+    refuse_live_unready_stages(spark, path)
 
     existing = read_lake_table(spark, lake_path, folder, source_db, table, fmt=fmt)
     evolved = _validate_merge_clauses(
@@ -1086,6 +1092,45 @@ def _stage_newest_mtime_millis(fs, stage_path) -> int:
             if st.isDirectory():
                 stack.append(st.getPath())
     return newest
+
+
+def refuse_live_unready_stages(spark: SparkSession, table_path: str) -> None:
+    """Guard for WHOLE-ROUTE rewriters (compaction, upsert, full merge):
+    their two-rename swap moves the entire route dir aside and deletes
+    it — any stage dir still inside is destroyed with it. After
+    ``heal_staged_replaces`` has run, the only unready stages left are
+    FRESH ones (inside the live-writer grace window), i.e. possibly a
+    concurrent maintenance writer mid-staging — a violation of the
+    single-writer-per-route contract (module docstring). Deleting such
+    a stage out from under a live writer lets it seal and commit a
+    gutted replacement (silent data loss), so refuse the swap LOUDLY
+    instead. Remedies in the message: wait out the grace window (a
+    genuine abort clears on the next pass) or, if the operator KNOWS no
+    writer is live, pre-clear with
+    ``heal_staged_replaces(..., unready_grace_seconds=0)``. Staged
+    writers (pruned merge, keyed delete) need no such guard — they
+    coexist with a foreign stage dir untouched."""
+    jvm, hpath, fs = _hadoop_fs(spark, table_path)
+    if not fs.exists(hpath):
+        return
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(_STAGE_PREFIXES):
+            ready = jvm.org.apache.hadoop.fs.Path(
+                f"{table_path}/{name}/_ready"
+            )
+            if not fs.exists(ready):
+                raise RuntimeError(
+                    f"whole-route rewrite refused: unready stage {name} in "
+                    f"{table_path} is inside the live-writer grace window — "
+                    "another maintenance writer may be mid-staging "
+                    "(single-writer-per-route contract). Wait out the "
+                    f"{int(UNREADY_STAGE_GRACE_SECONDS)}s grace (an aborted "
+                    "stage clears on the next maintenance pass) or, if no "
+                    "writer is live, pre-clear with "
+                    "heal_staged_replaces(spark, path, "
+                    "unready_grace_seconds=0)"
+                )
 
 
 def write_stage_lease(spark: SparkSession, stage: str, kind: str) -> str:

@@ -184,3 +184,66 @@ def test_validate_lake_surfaces_lease_identity(spark, tmp_path):
     reports = validate_lake(spark, lake)
     (rep,) = [r for r in reports if r["route"] == "curated/crm/accounts"]
     assert ".delete-stage-bare" in rep["stranded"]
+
+
+def test_whole_route_rewrite_refuses_fresh_unready_stage(spark, tmp_path):
+    """A whole-route rewriter's swap renames the route dir aside and
+    deletes it — a FRESH unready stage (possibly a live writer) inside
+    would be destroyed with it. Upsert / compaction / full merge must
+    refuse LOUDLY; after the stage ages past the grace window (a real
+    abort) the same call proceeds."""
+    import pytest
+
+    from iotgp_func_raw_data_ingest_spark.sources.lake import (
+        compact_lake_table,
+        merge_lake_table,
+        upsert_lake_table,
+    )
+
+    lake, route, cfg = _seed(spark, tmp_path, n=100, files=4)
+    stage = f"{route}/.merge-stage-maybe-live"
+    write_stage_lease(spark, stage, "merge")
+    src = spark.createDataFrame(
+        [(1, "U", 2.0)], "k long, seg string, bal double"
+    )
+    with pytest.raises(RuntimeError, match="grace window"):
+        upsert_lake_table(spark, lake, "curated", "crm", "accounts",
+                          src, ["k"], cfg)
+    with pytest.raises(RuntimeError, match="grace window"):
+        compact_lake_table(spark, lake, "curated", "crm", "accounts", cfg)
+    with pytest.raises(RuntimeError, match="grace window"):
+        merge_lake_table(spark, lake, "curated", "crm", "accounts",
+                         src, ["k"], cfg,
+                         matched_update={"seg": "s.seg"})
+    # stage AND route untouched by the refusals
+    assert os.path.exists(f"{stage}/_lease")
+    assert spark.read.parquet(route).count() == 100
+
+    # aged out = genuine abort: heal clears it, the rewrite proceeds
+    _backdate(stage)
+    upsert_lake_table(spark, lake, "curated", "crm", "accounts",
+                      src, ["k"], cfg)
+    assert not os.path.exists(stage)
+    got = {r["k"]: r["seg"] for r in spark.read.parquet(route).collect()}
+    assert got[1] == "U" and len(got) == 100
+
+
+def test_staged_writers_coexist_with_fresh_unready_stage(spark, tmp_path):
+    """Staged writers (pruned merge, keyed delete) replace individual
+    files — a foreign unready stage dir is untouched, so they must NOT
+    refuse (already pinned for the merge in
+    test_fresh_unready_stage_survives_concurrent_heal; pin the keyed
+    delete here)."""
+    from iotgp_func_raw_data_ingest_spark.sources.maintenance import (
+        delete_keys_from_table,
+    )
+
+    lake, route, cfg = _seed(spark, tmp_path, n=100, files=4)
+    stage = f"{route}/.delete-stage-maybe-live"
+    write_stage_lease(spark, stage, "delete")
+    report = delete_keys_from_table(
+        spark, route, "k", spark.range(3).select(F.col("id").alias("k"))
+    )
+    assert report["rows_deleted"] == 3
+    assert os.path.exists(f"{stage}/_lease")  # foreign stage untouched
+    assert spark.read.parquet(route).count() == 97

@@ -731,7 +731,10 @@ def main() -> int:
         "is the sum of three touched-slice replacements — bounded by CDC",
         "locality per batch, never by route size — and the committed-batch",
         "ledger plus per-batch PLAN/STAGE/COMMIT overhead is the flat",
-        "per-batch cost a steady trickle pays:",
+        "per-batch cost a steady trickle pays. Runs with persist_seq=True",
+        "(r10): the route-persisted _seq out-of-order guard adds one",
+        "comparison per matched row and 8 bytes/row to the rewritten",
+        "slice — the totals below show the pruning economics unchanged:",
         "",
     ] + [
         f"- {k}: {merge_reports[k]}"
