@@ -14,8 +14,9 @@ plan and runs NO Spark job — plan audits and EXPLAIN tooling iterate the
 whole registry and must stay scan-free. The sanctioned exceptions are
 the self-driving harness queries whose SUBJECT is an executed pipeline,
 not a plan: streaming checkpoint/restart legs (q177–q182, q189–q190,
-q197, q202, q219, q226, q230), lake write/maintain/read-back lifecycles
-(q179, q186, q195, q214, q228, q229), and eager SQL DDL/DML scripts
+q197, q202, q219, q226, q230, q231), lake write/maintain/read-back
+lifecycles (q179, q186, q195, q214, q228, q229, q232), and eager SQL
+DDL/DML scripts
 (q214, q221, q227). Those run jobs in the builder by nature (they write files, drain
 micro-batches, mutate tables) and pin results with localCheckpoint;
 q226's tranche-cut ``max(event_id)`` agg falls under this umbrella — a
@@ -67,6 +68,7 @@ from iotgp_func_raw_data_ingest_spark.plans import advanced_sql2  # noqa: E402,F
 from iotgp_func_raw_data_ingest_spark.plans import er_ops  # noqa: E402,F401
 from iotgp_func_raw_data_ingest_spark.plans import dml_ops  # noqa: E402,F401
 from iotgp_func_raw_data_ingest_spark.plans import streaming_queries6  # noqa: E402,F401
+from iotgp_func_raw_data_ingest_spark.plans import snapshot_ops  # noqa: E402,F401
 
 
 def _reorder() -> None:

@@ -1,0 +1,127 @@
+"""Round-10 tranche: generation-pointer snapshots over the lake
+(``sources/snapshots.py``).
+
+- q232: **time travel** — the reproducible-training-data primitive: a
+  route is snapshot-enabled (generation 1), a keyed delete rewrites the
+  affected files (generation 2), a compaction rewrites the whole layout
+  (generation 3) — and a read pinned to generation 1 must still return
+  the ORIGINAL rows byte-for-byte, resolved through the ``_retired/``
+  area both rewrites moved the replaced files into. The latest read
+  must see the delete and survive the compaction unchanged. The oracle
+  states both worlds declaratively (full table vs. key-filtered); the
+  gate catches a retired file silently deleted (gen-1 read raises or
+  shrinks), a generation manifest that captured a torn file set (counts
+  or sums drift), or a compaction that failed to salvage the history
+  (gen-1 read gone).
+
+Scale story (measured in tools/stress_smoke.py's snapshot tier):
+publish/resolve are driver-side metadata ops over one JSON of
+O(files-per-route) names — cost independent of data bytes; a snapshot
+read lists NOTHING (no recursive object-store LIST at 100 TB, the
+manifest IS the file list). Time travel holds until
+``prune_generations`` vacuums, exactly like any lakehouse retention
+contract.
+
+Reference parity: engine-added (SURVEY §2.6) — the reference has no
+reader-consistency or versioning story at all (its blob uploads are
+independent non-atomic puts, src/function_app.py:389-414).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iotgp_func_raw_data_ingest_spark.plans.registry import prep, register
+
+
+@register(
+    "q232_snapshot_time_travel",
+    oracle="""
+    SELECT 'g1_pre_delete' AS snapshot,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(ROUND(c_acctbal, 2)), 2) AS sum_bal
+    FROM customer
+    UNION ALL
+    SELECT 'latest' AS snapshot,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(ROUND(c_acctbal, 2)), 2) AS sum_bal
+    FROM customer
+    WHERE c_custkey % 97 <> 0
+    """,
+)
+def q232_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-enabled lake lifecycle: enable (gen 1) → keyed delete of
+    ``k % 97 = 0`` (gen 2, staged replace publishes + retires) →
+    compaction (gen 3, whole-route swap salvages the history) → read
+    generation 1 AND the latest generation via
+    ``snapshots.read_route_snapshot`` and aggregate each under a label.
+    The builder additionally asserts the generation ledger itself:
+    exactly [1, 2, 3] with kinds [enable, delete, compact], a non-empty
+    ``_retired/`` area, and gen-2 row count == gen-3 row count
+    (compaction must not change content). Eager lake lifecycle per the
+    plans/__init__ convention; result pinned with localCheckpoint
+    before the temp route is removed."""
+    from iotgp_func_raw_data_ingest_spark.config import EngineConfig
+    from iotgp_func_raw_data_ingest_spark.sources import snapshots as snap
+    from iotgp_func_raw_data_ingest_spark.sources.lake import compact_lake_table
+    from iotgp_func_raw_data_ingest_spark.sources.maintenance import (
+        delete_keys_from_table,
+    )
+
+    t = prep(spark, sf_dir)
+    cust = t["customer"].select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round("c_acctbal", 2).alias("bal"),
+    )
+    work = tempfile.mkdtemp(prefix="q232_")
+    try:
+        lake = f"{work}/lake"
+        cfg = EngineConfig(output_path=lake)
+        route = f"{lake}/curated/crm/customers"
+        cust.repartitionByRange(8, "k").write.parquet(route)
+
+        assert snap.enable_snapshots(spark, route) == 1
+        doomed = cust.filter(F.col("k") % 97 == 0).select("k")
+        delete_keys_from_table(spark, route, "k", doomed)
+        compact_lake_table(
+            spark, lake, "curated", "crm", "customers", cfg
+        )
+
+        gens = snap.list_generations(spark, route)
+        if gens != [1, 2, 3]:
+            raise AssertionError(f"q232: generation ledger is {gens}, not [1,2,3]")
+        kinds = [snap.read_generation(spark, route, g)["kind"] for g in gens]
+        if kinds != ["enable", "delete", "compact"]:
+            raise AssertionError(f"q232: generation kinds are {kinds}")
+        g2_n = snap.read_route_snapshot(spark, route, generation=2).count()
+        g3_n = snap.read_route_snapshot(spark, route, generation=3).count()
+        if g2_n != g3_n:
+            raise AssertionError(
+                f"q232: compaction changed row count ({g2_n} -> {g3_n})"
+            )
+        retired = snap.resolve_snapshot(spark, route, 1)["paths"]
+        if not any(snap.RETIRED_DIR in p for p in retired):
+            raise AssertionError(
+                "q232: generation 1 resolves entirely to live files — "
+                "the rewrites retired nothing, time travel untested"
+            )
+
+        def agg(df: DataFrame, label: str) -> DataFrame:
+            return df.agg(
+                F.lit(label).alias("snapshot"),
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.round(F.sum("bal"), 2).alias("sum_bal"),
+            ).select("snapshot", "n", "sum_bal")
+
+        out = agg(
+            snap.read_route_snapshot(spark, route, generation=1),
+            "g1_pre_delete",
+        ).unionByName(agg(snap.read_route_snapshot(spark, route), "latest"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

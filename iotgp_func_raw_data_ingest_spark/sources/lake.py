@@ -136,13 +136,65 @@ def write_route_meta(spark: SparkSession, dest: str, meta: dict) -> None:
         out.close()
 
 
+def _salvage_snapshot_history(jvm, fs, path: str, old: str, old_p) -> None:
+    """Dispose of a whole-route swap's swapped-aside old dir. For a
+    snapshot-enabled route (``sources/snapshots.py``): move the
+    ``_gen`` / ``_retired`` history back into the live route and RETIRE
+    the old dir's part files, so every committed generation stays
+    readable across the rewrite (time travel survives compaction).
+    Plain delete otherwise. Idempotent — re-runnable from any crash
+    point; merges are per-file with skip-if-present, so a half-done
+    salvage completes mechanically."""
+    if not fs.exists(old_p):
+        return
+    gen_src = jvm.org.apache.hadoop.fs.Path(f"{old}/_gen")
+    gen_dst = jvm.org.apache.hadoop.fs.Path(f"{path}/_gen")
+    enabled = fs.exists(gen_src) or fs.exists(gen_dst)
+    if enabled:
+        # per-file merge (not a dir rename): a crash replay may find the
+        # destination dir already created, or partially populated
+        for src_dir, dst_dir in (
+            (f"{old}/_gen", f"{path}/_gen"),
+            (f"{old}/_retired", f"{path}/_retired"),
+        ):
+            src_p = jvm.org.apache.hadoop.fs.Path(src_dir)
+            if not fs.exists(src_p):
+                continue
+            fs.mkdirs(jvm.org.apache.hadoop.fs.Path(dst_dir))
+            for st in fs.listStatus(src_p):
+                name = st.getPath().getName()
+                dst = jvm.org.apache.hadoop.fs.Path(f"{dst_dir}/{name}")
+                if fs.exists(dst):
+                    continue
+                if not fs.rename(st.getPath(), dst):
+                    raise IOError(
+                        f"snapshot salvage: could not move {name} from "
+                        f"{src_dir} to {dst_dir}"
+                    )
+        retired_dir = f"{path}/_retired"
+        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(retired_dir))
+        for st in fs.listStatus(old_p):
+            name = st.getPath().getName()
+            if not name.startswith("part-"):
+                continue
+            dst = jvm.org.apache.hadoop.fs.Path(f"{retired_dir}/{name}")
+            if fs.exists(dst):
+                continue
+            if not fs.rename(st.getPath(), dst):
+                raise IOError(
+                    f"snapshot salvage: could not retire {name} from {old}"
+                )
+    fs.delete(old_p, True)
+
+
 def _recover_swap(jvm, fs, hpath, path: str):
     """Shared preamble for swap-based rewrites (compaction, upsert).
 
     Crash recovery: a previous run that died between the two renames
     leaves the data at ``<path>.compact-old`` with nothing at ``<path>``
     — restore it. A leftover .compact-old WITH the route path present
-    means the prior swap completed but its cleanup didn't; drop it. Any
+    means the prior swap completed but its cleanup didn't; finish the
+    snapshot salvage (no-op for non-snapshot routes) and drop it. Any
     half-written ``.compact-tmp`` is deleted. Returns
     (tmp, old, tmp_path, old_path)."""
     tmp = f"{path}.compact-tmp"
@@ -156,24 +208,47 @@ def _recover_swap(jvm, fs, hpath, path: str):
                     f"swap recovery failed: could not restore {old} to {path}"
                 )
         else:
-            fs.delete(old_p, True)
+            _salvage_snapshot_history(jvm, fs, path, old, old_p)
     if fs.exists(tmp_p):
         fs.delete(tmp_p, True)
     return tmp, old, tmp_p, old_p
 
 
-def _swap_into_place(fs, hpath, tmp_p, old_p, path: str, tmp: str) -> None:
+def _swap_into_place(jvm, fs, hpath, tmp_p, old_p, path: str, tmp: str) -> None:
     """Two-rename swap with rollback: route dir → .compact-old, tmp →
-    route dir, then drop the old copy. A concurrent reader sees either
-    layout but may transiently see a missing path between the renames
-    (retry); a crash in the window is healed by ``_recover_swap`` on the
-    next invocation."""
+    route dir, then dispose of the old copy (plain delete, or — on a
+    snapshot-enabled route — salvage the generation history and retire
+    the replaced files first, ``_salvage_snapshot_history``). A
+    concurrent reader sees either layout but may transiently see a
+    missing path between the renames (retry); a crash in the window is
+    healed by ``_recover_swap`` on the next invocation. Snapshot
+    READERS are immune to the window once the caller's post-swap
+    generation publish lands: every older generation resolves through
+    ``_retired/``."""
     if not fs.rename(hpath, old_p):
         raise IOError(f"swap failed: could not move {path} aside")
     if not fs.rename(tmp_p, hpath):
         fs.rename(old_p, hpath)  # roll back
         raise IOError(f"swap failed: could not move {tmp} into place")
-    fs.delete(old_p, True)
+    _salvage_snapshot_history(jvm, fs, path, f"{path}.compact-old", old_p)
+
+
+def _refresh_generation_after_rewrite(
+    spark: SparkSession, path: str, kind: str
+) -> None:
+    """Post-swap snapshot commit for whole-route rewriters (compaction,
+    upsert, full merge): publish a full-listing generation naming the
+    freshly-swapped-in file set. Listing-based is safe HERE because the
+    whole-route rewriters already hold exclusive write access to the
+    route (refuse_live_unready_stages + the module's single-writer
+    contract). No-op for non-snapshot routes."""
+    from iotgp_func_raw_data_ingest_spark.sources.snapshots import (
+        publish_generation,
+        snapshots_enabled,
+    )
+
+    if snapshots_enabled(spark, path):
+        publish_generation(spark, path, kind=kind, full_listing=True)
 
 
 def read_route_meta(spark: SparkSession, dest: str) -> dict | None:
@@ -361,6 +436,34 @@ def write_lake_typed(
             raise
         finally:
             fs.delete(stage_p, True)
+        # snapshot-enabled route: commit the batch into the generation
+        # log (delta add — concurrency-safe CAS, snapshots.py). The
+        # batch is already durably committed above; a publish failure
+        # must surface loudly because until a generation names these
+        # files, snapshot readers will not see them.
+        from iotgp_func_raw_data_ingest_spark.sources.snapshots import (
+            publish_generation,
+            snapshots_enabled,
+        )
+
+        if snapshots_enabled(spark, dest):
+            try:
+                publish_generation(
+                    spark,
+                    dest,
+                    kind="append",
+                    add=[p.getName() for p in moved],
+                )
+            except Exception as exc:  # noqa: BLE001 - annotate, re-raise
+                raise IOError(
+                    f"route {dest}: batch committed but the snapshot "
+                    "generation publish failed — snapshot readers will "
+                    "not see this batch until a generation names its "
+                    "files; re-publish (snapshots.publish_generation "
+                    "with this batch's file names, or a full_listing "
+                    "publish during a quiet moment). Do not retry the "
+                    f"batch itself. Cause: {exc}"
+                ) from exc
         return dest
 
     written: list[str] = []
@@ -487,7 +590,8 @@ def compact_lake_table(
         meta["row_count"] = n_rows
         meta["max_records_per_file"] = target
         write_route_meta(spark, tmp, meta)
-    _swap_into_place(fs, hpath, tmp_p, old_p, path, tmp)
+    _swap_into_place(jvm, fs, hpath, tmp_p, old_p, path, tmp)
+    _refresh_generation_after_rewrite(spark, path, "compact")
 
     files_after = sum(
         1 for f in fs.listStatus(hpath) if f.getPath().getName().startswith("part-")
@@ -614,7 +718,8 @@ def upsert_lake_table(
     meta["row_count"] = rows_after
     meta.update(meta_extra or {})
     write_route_meta(spark, tmp, meta)
-    _swap_into_place(fs, hpath, tmp_p, old_p, path, tmp)
+    _swap_into_place(jvm, fs, hpath, tmp_p, old_p, path, tmp)
+    _refresh_generation_after_rewrite(spark, path, "upsert")
     return rows_before, rows_after
 
 
@@ -994,8 +1099,35 @@ def merge_lake_table(
     meta["row_count"] = rows_after
     meta.update(meta_extra or {})
     write_route_meta(spark, tmp, meta)
-    _swap_into_place(fs, hpath, tmp_p, old_p, path, tmp)
+    _swap_into_place(jvm, fs, hpath, tmp_p, old_p, path, tmp)
+    _refresh_generation_after_rewrite(spark, path, "merge_full")
     return rows_before, rows_after
+
+
+def _seal_stage(spark: SparkSession, stage: str, affected: list[str]) -> None:
+    """Seal a staged replace: write ``_manifest.json`` naming the doomed
+    originals AND the staged replacement part files (listed from the
+    stage itself — the write is complete by seal time), then the
+    ``_ready`` marker. The ``staged`` list is what keeps the snapshot
+    generation publish idempotent across crash-retries of the commit
+    (``_finish_staged_replace``): after the moves the stage no longer
+    holds the names, so they must ride the manifest."""
+    import json as _json
+
+    jvm, _, fs = _hadoop_fs(spark, stage)
+    stage_p = jvm.org.apache.hadoop.fs.Path(stage)
+    staged = sorted(
+        s.getPath().getName()
+        for s in fs.listStatus(stage_p)
+        if s.getPath().getName().startswith("part-")
+    )
+    manifest = _json.dumps({"affected": affected, "staged": staged}).encode("utf-8")
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(f"{stage}/_manifest.json"), True)
+    try:
+        out.write(bytearray(manifest))
+    finally:
+        out.close()
+    fs.create(jvm.org.apache.hadoop.fs.Path(f"{stage}/_ready"), True).close()
 
 
 def _finish_staged_replace(spark: SparkSession, table_path: str, stage_name: str) -> int:
@@ -1017,7 +1149,16 @@ def _finish_staged_replace(spark: SparkSession, table_path: str, stage_name: str
     at-least-once (delete-first could silently drop rows from a
     snapshot). A raise on any failed move/delete leaves the READY stage
     in place for an idempotent retry; because moves precede deletes, a
-    failed MOVE also leaves every original intact."""
+    failed MOVE also leaves every original intact.
+
+    Snapshot-enabled routes (``sources/snapshots.py``): after the moves
+    a new generation is published (delta add = the manifest's ``staged``
+    names, remove = ``affected``) and the originals are RETIRED into
+    ``_retired/`` instead of deleted, so prior generations stay readable
+    (time travel) and a snapshot reader never sees the commit half-done.
+    Both steps are idempotent under crash-retry — the delta is a set
+    operation (applying it twice yields the same file set) and retiring
+    skips already-retired names."""
     import json as _json
 
     jvm, _, fs = _hadoop_fs(spark, table_path)
@@ -1030,7 +1171,9 @@ def _finish_staged_replace(spark: SparkSession, table_path: str, stage_name: str
         raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
     finally:
         stream.close()
-    affected = _json.loads(raw.decode("utf-8"))["affected"]
+    m = _json.loads(raw.decode("utf-8"))
+    affected = m["affected"]
+    staged = m.get("staged")
     # every step below CHECKS its FS return and raises instead of
     # continuing: the staged files become the only copy of their rows
     # once the originals die — silently dropping the stage (or one file
@@ -1038,6 +1181,7 @@ def _finish_staged_replace(spark: SparkSession, table_path: str, stage_name: str
     # stage in place, so the next invocation (or validate_lake) retries
     # the finish idempotently.
     moved = 0
+    moved_names: list[str] = []
     for s in fs.listStatus(stage_p):
         name = s.getPath().getName()
         if name.startswith("part-"):
@@ -1050,13 +1194,45 @@ def _finish_staged_replace(spark: SparkSession, table_path: str, stage_name: str
                     "for retry"
                 )
             moved += 1
-    for name in affected:
-        p = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{name}")
-        if fs.exists(p) and not fs.delete(p, False):
-            raise IOError(
-                f"staged replace: could not delete original {name} in "
-                f"{table_path} — stage left in place for retry"
-            )
+            moved_names.append(name)
+
+    from iotgp_func_raw_data_ingest_spark.sources.snapshots import (
+        publish_generation,
+        retire_files,
+        snapshots_enabled,
+    )
+
+    if snapshots_enabled(spark, table_path):
+        if staged is None:
+            # a pre-snapshot-era stage being healed on a snapshot-enabled
+            # route: this run's own moves are the only name source. On a
+            # crash-RETRY of such a stage the replacement names are
+            # unknowable — refuse rather than publish a generation that
+            # silently omits live files.
+            if not moved_names and affected:
+                raise IOError(
+                    f"staged replace on snapshot-enabled {table_path}: "
+                    "legacy stage (no 'staged' name list) retried after "
+                    "a crash — replacement file names unknowable; "
+                    "re-publish a full-listing generation manually "
+                    "(snapshots.enable or publish_generation "
+                    "full_listing) during a quiet moment, then clear "
+                    f"the stage {stage_name}"
+                )
+            staged = moved_names
+        kind = "merge" if stage_name.startswith(".merge-stage-") else "delete"
+        publish_generation(
+            spark, table_path, kind=kind, add=staged, remove=affected
+        )
+        retire_files(spark, table_path, affected)
+    else:
+        for name in affected:
+            p = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{name}")
+            if fs.exists(p) and not fs.delete(p, False):
+                raise IOError(
+                    f"staged replace: could not delete original {name} in "
+                    f"{table_path} — stage left in place for retry"
+                )
     fs.delete(stage_p, True)
     return moved
 
@@ -1288,7 +1464,6 @@ def merge_lake_table_pruned(
     rows_inserted, rows_carried}`` (carried = affected-file rows kept
     unchanged; untouched files are not counted — they were never read).
     """
-    import json as _json
     import uuid as _uuid
 
     from pyspark.sql import Observation
@@ -1440,15 +1615,7 @@ def merge_lake_table_pruned(
         rows_carried=int(got["carried"] or 0),
     )
 
-    manifest = _json.dumps(
-        {"affected": [a.rsplit("/", 1)[-1] for a in affected]}
-    ).encode("utf-8")
-    out = fs.create(jvm.org.apache.hadoop.fs.Path(f"{stage}/_manifest.json"), True)
-    try:
-        out.write(bytearray(manifest))
-    finally:
-        out.close()
-    fs.create(jvm.org.apache.hadoop.fs.Path(f"{stage}/_ready"), True).close()
+    _seal_stage(spark, stage, [a.rsplit("/", 1)[-1] for a in affected])
 
     _finish_staged_replace(spark, path, stage_name)
 

@@ -437,7 +437,6 @@ def delete_keys_from_table(
 
     Returns ``{files_total, files_rewritten, rows_deleted, rows_kept}``.
     """
-    import json as _json
     import uuid as _uuid
 
     from iotgp_func_raw_data_ingest_spark.sources.lake import (
@@ -501,19 +500,12 @@ def delete_keys_from_table(
     ).save(stage)
     n_before = int(obs_in.get["n"])
     rows_kept = int(obs_out.get["n"])
-    # manifest names the doomed originals (basenames — the table dir is
-    # flat for part files), then the ready marker seals the stage
-    manifest = _json.dumps(
-        {"affected": [a.rsplit("/", 1)[-1] for a in affected]}
-    ).encode("utf-8")
-    out = fs.create(
-        jvm.org.apache.hadoop.fs.Path(f"{stage}/_manifest.json"), True
-    )
-    try:
-        out.write(bytearray(manifest))
-    finally:
-        out.close()
-    fs.create(jvm.org.apache.hadoop.fs.Path(f"{stage}/_ready"), True).close()
+    # manifest names the doomed originals and the staged survivors
+    # (basenames — the table dir is flat for part files), then the
+    # ready marker seals the stage
+    from iotgp_func_raw_data_ingest_spark.sources.lake import _seal_stage
+
+    _seal_stage(spark, stage, [a.rsplit("/", 1)[-1] for a in affected])
 
     _finish_keyed_delete(spark, table_path, stage_name)
     return {

@@ -1,0 +1,394 @@
+"""Generation-pointer snapshots for flat route directories.
+
+Closes the one reader-visibility gap the staged-replace protocol left
+open (``lake._finish_staged_replace`` ordering note): a directory-
+listing reader racing a multi-file commit transiently sees duplicated
+rows (move-first ordering made that the safe direction, but it is
+still an inconsistent read). A *snapshot reader* instead resolves one
+tiny JSON manifest naming the exact live file set, so every read is a
+consistent point-in-time view no matter what a writer is doing — the
+same idea as Delta's commit log or an Iceberg snapshot, built from two
+Hadoop-FS primitives and zero table-format dependencies.
+
+Layout (per route directory):
+
+- ``<route>/_gen/gen-<N>.json`` — one manifest per committed
+  generation: ``{"generation": N, "files": [part names...], "kind",
+  "writer", "created_utc_ms", "row_count"?}``. Underscore prefix keeps
+  it invisible to every Spark/Hadoop directory-listing reader.
+- ``<route>/_retired/<name>`` — data files replaced by a later
+  generation, kept (not deleted) so older generations stay readable
+  (time travel) until ``prune_generations`` vacuums them.
+
+Commit protocol (optimistic CAS, like a lakehouse commit log):
+
+1. write the manifest to ``_gen/.tmp-<uuid>``;
+2. atomically ``rename`` it to ``gen-<N>.json`` where N = latest + 1.
+   Hadoop ``rename`` refuses an existing destination on HDFS / local
+   FS, so exactly one concurrent publisher wins N; the loser re-reads
+   the winner's manifest and retries at N+1 with its delta intact.
+
+Every publish is **delta-based** (``add`` / ``remove`` file names on
+top of the parent manifest), never a directory listing: a listing
+taken while another writer is mid-commit could capture a torn batch,
+a delta by construction cannot. The only listing-based publishes are
+``enable_snapshots`` (first generation) and the whole-route-swap
+commit, both of which run under the lake's exclusive-rewrite contract.
+
+Object-store caveat (same one Delta documents for S3): the CAS step
+needs atomic rename-without-overwrite, which HDFS / ABFS / GCS / local
+filesystems give and bare S3A does not — front S3 with a consistent
+commit service or serialize publishers per route there.
+
+Reader guarantees:
+
+- ``read_route_snapshot`` (no generation): the latest *committed*
+  generation — never a half-committed file set, never torn appends.
+- ``read_route_snapshot(generation=K)``: time travel — the exact file
+  set of generation K, readable until a vacuum retires-and-prunes it.
+  Pinning a generation is how a training run records the exact bytes
+  it read (reproducible data lineage for LLM pipelines).
+- Snapshot resolution reads ONE small JSON instead of a recursive
+  directory listing — at 100 TB / millions of files on an object
+  store, that is the difference between a metadata call and a
+  multi-minute LIST storm.
+
+Scale: manifests are O(#files-per-route) names (routes are compacted,
+so thousands of names ≈ a few hundred KB); publish and resolve are
+pure driver-side metadata ops, no Spark job. 100 TB story: cost is
+independent of data bytes; the per-route file count is bounded by
+``compact_lake_table``.
+
+Reference parity note: the reference has no reader-consistency story
+at all — its blob uploads are independent non-atomic puts
+(src/function_app.py:389-414); this layer is engine-added surface.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from iotgp_func_raw_data_ingest_spark.sources.lake import _check_format, _hadoop_fs
+
+GEN_DIR = "_gen"
+RETIRED_DIR = "_retired"
+_GEN_PREFIX = "gen-"
+_GEN_SUFFIX = ".json"
+# zero-padded so lexicographic listing order == numeric order
+_GEN_WIDTH = 12
+
+
+def _gen_name(n: int) -> str:
+    return f"{_GEN_PREFIX}{n:0{_GEN_WIDTH}d}{_GEN_SUFFIX}"
+
+
+def _gen_number(name: str) -> int | None:
+    if not (name.startswith(_GEN_PREFIX) and name.endswith(_GEN_SUFFIX)):
+        return None
+    body = name[len(_GEN_PREFIX) : -len(_GEN_SUFFIX)]
+    return int(body) if body.isdigit() else None
+
+
+def _read_json(jvm, fs, path_str: str) -> dict:
+    stream = fs.open(jvm.org.apache.hadoop.fs.Path(path_str))
+    try:
+        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    return json.loads(raw.decode("utf-8"))
+
+
+def _write_json_atomic(jvm, fs, dest: str, payload: dict) -> bool:
+    """Write ``payload`` to a dot-temp next to ``dest`` and rename it
+    in. Returns False when the rename loses a CAS race (dest exists);
+    the temp is cleaned up either way, so a loser leaves no debris."""
+    parent = dest.rsplit("/", 1)[0]
+    tmp = f"{parent}/.tmp-{uuid.uuid4().hex}"
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+    out = fs.create(tmp_p, True)
+    try:
+        out.write(bytearray(json.dumps(payload, sort_keys=True).encode("utf-8")))
+    finally:
+        out.close()
+    if fs.rename(tmp_p, jvm.org.apache.hadoop.fs.Path(dest)):
+        return True
+    fs.delete(tmp_p, False)
+    return False
+
+
+def _list_gen_numbers(jvm, fs, route: str) -> list[int]:
+    gen_p = jvm.org.apache.hadoop.fs.Path(f"{route}/{GEN_DIR}")
+    if not fs.exists(gen_p):
+        return []
+    out = []
+    for st in fs.listStatus(gen_p):
+        n = _gen_number(st.getPath().getName())
+        if n is not None:
+            out.append(n)
+    return sorted(out)
+
+
+def _list_part_files(jvm, fs, route: str) -> list[str]:
+    hpath = jvm.org.apache.hadoop.fs.Path(route)
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(hpath)
+        if st.getPath().getName().startswith("part-")
+    )
+
+
+def snapshots_enabled(spark: SparkSession, route: str) -> bool:
+    """True once ``enable_snapshots`` has committed at least one
+    generation for this route — the switch every lake writer checks
+    before spending any effort on manifests or retirement."""
+    jvm, _, fs = _hadoop_fs(spark, route)
+    return bool(_list_gen_numbers(jvm, fs, route))
+
+
+def read_generation(spark: SparkSession, route: str, generation: int) -> dict:
+    """The committed manifest of one generation (raises if pruned or
+    never committed)."""
+    jvm, _, fs = _hadoop_fs(spark, route)
+    path = f"{route.rstrip('/')}/{GEN_DIR}/{_gen_name(generation)}"
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(path)):
+        raise FileNotFoundError(
+            f"generation {generation} of {route} does not exist "
+            "(never committed, or pruned by prune_generations)"
+        )
+    return _read_json(jvm, fs, path)
+
+
+def list_generations(spark: SparkSession, route: str) -> list[int]:
+    """Committed generation numbers, ascending (pruned ones absent)."""
+    jvm, _, fs = _hadoop_fs(spark, route)
+    return _list_gen_numbers(jvm, fs, route)
+
+
+def publish_generation(
+    spark: SparkSession,
+    route: str,
+    *,
+    kind: str,
+    add: list[str] | tuple[str, ...] = (),
+    remove: list[str] | tuple[str, ...] = (),
+    full_listing: bool = False,
+    row_count: int | None = None,
+    writer: str | None = None,
+    max_attempts: int = 32,
+) -> int:
+    """Commit the next generation and return its number.
+
+    Delta mode (default): files = parent.files − ``remove`` + ``add``.
+    Deltas compose correctly under concurrent publishers because each
+    CAS loser re-reads the winner's manifest and replays its own delta
+    on top — an append and a pruned merge hitting the same route both
+    land, in either order, with neither's files lost.
+
+    ``full_listing=True`` snapshots the directory as-is; ONLY safe when
+    the caller holds exclusive write access to the route (the
+    enable step and the whole-route-swap commit — both already
+    exclusive by the lake's contract), because a listing can capture
+    another writer's half-moved batch.
+    """
+    route = route.rstrip("/")
+    jvm, _, fs = _hadoop_fs(spark, route)
+    gen_dir = f"{route}/{GEN_DIR}"
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(gen_dir))
+    add_l = list(add)
+    remove_s = set(remove)
+    for _ in range(max_attempts):
+        nums = _list_gen_numbers(jvm, fs, route)
+        parent = nums[-1] if nums else 0
+        if full_listing:
+            files = _list_part_files(jvm, fs, route)
+        else:
+            base: list[str] = (
+                _read_json(jvm, fs, f"{gen_dir}/{_gen_name(parent)}")["files"]
+                if parent
+                else []
+            )
+            files = sorted((set(base) - remove_s) | set(add_l))
+        manifest = {
+            "generation": parent + 1,
+            "parent": parent or None,
+            "files": files,
+            "kind": kind,
+            "writer": writer or uuid.uuid4().hex,
+            "created_utc_ms": int(time.time() * 1000),
+        }
+        if row_count is not None:
+            manifest["row_count"] = row_count
+        if _write_json_atomic(jvm, fs, f"{gen_dir}/{_gen_name(parent + 1)}", manifest):
+            return parent + 1
+        # CAS lost: another publisher committed parent+1 first — replay
+        # our delta on top of their manifest
+    raise IOError(
+        f"publish_generation: lost the commit race {max_attempts} times "
+        f"on {route} — pathological publisher contention, retry later"
+    )
+
+
+def resolve_snapshot(
+    spark: SparkSession, route: str, generation: int | None = None
+) -> dict:
+    """The manifest of ``generation`` (default: latest) with a
+    ``paths`` key added — each file name resolved to its current
+    physical location (route root for live files, ``_retired/`` for
+    files replaced by a later generation). Raises if a referenced file
+    was vacuumed (the generation is no longer readable — prune it)."""
+    route = route.rstrip("/")
+    jvm, _, fs = _hadoop_fs(spark, route)
+    if generation is None:
+        nums = _list_gen_numbers(jvm, fs, route)
+        if not nums:
+            raise FileNotFoundError(
+                f"{route} has no committed generations — call "
+                "enable_snapshots first (or use the directory-listing "
+                "reader, lake.read_lake_table)"
+            )
+        generation = nums[-1]
+    manifest = read_generation(spark, route, generation)
+    paths = []
+    for name in manifest["files"]:
+        live = f"{route}/{name}"
+        retired = f"{route}/{RETIRED_DIR}/{name}"
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(live)):
+            paths.append(live)
+        elif fs.exists(jvm.org.apache.hadoop.fs.Path(retired)):
+            paths.append(retired)
+        else:
+            raise FileNotFoundError(
+                f"generation {generation} of {route} references {name}, "
+                "which is neither live nor retired — vacuumed by "
+                "prune_generations; this generation is gone"
+            )
+    out = dict(manifest)
+    out["paths"] = paths
+    return out
+
+
+def read_route_snapshot(
+    spark: SparkSession,
+    route: str,
+    fmt: str = "parquet",
+    generation: int | None = None,
+) -> DataFrame:
+    """Consistent point-in-time read of one route: exactly the files
+    the chosen generation committed, no matter what any writer is doing
+    concurrently. An empty generation yields an empty scan of the
+    route's schema-at-that-generation (zero files → empty DataFrame
+    with no columns is meaningless, so we raise instead: an empty
+    route has nothing to infer a schema from)."""
+    _check_format(fmt)
+    snap = resolve_snapshot(spark, route, generation)
+    if not snap["paths"]:
+        raise ValueError(
+            f"generation {snap['generation']} of {route} is empty — "
+            "no files to read (schema unknowable without a file)"
+        )
+    r = spark.read
+    if fmt == "parquet":
+        r = r.option("mergeSchema", "true")
+    if fmt == "csv":
+        r = r.option("header", "true")
+    return r.format(fmt).load(snap["paths"])
+
+
+def enable_snapshots(
+    spark: SparkSession, route: str, kind: str = "enable"
+) -> int:
+    """Turn snapshot tracking on for a route by committing its first
+    generation from a directory listing. Idempotent: if generations
+    already exist, returns the latest without committing. Must run
+    while no writer is mid-commit on the route (one quiet moment; every
+    subsequent publish is delta-based and concurrency-safe)."""
+    route = route.rstrip("/")
+    jvm, _, fs = _hadoop_fs(spark, route)
+    nums = _list_gen_numbers(jvm, fs, route)
+    if nums:
+        return nums[-1]
+    return publish_generation(spark, route, kind=kind, full_listing=True)
+
+
+def retire_files(spark: SparkSession, route: str, names: list[str]) -> int:
+    """Move replaced data files from the route root into ``_retired/``
+    (instead of deleting them) so older generations stay readable.
+    Idempotent per name: already-retired names are skipped; a name
+    missing from both places raises (that file was someone's data).
+    Returns the number of files moved this call."""
+    route = route.rstrip("/")
+    jvm, _, fs = _hadoop_fs(spark, route)
+    retired_dir = f"{route}/{RETIRED_DIR}"
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(retired_dir))
+    moved = 0
+    for name in names:
+        src = jvm.org.apache.hadoop.fs.Path(f"{route}/{name}")
+        dst = jvm.org.apache.hadoop.fs.Path(f"{retired_dir}/{name}")
+        if fs.exists(dst):
+            # a crashed prior attempt already moved it; if the source
+            # ALSO exists something re-created the name — refuse to
+            # guess which copy is authoritative
+            if fs.exists(src):
+                raise IOError(
+                    f"retire_files: {name} exists both live and retired "
+                    f"in {route} — resolve manually"
+                )
+            continue
+        if not fs.exists(src):
+            raise IOError(
+                f"retire_files: {name} is neither live nor retired in "
+                f"{route} — refusing to continue (a generation may "
+                "reference it)"
+            )
+        if not fs.rename(src, dst):
+            raise IOError(f"retire_files: could not move {name} into {retired_dir}")
+        moved += 1
+    return moved
+
+
+def prune_generations(
+    spark: SparkSession,
+    route: str,
+    keep_last: int = 10,
+    vacuum: bool = True,
+) -> dict:
+    """Drop generation manifests older than the newest ``keep_last``
+    and (optionally) vacuum ``_retired/`` files no retained generation
+    references. The latest generation is always kept. Returns
+    ``{"pruned_generations": [...], "vacuumed_files": [...]}``.
+
+    Run it like any retention job — scheduled, per route, under the
+    same single-writer-per-route contract as compaction (a vacuum
+    racing a publisher could otherwise delete a file a just-committed
+    manifest still references)."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the latest always stays)")
+    route = route.rstrip("/")
+    jvm, _, fs = _hadoop_fs(spark, route)
+    nums = _list_gen_numbers(jvm, fs, route)
+    keep = set(nums[-keep_last:])
+    pruned = []
+    for n in nums:
+        if n in keep:
+            continue
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(f"{route}/{GEN_DIR}/{_gen_name(n)}"), False
+        )
+        pruned.append(n)
+    vacuumed: list[str] = []
+    if vacuum:
+        referenced: set[str] = set()
+        for n in keep:
+            referenced.update(read_generation(spark, route, n)["files"])
+        retired_p = jvm.org.apache.hadoop.fs.Path(f"{route}/{RETIRED_DIR}")
+        if fs.exists(retired_p):
+            for st in fs.listStatus(retired_p):
+                name = st.getPath().getName()
+                if name not in referenced:
+                    fs.delete(st.getPath(), False)
+                    vacuumed.append(name)
+    return {"pruned_generations": pruned, "vacuumed_files": sorted(vacuumed)}
