@@ -13,6 +13,15 @@
   shrinks), a generation manifest that captured a torn file set (counts
   or sums drift), or a compaction that failed to salvage the history
   (gen-1 read gone).
+- q233: **change data feed** — the incremental-consumption primitive:
+  a snapshot-enabled route takes one pruned MERGE (updates + deletes +
+  re-keyed inserts), and ``read_changes_between(1, 2)`` must emit
+  EXACTLY the net row-level changes — update pre/post images, deleted
+  rows, inserted rows — with every carried row (rewritten-but-unchanged
+  ballast in the affected files) cancelled by the multiset diff. The
+  oracle reconstructs all four change classes declaratively from the
+  base table; a carried row leaking into the feed, a lost insert, or a
+  mis-classified update flips a count or sum.
 
 Scale story (measured in tools/stress_smoke.py's snapshot tier):
 publish/resolve are driver-side metadata ops over one JSON of
@@ -122,6 +131,120 @@ def q232_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             snap.read_route_snapshot(spark, route, generation=1),
             "g1_pre_delete",
         ).unionByName(agg(snap.read_route_snapshot(spark, route), "latest"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q233_generation_change_feed",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k, ROUND(c_acctbal, 2) AS bal FROM customer
+    ),
+    upd AS (SELECT k, bal FROM base WHERE k % 50 = 0 AND k % 97 <> 0),
+    del AS (SELECT k, bal FROM base WHERE k % 97 = 0),
+    ins AS (SELECT -(k + 1) AS k, ROUND(bal + 7.5, 2) AS bal
+            FROM base WHERE k % 61 = 0)
+    SELECT 'update_preimage' AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           ROUND(SUM(bal), 2) AS sum_bal
+    FROM upd
+    UNION ALL
+    SELECT 'update_postimage', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(k) AS BIGINT), ROUND(SUM(ROUND(bal + 1000, 2)), 2)
+    FROM upd
+    UNION ALL
+    SELECT 'delete', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(k) AS BIGINT), ROUND(SUM(bal), 2)
+    FROM del
+    UNION ALL
+    SELECT 'insert', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(k) AS BIGINT), ROUND(SUM(bal), 2)
+    FROM ins
+    """,
+)
+def q233_generation_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed lifecycle: snapshot-enable a range-clustered
+    customer route (gen 1), apply ONE pruned MERGE carrying all three
+    CDC shapes — op 'u' adds 1000 to bal for ``k % 50 = 0`` (and not a
+    delete key), op 'd' removes ``k % 97 = 0``, op 'i' inserts re-keyed
+    ``-(k+1)`` rows for ``k % 61 = 0`` — publishing generation 2, then read
+    ``snapshots.read_changes_between(1, 2, key_cols=['k'])`` and
+    aggregate per change class. The builder asserts the ledger is
+    exactly [enable, merge] and ``rows_carried > 0`` (so the feed's
+    carried-row cancellation is genuinely exercised — the affected
+    files were mostly ballast). Modular key conditions keep every
+    change class non-empty at every SF with no collected constants on
+    the oracle side. Eager lake lifecycle per the plans/__init__
+    convention; result pinned with localCheckpoint before the temp
+    route is removed.
+
+    100 TB shape: the feed reads ONLY the files generations 1 and 2
+    disagree on (``diff_generations`` is two small JSONs, no listing),
+    and the exceptAll shuffle carries delta bytes, not route bytes —
+    an incremental consumer pays ∝ what changed. Scattered ``k % 50``
+    keys deliberately touch many files here (feed correctness under
+    wide rewrites); the touched-files economics witness is q229."""
+    from iotgp_func_raw_data_ingest_spark.config import EngineConfig
+    from iotgp_func_raw_data_ingest_spark.sources import snapshots as snap
+    from iotgp_func_raw_data_ingest_spark.sources.lake import (
+        merge_lake_table_pruned,
+    )
+
+    t = prep(spark, sf_dir)
+    cust = t["customer"].select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round("c_acctbal", 2).alias("bal"),
+    )
+    work = tempfile.mkdtemp(prefix="q233_")
+    try:
+        lake = f"{work}/lake"
+        cfg = EngineConfig(output_path=lake)
+        route = f"{lake}/curated/crm/customers"
+        cust.repartitionByRange(8, "k").write.parquet(route)
+        assert snap.enable_snapshots(spark, route) == 1
+
+        updates = cust.filter(
+            (F.col("k") % 50 == 0) & (F.col("k") % 97 != 0)
+        ).withColumn("op", F.lit("u"))
+        deletes = cust.filter(F.col("k") % 97 == 0).withColumn(
+            "op", F.lit("d")
+        )
+        # re-key as -(k+1): strictly negative, so never a target match —
+        # a bare -k would collide at k = 0 (custkeys start at 0)
+        inserts = cust.filter(F.col("k") % 61 == 0).select(
+            (-(F.col("k") + 1)).alias("k"),
+            F.col("seg"),
+            F.round(F.col("bal") + 7.5, 2).alias("bal"),
+            F.lit("i").alias("op"),
+        )
+        report = merge_lake_table_pruned(
+            spark, lake, "curated", "crm", "customers",
+            updates.unionByName(deletes).unionByName(inserts), ["k"], cfg,
+            matched_update={"bal": "ROUND(t.bal + 1000, 2)"},
+            matched_update_condition="s.op = 'u'",
+            matched_delete_condition="s.op = 'd'",
+        )
+        if report["rows_carried"] <= 0:
+            raise AssertionError(
+                "q233: no carried rows — cancellation untested"
+            )
+        gens = snap.list_generations(spark, route)
+        kinds = [snap.read_generation(spark, route, g)["kind"] for g in gens]
+        if kinds != ["enable", "merge"]:
+            raise AssertionError(f"q233: generation kinds are {kinds}")
+
+        feed = snap.read_changes_between(spark, route, 1, 2, key_cols=["k"])
+        out = feed.groupBy(
+            F.col("_change_type").alias("change_type")
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.round(F.sum("bal"), 2).alias("sum_bal"),
+        )
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)

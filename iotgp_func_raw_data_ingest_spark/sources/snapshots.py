@@ -48,6 +48,10 @@ Reader guarantees:
   set of generation K, readable until a vacuum retires-and-prunes it.
   Pinning a generation is how a training run records the exact bytes
   it read (reproducible data lineage for LLM pipelines).
+- ``read_changes_between(from, to)``: change data feed — the net
+  row-level changes between two generations, computed from ONLY the
+  files the manifests disagree on (``diff_generations``), so an
+  incremental consumer pays ∝ delta, never a table re-read.
 - Snapshot resolution reads ONE small JSON instead of a recursive
   directory listing — at 100 TB / millions of files on an object
   store, that is the difference between a metadata call and a
@@ -296,6 +300,217 @@ def read_route_snapshot(
     if fmt == "csv":
         r = r.option("header", "true")
     return r.format(fmt).load(snap["paths"])
+
+
+def diff_generations(
+    spark: SparkSession,
+    route: str,
+    from_generation: int,
+    to_generation: int | None = None,
+) -> dict:
+    """File-level diff between two committed generations: which part
+    files the ``to`` generation added and removed relative to ``from``,
+    and which it shares (shared files are byte-identical by the
+    protocol — a committed part file is immutable; rewrites always land
+    under fresh names). Returns ``{"from", "to", "added", "removed",
+    "shared"}`` with name lists sorted.
+
+    This is the planning half of the change feed: the row-level reader
+    only ever opens ``added`` + ``removed`` files, so diff cost is
+    ∝ the data the generations actually disagree on — a pruned merge
+    that touched 1 file of 64 yields a 2-file diff, not a table scan.
+    Pure driver-side metadata (two small JSONs), no Spark job."""
+    route = route.rstrip("/")
+    jvm, _, fs = _hadoop_fs(spark, route)
+    if to_generation is None:
+        nums = _list_gen_numbers(jvm, fs, route)
+        if not nums:
+            raise FileNotFoundError(
+                f"{route} has no committed generations — call "
+                "enable_snapshots first"
+            )
+        to_generation = nums[-1]
+    from_files = set(read_generation(spark, route, from_generation)["files"])
+    to_files = set(read_generation(spark, route, to_generation)["files"])
+    return {
+        "from": from_generation,
+        "to": to_generation,
+        "added": sorted(to_files - from_files),
+        "removed": sorted(from_files - to_files),
+        "shared": sorted(from_files & to_files),
+    }
+
+
+def _resolve_file_names(jvm, fs, route: str, names: list[str]) -> list[str]:
+    """Resolve part-file names to their current physical location (live
+    root or ``_retired/``), raising if any was vacuumed."""
+    paths = []
+    for name in names:
+        live = f"{route}/{name}"
+        retired = f"{route}/{RETIRED_DIR}/{name}"
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(live)):
+            paths.append(live)
+        elif fs.exists(jvm.org.apache.hadoop.fs.Path(retired)):
+            paths.append(retired)
+        else:
+            raise FileNotFoundError(
+                f"{route} generation diff references {name}, which is "
+                "neither live nor retired — vacuumed by prune_generations"
+            )
+    return paths
+
+
+def _read_names(
+    spark: SparkSession, jvm, fs, route: str, names: list[str], fmt: str
+) -> DataFrame | None:
+    if not names:
+        return None
+    paths = _resolve_file_names(jvm, fs, route, names)
+    r = spark.read
+    if fmt == "parquet":
+        r = r.option("mergeSchema", "true")
+    if fmt == "csv":
+        r = r.option("header", "true")
+    return r.format(fmt).load(paths)
+
+
+def _align_columns(a: DataFrame, b: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Null-pad each side with the columns only the other has (schema
+    evolution between generations adds columns), then project both to
+    the same column order so ``exceptAll`` compares positionally-equal
+    rows."""
+    from pyspark.sql import functions as F
+
+    a_types = dict(a.dtypes)
+    b_types = dict(b.dtypes)
+    for name, dt in b_types.items():
+        if name not in a_types:
+            a = a.withColumn(name, F.lit(None).cast(dt))
+    for name, dt in a_types.items():
+        if name not in b_types:
+            b = b.withColumn(name, F.lit(None).cast(dt))
+    order = list(a.columns)  # a's order, with b-only extras already appended
+    return a.select(order), b.select(order)
+
+
+def read_changes_between(
+    spark: SparkSession,
+    route: str,
+    from_generation: int,
+    to_generation: int | None = None,
+    fmt: str = "parquet",
+    key_cols: list[str] | None = None,
+    change_col: str = "_change_type",
+) -> DataFrame:
+    """Change data feed: the row-level changes that transform the
+    ``from`` generation's view into the ``to`` generation's (default:
+    latest) — the incremental-consumption primitive a downstream
+    pipeline needs to refresh derived data without re-reading the
+    route. Compressed semantics (like Delta CDF between two versions):
+    the NET change per row across the generation span, not a replay of
+    intermediate states.
+
+    Plan (cost ∝ what the generations disagree on, never table size):
+
+    1. ``diff_generations`` — driver-side manifest diff; ``shared``
+       files are immutable-by-protocol and never opened.
+    2. Read ONLY the added and removed files; ``exceptAll`` both ways
+       (multiset semantics) cancels carried rows — rows a rewrite
+       copied unchanged into a replacement file — so a pruned merge's
+       99% carried ballast produces zero feed rows.
+    3. Rows surviving on the removed side are deletions; on the added
+       side, insertions. With ``key_cols``, a key present on both sides
+       is reclassified as an update: the removed row becomes
+       ``update_preimage`` and the added row ``update_postimage``
+       (rows with a NULL key never equal-join and stay insert/delete).
+
+    Output: the data columns (schema-evolution columns null-padded on
+    the older side) plus ``change_col`` ∈ {'insert', 'delete',
+    'update_preimage', 'update_postimage'}. Identical generations (or
+    ``from == to``) yield an empty feed with the same schema. A
+    reversed span (``from > to``) is the inverse feed — the rollback
+    view — by the same construction, no special casing.
+
+    Scale: the exceptAll shuffle carries only delta bytes (the touched
+    files), hashed on full rows — at a 1% CDC touch rate on a 100 TB
+    route that is a ~2 TB shuffle worst-case and typically far less
+    after carried-row cancellation happens map-side in the aggregate.
+    The key-classification join is keys-of-changed-rows sized.
+
+    Reference parity: engine-added (SURVEY §2.6) — the reference has no
+    versioning, so no notion of "what changed" (src/function_app.py
+    appends blobs blindly, :389-414).
+    """
+    from pyspark.sql import functions as F
+
+    _check_format(fmt)
+    route = route.rstrip("/")
+    jvm, _, fs = _hadoop_fs(spark, route)
+    d = diff_generations(spark, route, from_generation, to_generation)
+    removed = _read_names(spark, jvm, fs, route, d["removed"], fmt)
+    added = _read_names(spark, jvm, fs, route, d["added"], fmt)
+
+    if removed is None and added is None:
+        # no file-level difference → empty feed; schema comes from the
+        # to-generation's files (identical to from's by construction)
+        base_names = read_generation(spark, route, d["to"])["files"]
+        if not base_names:
+            raise ValueError(
+                f"generations {d['from']} and {d['to']} of {route} are "
+                "both empty — feed schema unknowable without a file"
+            )
+        base = _read_names(spark, jvm, fs, route, base_names[:1], fmt)
+        if change_col in base.columns:
+            raise ValueError(
+                f"change_col {change_col!r} collides with a data column — "
+                "pass a different name"
+            )
+        return base.limit(0).withColumn(change_col, F.lit(""))
+
+    if removed is None or added is None:
+        only = added if removed is None else removed
+        empty = only.limit(0)
+        removed = empty if removed is None else removed
+        added = empty if added is None else added
+    removed, added = _align_columns(removed, added)
+
+    data_cols = list(removed.columns)
+    if change_col in data_cols:
+        raise ValueError(
+            f"change_col {change_col!r} collides with a data column — "
+            "pass a different name"
+        )
+    if key_cols is not None:
+        missing = [k for k in key_cols if k not in data_cols]
+        if missing:
+            raise ValueError(f"key_cols not in the route's columns: {missing}")
+
+    deleted = removed.exceptAll(added)
+    inserted = added.exceptAll(removed)
+
+    if not key_cols:
+        return deleted.withColumn(change_col, F.lit("delete")).unionByName(
+            inserted.withColumn(change_col, F.lit("insert"))
+        )
+
+    upd_keys = (
+        deleted.select(*key_cols)
+        .intersect(inserted.select(*key_cols))
+        .withColumn("_is_update", F.lit(True))
+    )
+
+    def classify(df: DataFrame, upd_label: str, base_label: str) -> DataFrame:
+        joined = df.join(upd_keys, on=key_cols, how="left")
+        return joined.withColumn(
+            change_col,
+            F.when(F.col("_is_update"), F.lit(upd_label)).otherwise(
+                F.lit(base_label)
+            ),
+        ).select(*data_cols, change_col)
+
+    return classify(deleted, "update_preimage", "delete").unionByName(
+        classify(inserted, "update_postimage", "insert")
+    )
 
 
 def enable_snapshots(

@@ -401,6 +401,7 @@ def main() -> int:
         "merge_full_rewrite(1% CDC batch)",
         "merge_pruned(1% CDC batch)",
         "cdc_apply_stream(3 micro-batches)",
+        "snapshot_feed(1% CDC delta)",
     )
     if not name_filter or any(name_filter in n for n in _merge_tier_names):
         _shutil.rmtree(merge_work, ignore_errors=True)
@@ -424,7 +425,7 @@ def main() -> int:
             (F.col("id") % 9973).cast("double").alias("bal"),
             payload.alias("payload"),
         )
-        for variant in ("full", "pruned", "cdc"):
+        for variant in ("full", "pruned", "cdc", "feed"):
             merge_target.repartitionByRange(64, "k").write.parquet(
                 f"{merge_work}/{variant}/curated/crm/accounts"
             )
@@ -459,7 +460,7 @@ def main() -> int:
             matched_update={"bal": "ROUND(s.bal + 1.0, 2)"},
             matched_delete_condition="t.bal > 9000",
         )
-        if variant == "pruned":
+        if variant in ("pruned", "feed"):
             rep = merge_lake_table_pruned(
                 spark, lake, "curated", "crm", "accounts",
                 src, ["k"], mcfg, **kwargs,
@@ -565,11 +566,65 @@ def main() -> int:
         print(f"  cdc_stream: {rep}", flush=True)
         return spark.createDataFrame([{k2: int(v) for k2, v in rep.items()}])
 
+    def _feed_stress():
+        """Change-data-feed economics over the generation ledger: the
+        pruned merge's EXACT batch runs against a fourth identical
+        payload route that was snapshot-ENABLED first, so the merge
+        publishes generation 2 and retires the replaced originals. The
+        feed (read_changes_between 1→2) then pays for the DELTA only:
+        diff_generations resolves two JSONs (no listing, no scan) and
+        the multiset diff reads just the added+removed files. Witness:
+        bytes OPENED by the feed vs the route's live bytes — the
+        incremental consumer's cost model at 100 TB — plus feed-only
+        wall; the harness row's shuffle column audits the exceptAll
+        plan itself (delta-sized, never route-sized)."""
+        from iotgp_func_raw_data_ingest_spark.sources import snapshots as snap
+
+        lake = f"{merge_work}/feed"
+        route = f"{lake}/curated/crm/accounts"
+        snap.enable_snapshots(spark, route)
+        _merge_stress("feed")  # publishes gen 2, retires originals
+
+        d = snap.diff_generations(spark, route, 1, 2)
+
+        def _size(name: str) -> int:
+            for p in (
+                os.path.join(route, name),
+                os.path.join(route, "_retired", name),
+            ):
+                if os.path.exists(p):
+                    return os.path.getsize(p)
+            raise FileNotFoundError(name)
+
+        opened = sum(_size(n) for n in d["added"] + d["removed"])
+        live = sum(
+            os.path.getsize(os.path.join(route, f))
+            for f in os.listdir(route)
+            if f.startswith("part-")
+        )
+        t0 = time.perf_counter()
+        feed = snap.read_changes_between(spark, route, 1, 2, key_cols=["k"])
+        n_changes = feed.count()
+        feed_wall = time.perf_counter() - t0
+        rep = {
+            "feed_rows": n_changes,
+            "files_opened": len(d["added"]) + len(d["removed"]),
+            "files_shared_never_opened": len(d["shared"]),
+            "mb_opened": round(opened / 1e6),
+            "mb_route_live": round(live / 1e6),
+            "feed_wall_s": round(feed_wall, 1),
+        }
+        merge_reports["snapshot_feed"] = dict(rep)
+        print(f"  snapshot_feed: {rep}", flush=True)
+        # return the feed plan itself so the harness audits ITS shuffle
+        return snap.read_changes_between(spark, route, 1, 2, key_cols=["k"])
+
     ops.update(
         {
             "merge_full_rewrite(1% CDC batch)": lambda: _merge_stress("full"),
             "merge_pruned(1% CDC batch)": lambda: _merge_stress("pruned"),
             "cdc_apply_stream(3 micro-batches)": _cdc_stream_stress,
+            "snapshot_feed(1% CDC delta)": _feed_stress,
         }
     )
 
@@ -739,6 +794,24 @@ def main() -> int:
     ] + [
         f"- {k}: {merge_reports[k]}"
         for k in ("cdc_stream",)
+        if k in merge_reports
+    ] + [
+        "",
+        "snapshot_feed (r10) runs merge_pruned's exact batch against a",
+        "fourth identical route that was snapshot-ENABLED first, so the",
+        "merge publishes generation 2 and retires replaced originals.",
+        "read_changes_between(1, 2) then computes the net row-level",
+        "change feed: diff_generations opens two JSON manifests (no",
+        "listing, no scan) and names the added+removed files; the",
+        "multiset diff (exceptAll) reads ONLY those, cancelling the",
+        "carried rewrite ballast. The witness is bytes OPENED by the",
+        "feed vs the route's live bytes — the incremental consumer",
+        "pays ∝ delta, never a table re-scan (its harness row's",
+        "shuffle column audits the exceptAll plan itself):",
+        "",
+    ] + [
+        f"- {k}: {merge_reports[k]}"
+        for k in ("snapshot_feed",)
         if k in merge_reports
     ] + [
         "",
