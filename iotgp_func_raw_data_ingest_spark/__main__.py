@@ -29,7 +29,8 @@ Commands:
                                — small-files compaction, optional
                                  Z-order re-cluster
 - ``validate <lake>``          — health audit: sidecar row counts,
-                                 stranded swap dirs, per route
+                                 stranded swap dirs, generation-ledger
+                                 consistency, per route
 - ``expire <table_path> <partition_col> <cutoff>``
                                — retention: drop partitions below cutoff
 """
@@ -192,6 +193,14 @@ def main(argv: list[str] | None = None) -> int:
                 flags.append("ROWS-MISMATCH")
             if r["stranded"]:
                 flags.append(f"STRANDED{r['stranded']}")
+            s = r.get("snapshot")
+            if s and not s["snapshot_ok"]:
+                detail = []
+                if s["missing_files"]:
+                    detail.append(f"missing={s['missing_files']}")
+                if s["unpublished_files"]:
+                    detail.append(f"unpublished={s['unpublished_files']}")
+                flags.append(f"SNAPSHOT-BROKEN({' '.join(detail)})")
             if flags:
                 bad += 1
             print(f"{r['route']}: rows={r['n_rows']} meta={r['meta_rows']} "

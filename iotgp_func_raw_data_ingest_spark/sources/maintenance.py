@@ -267,7 +267,19 @@ def validate_lake(spark: SparkSession, lake_path: str, fmt: str = "parquet") -> 
     downstream analog of q170's field-completeness audit).
 
     Returns one dict per route:
-    ``{route, n_rows, meta_rows, rows_match, has_meta, stranded}``.
+    ``{route, n_rows, meta_rows, rows_match, has_meta, stranded,
+    snapshot}``. ``snapshot`` is None for routes without a generation
+    ledger; otherwise a sub-audit of the snapshot layer:
+    ``latest_generation``, ``generations`` (committed count),
+    ``missing_files`` (referenced by the latest generation but neither
+    live nor retired — a vacuum or operator deleted live history; the
+    latest snapshot read RAISES), ``unpublished_files`` (live part
+    files absent from the latest manifest — a writer appended without
+    publishing, so snapshot readers silently MISS those rows; publish a
+    delta-add or re-enable during a quiet moment), and
+    ``orphan_retired`` (retired files no committed generation
+    references — pure vacuum candidates, ``prune_generations`` clears
+    them). ``snapshot_ok`` is the rolled-up boolean.
 
     Scale: listing is O(routes); each route's count is a metadata-only
     parquet job (footer row counts — no data scan). Routes audit
@@ -383,9 +395,57 @@ def validate_lake(spark: SparkSession, lake_path: str, fmt: str = "parquet") -> 
                         "rows_match": meta_rows is None or meta_rows == n_rows,
                         "has_meta": meta is not None,
                         "stranded": stranded,
+                        "snapshot": _audit_snapshot(spark, jvm, fs, dest),
                     }
                 )
     return reports
+
+
+def _audit_snapshot(spark: SparkSession, jvm, fs, dest: str) -> dict | None:
+    """Generation-ledger sub-audit for one route (None when snapshots
+    were never enabled). Driver-side metadata only: the manifests are
+    small JSONs and the file checks are existence probes — no data
+    scan, so a fleet-wide sweep stays cheap at any route size."""
+    from iotgp_func_raw_data_ingest_spark.sources import snapshots as snap
+
+    jfs_path = jvm.org.apache.hadoop.fs.Path
+    gens = snap.list_generations(spark, dest)
+    if not gens:
+        return None
+    latest = snap.read_generation(spark, dest, gens[-1])
+    latest_files = set(latest["files"])
+    missing = []
+    for name in sorted(latest_files):
+        if not (
+            fs.exists(jfs_path(f"{dest}/{name}"))
+            or fs.exists(jfs_path(f"{dest}/{snap.RETIRED_DIR}/{name}"))
+        ):
+            missing.append(name)
+    live = {
+        st.getPath().getName()
+        for st in fs.listStatus(jfs_path(dest))
+        if st.getPath().getName().startswith("part-")
+    }
+    unpublished = sorted(live - latest_files)
+    referenced: set[str] = set()
+    for g in gens:
+        referenced.update(snap.read_generation(spark, dest, g)["files"])
+    orphan_retired = []
+    retired_p = jfs_path(f"{dest}/{snap.RETIRED_DIR}")
+    if fs.exists(retired_p):
+        orphan_retired = sorted(
+            st.getPath().getName()
+            for st in fs.listStatus(retired_p)
+            if st.getPath().getName() not in referenced
+        )
+    return {
+        "latest_generation": gens[-1],
+        "generations": len(gens),
+        "missing_files": missing,
+        "unpublished_files": unpublished,
+        "orphan_retired": orphan_retired,
+        "snapshot_ok": not missing and not unpublished,
+    }
 
 
 def _finish_keyed_delete(spark: SparkSession, table_path: str, stage_name: str) -> int:

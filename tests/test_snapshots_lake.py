@@ -254,3 +254,82 @@ def test_manifest_records_staged_names(spark, tmp_path):
     assert captured["affected"]
     # non-snapshot route: originals deleted outright, no _retired debris
     assert not os.path.exists(f"{route}/{snap.RETIRED_DIR}")
+
+
+# ---------------------------------------------------------------------------
+# validate_lake's generation-ledger sub-audit
+# ---------------------------------------------------------------------------
+
+
+def _snapshot_report(spark, lake):
+    from iotgp_func_raw_data_ingest_spark.sources.maintenance import validate_lake
+
+    reports = validate_lake(spark, lake)
+    assert len(reports) == 1
+    return reports[0]["snapshot"]
+
+
+def test_validate_snapshot_absent_without_ledger(spark, tmp_path):
+    lake, route, cfg = _seed(spark, tmp_path)
+    assert _snapshot_report(spark, lake) is None
+
+
+def test_validate_snapshot_healthy_after_delete(spark, tmp_path):
+    lake, route, cfg = _seed(spark, tmp_path)
+    snap.enable_snapshots(spark, route)
+    doomed = spark.range(0, 5).select(F.col("id").alias("k"))
+    delete_keys_from_table(spark, route, "k", doomed)
+    s = _snapshot_report(spark, lake)
+    assert s["snapshot_ok"] is True
+    assert s["latest_generation"] == 2 and s["generations"] == 2
+    assert s["missing_files"] == [] and s["unpublished_files"] == []
+    assert s["orphan_retired"] == []  # gen 1 still references the retired
+
+
+def test_validate_snapshot_flags_unpublished_append(spark, tmp_path):
+    """A writer that appends files WITHOUT publishing a generation makes
+    snapshot readers silently miss rows — the audit must surface it."""
+    lake, route, cfg = _seed(spark, tmp_path)
+    snap.enable_snapshots(spark, route)
+    extra = spark.range(900, 910).select(
+        F.col("id").alias("k"),
+        F.lit("x").alias("seg"),
+        F.lit(0.0).alias("bal"),
+    )
+    extra.coalesce(1).write.mode("append").parquet(route)  # no publish
+    s = _snapshot_report(spark, lake)
+    assert s["snapshot_ok"] is False
+    assert len(s["unpublished_files"]) == 1
+    assert s["missing_files"] == []
+
+
+def test_validate_snapshot_flags_missing_live_file(spark, tmp_path):
+    """A live file referenced by the latest generation deleted out from
+    under the ledger: the latest snapshot read raises — the audit names
+    the file."""
+    lake, route, cfg = _seed(spark, tmp_path)
+    snap.enable_snapshots(spark, route)
+    victim = _parts(route)[0]
+    os.remove(os.path.join(route, victim))
+    s = _snapshot_report(spark, lake)
+    assert s["snapshot_ok"] is False
+    assert s["missing_files"] == [victim]
+
+
+def test_validate_snapshot_lists_orphan_retired(spark, tmp_path):
+    """Retired files no committed generation references are pure vacuum
+    candidates — after pruning history, the audit lists what
+    prune_generations(vacuum=True) would clear, and stays snapshot_ok."""
+    lake, route, cfg = _seed(spark, tmp_path)
+    snap.enable_snapshots(spark, route)
+    doomed = spark.range(0, 5).select(F.col("id").alias("k"))
+    delete_keys_from_table(spark, route, "k", doomed)
+    # drop gen 1 but keep its retired files on disk
+    snap.prune_generations(spark, route, keep_last=1, vacuum=False)
+    s = _snapshot_report(spark, lake)
+    assert s["snapshot_ok"] is True
+    assert s["generations"] == 1
+    assert s["orphan_retired"]  # gen-1-only files, unreferenced now
+    got = snap.prune_generations(spark, route, keep_last=1, vacuum=True)
+    assert got["vacuumed_files"] == s["orphan_retired"]
+    assert _snapshot_report(spark, lake)["orphan_retired"] == []
