@@ -15,7 +15,7 @@ whole registry and must stay scan-free. The sanctioned exceptions are
 the self-driving harness queries whose SUBJECT is an executed pipeline,
 not a plan: streaming checkpoint/restart legs (q177–q182, q189–q190,
 q197, q202, q219, q226, q230, q231), lake write/maintain/read-back
-lifecycles (q179, q186, q195, q214, q228, q229, q232, q233), and eager SQL
+lifecycles (q179, q186, q195, q214, q228, q229, q232–q234), and eager SQL
 DDL/DML scripts
 (q214, q221, q227). Those run jobs in the builder by nature (they write files, drain
 micro-batches, mutate tables) and pin results with localCheckpoint;

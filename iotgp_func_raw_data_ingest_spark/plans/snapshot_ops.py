@@ -13,6 +13,14 @@
   shrinks), a generation manifest that captured a torn file set (counts
   or sums drift), or a compaction that failed to salvage the history
   (gen-1 read gone).
+- q234: **incremental view maintenance** — a keyed count+sum view
+  (``sources/ivm.py``) follows the route through a pruned MERGE and a
+  keyed delete via the change feed alone (initial build → two
+  incremental refreshes → noop), with DECIMAL sums so retractions are
+  exact, and must equal the oracle's from-scratch aggregate of the
+  declaratively reconstructed final state. A missed retraction, a
+  double-applied feed, or a group that failed to drop at zero flips a
+  count or sum.
 - q233: **change data feed** — the incremental-consumption primitive:
   a snapshot-enabled route takes one pruned MERGE (updates + deletes +
   re-keyed inserts), and ``read_changes_between(1, 2)`` must emit
@@ -244,6 +252,122 @@ def q233_generation_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.sum("k").cast("bigint").alias("sum_k"),
             F.round(F.sum("bal"), 2).alias("sum_bal"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q234_ivm_refresh",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k, c_mktsegment AS seg,
+             CAST(ROUND(c_acctbal, 2) AS DECIMAL(12,2)) AS bal
+      FROM customer
+    ),
+    merged AS (
+      SELECT k, seg,
+             CASE WHEN k % 50 = 0 AND k % 97 <> 0
+                  THEN CAST(bal + 1000 AS DECIMAL(12,2)) ELSE bal END AS bal
+      FROM base WHERE k % 97 <> 0
+      UNION ALL
+      SELECT -(k + 1) AS k, seg, CAST(bal + 7.5 AS DECIMAL(12,2)) AS bal
+      FROM base WHERE k % 61 = 0
+    ),
+    final AS (SELECT * FROM merged WHERE k % 3 <> 0)
+    SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(bal) AS DOUBLE) AS sum_bal
+    FROM final GROUP BY seg
+    """,
+)
+def q234_ivm_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-view-maintenance lifecycle: a seg → (count, exact
+    DECIMAL sum) view of a snapshot-enabled customer route is built once
+    (initial, generation 1), then maintained through q233's pruned
+    MERGE (updates + deletes + re-keyed inserts → generation 2) and a
+    keyed delete of ``k % 3 = 0`` (generation 3) purely from the change
+    feed — never re-scanning the route — and a fourth refresh must
+    no-op. The result is the maintained view itself (sums cast to
+    double at the edge, q75's exact-arithmetic rule); the oracle
+    reconstructs the final table state declaratively and aggregates
+    from scratch, so the gate catches a missed retraction, a
+    double-applied delta, or a zero-count group that failed to drop.
+    Eager lake lifecycle per the plans/__init__ convention.
+
+    100 TB shape: each refresh reads the delta files (feed) + the view
+    (groups-sized) + two JSON manifests; the one full scan is the
+    pinned initial build. Retraction-capable count/sum is exactly the
+    self-maintainable aggregate class — the append-only rollup
+    (q177/q180) covers min/max/HLL/KLL, which no feed can subtract."""
+    from iotgp_func_raw_data_ingest_spark.config import EngineConfig
+    from iotgp_func_raw_data_ingest_spark.sources import ivm
+    from iotgp_func_raw_data_ingest_spark.sources import snapshots as snap
+    from iotgp_func_raw_data_ingest_spark.sources.lake import (
+        merge_lake_table_pruned,
+    )
+    from iotgp_func_raw_data_ingest_spark.sources.maintenance import (
+        delete_keys_from_table,
+    )
+
+    t = prep(spark, sf_dir)
+    cust = t["customer"].select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round("c_acctbal", 2).cast("decimal(12,2)").alias("bal"),
+    )
+    work = tempfile.mkdtemp(prefix="q234_")
+    try:
+        lake = f"{work}/lake"
+        cfg = EngineConfig(output_path=lake)
+        route = f"{lake}/curated/crm/customers"
+        view = f"{work}/view"
+        cust.repartitionByRange(8, "k").write.parquet(route)
+        assert snap.enable_snapshots(spark, route) == 1
+
+        r0 = ivm.refresh_view_from_changes(spark, route, view, ["seg"], ["bal"])
+        if r0["mode"] != "initial":
+            raise AssertionError(f"q234: first refresh was {r0['mode']}")
+
+        updates = cust.filter(
+            (F.col("k") % 50 == 0) & (F.col("k") % 97 != 0)
+        ).withColumn("op", F.lit("u"))
+        deletes = cust.filter(F.col("k") % 97 == 0).withColumn(
+            "op", F.lit("d")
+        )
+        inserts = cust.filter(F.col("k") % 61 == 0).select(
+            (-(F.col("k") + 1)).alias("k"),
+            F.col("seg"),
+            (F.col("bal") + F.lit(7.5)).cast("decimal(12,2)").alias("bal"),
+            F.lit("i").alias("op"),
+        )
+        merge_lake_table_pruned(
+            spark, lake, "curated", "crm", "customers",
+            updates.unionByName(deletes).unionByName(inserts), ["k"], cfg,
+            matched_update={"bal": "CAST(t.bal + 1000 AS DECIMAL(12,2))"},
+            matched_update_condition="s.op = 'u'",
+            matched_delete_condition="s.op = 'd'",
+        )
+        r1 = ivm.refresh_view_from_changes(spark, route, view, ["seg"], ["bal"])
+
+        doomed = (
+            spark.read.parquet(route)
+            .filter(F.col("k") % 3 == 0)
+            .select("k")
+        )
+        delete_keys_from_table(spark, route, "k", doomed)
+        r2 = ivm.refresh_view_from_changes(spark, route, view, ["seg"], ["bal"])
+        r3 = ivm.refresh_view_from_changes(spark, route, view, ["seg"], ["bal"])
+        modes = (r1["mode"], r2["mode"], r3["mode"])
+        if modes != ("incremental", "incremental", "noop"):
+            raise AssertionError(f"q234: refresh modes were {modes}")
+        if not (r1["groups_delta"] and r2["groups_delta"]):
+            raise AssertionError("q234: an incremental refresh touched 0 groups")
+
+        out = ivm.read_view(spark, view).select(
+            "seg",
+            F.col("n_rows"),
+            F.col("sum_bal").cast("double").alias("sum_bal"),
         )
         return out.localCheckpoint(eager=True)
     finally:
