@@ -14,7 +14,13 @@ import re
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+# Python WORKERS (pandas UDFs, the Python DataSource) import the package
+# too, and they resolve it via PYTHONPATH, not the driver's sys.path —
+# without this, running bench.py from outside the repo silently fails
+# every worker-side-import query (-1.0 timings)
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 from iotgp_func_raw_data_ingest_spark.config import EngineConfig
 from iotgp_func_raw_data_ingest_spark.plans import QUERIES
