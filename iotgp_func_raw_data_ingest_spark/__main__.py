@@ -33,6 +33,18 @@ Commands:
                                  consistency, per route
 - ``expire <table_path> <partition_col> <cutoff>``
                                — retention: drop partitions below cutoff
+- ``snapshot-enable <route>``  — turn on generation pointers (consistent
+                                 reads, time travel, change feed)
+- ``snapshot-log <route>``     — the generation ledger (one line per
+                                 committed generation)
+- ``snapshot-prune <route> [--keep N] [--no-vacuum]``
+                               — retention for the ledger + retired files
+- ``changes <route> <from_gen> [to_gen] [--key-cols a,b] [--limit N]``
+                               — print the change data feed between two
+                                 generations
+- ``ivm-refresh <route> <view> --group-cols a,b [--sum-cols x,y]``
+                               — create / incrementally refresh an exact
+                                 count+sum view from the change feed
 """
 
 from __future__ import annotations
@@ -92,6 +104,30 @@ def main(argv: list[str] | None = None) -> int:
     p_expire.add_argument("partition_col")
     p_expire.add_argument("cutoff")
     p_expire.add_argument("--dry-run", action="store_true")
+
+    p_sen = sub.add_parser("snapshot-enable", help="turn on generation pointers")
+    p_sen.add_argument("route")
+
+    p_slog = sub.add_parser("snapshot-log", help="print the generation ledger")
+    p_slog.add_argument("route")
+
+    p_spr = sub.add_parser("snapshot-prune", help="ledger + retired retention")
+    p_spr.add_argument("route")
+    p_spr.add_argument("--keep", type=int, default=10)
+    p_spr.add_argument("--no-vacuum", action="store_true")
+
+    p_chg = sub.add_parser("changes", help="change feed between generations")
+    p_chg.add_argument("route")
+    p_chg.add_argument("from_gen", type=int)
+    p_chg.add_argument("to_gen", type=int, nargs="?", default=None)
+    p_chg.add_argument("--key-cols", default="")
+    p_chg.add_argument("--limit", type=int, default=20)
+
+    p_ivm = sub.add_parser("ivm-refresh", help="refresh a count+sum view")
+    p_ivm.add_argument("route")
+    p_ivm.add_argument("view")
+    p_ivm.add_argument("--group-cols", required=True)
+    p_ivm.add_argument("--sum-cols", default="")
 
     args = p.parse_args(argv)
 
@@ -219,6 +255,66 @@ def main(argv: list[str] | None = None) -> int:
         )
         verb = "would drop" if args.dry_run else "dropped"
         print(f"{verb}: {dropped or 'nothing'}")
+        return 0
+
+    if args.cmd == "snapshot-enable":
+        from iotgp_func_raw_data_ingest_spark.sources import snapshots as snap
+
+        g = snap.enable_snapshots(spark, args.route)
+        print(f"snapshots enabled; latest generation: {g}")
+        return 0
+
+    if args.cmd == "snapshot-log":
+        from iotgp_func_raw_data_ingest_spark.sources import snapshots as snap
+
+        gens = snap.list_generations(spark, args.route)
+        if not gens:
+            print("no generation ledger (snapshot-enable first)")
+            return 1
+        for g in gens:
+            m = snap.read_generation(spark, args.route, g)
+            rows = m.get("row_count")
+            print(
+                f"gen {g}: kind={m['kind']} files={len(m['files'])}"
+                + (f" rows={rows}" if rows is not None else "")
+                + f" writer={str(m.get('writer'))[:8]}"
+            )
+        return 0
+
+    if args.cmd == "snapshot-prune":
+        from iotgp_func_raw_data_ingest_spark.sources import snapshots as snap
+
+        out = snap.prune_generations(
+            spark, args.route, keep_last=args.keep, vacuum=not args.no_vacuum
+        )
+        print(
+            f"pruned generations: {out['pruned_generations'] or 'none'}; "
+            f"vacuumed files: {len(out['vacuumed_files'])}"
+        )
+        return 0
+
+    if args.cmd == "changes":
+        from iotgp_func_raw_data_ingest_spark.sources import snapshots as snap
+
+        keys = [c for c in args.key_cols.split(",") if c] or None
+        feed = snap.read_changes_between(
+            spark, args.route, args.from_gen, args.to_gen, key_cols=keys
+        )
+        feed.show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "ivm-refresh":
+        from iotgp_func_raw_data_ingest_spark.sources import ivm
+
+        report = ivm.refresh_view_from_changes(
+            spark, args.route, args.view,
+            [c for c in args.group_cols.split(",") if c],
+            [c for c in args.sum_cols.split(",") if c],
+        )
+        print(
+            f"{report['mode']}: applied {report['applied_from']} -> "
+            f"{report['applied_to']}; groups touched: {report['groups_delta']}"
+        )
         return 0
 
     return 2  # unreachable

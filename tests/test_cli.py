@@ -94,3 +94,49 @@ def test_cli_stream_ingest_once(spark, tmp_path):
     # restart on the drained checkpoint: no duplicate appends
     assert main(["stream-ingest", str(src), lake, ckpt, "--once"]) == 0
     assert spark.read.parquet(route).count() == 2
+
+
+def test_cli_snapshot_changes_ivm_lifecycle(spark, tmp_path, capsys):
+    """The snapshot/feed/IVM verbs compose end-to-end from the CLI:
+    enable → mutate (keyed delete) → log shows both generations →
+    changes prints the feed → ivm-refresh builds then no-ops →
+    snapshot-prune reports retention."""
+    from pyspark.sql import functions as F
+
+    from iotgp_func_raw_data_ingest_spark.sources.maintenance import (
+        delete_keys_from_table,
+    )
+
+    route = str(tmp_path / "lake" / "curated" / "crm" / "accounts")
+    spark.range(1, 101).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("seg"),
+        F.col("id").cast("decimal(10,2)").alias("bal"),
+    ).repartition(2).write.parquet(route)
+
+    assert main(["snapshot-enable", route]) == 0
+    assert "generation: 1" in capsys.readouterr().out
+
+    doomed = spark.range(1, 11).select(F.col("id").alias("k"))
+    delete_keys_from_table(spark, route, "k", doomed)
+
+    assert main(["snapshot-log", route]) == 0
+    log = capsys.readouterr().out
+    assert "gen 1: kind=enable" in log and "gen 2: kind=delete" in log
+
+    assert main(["changes", route, "1", "2", "--key-cols", "k"]) == 0
+    out = capsys.readouterr().out
+    assert "delete" in out and "_change_type" in out
+
+    view = str(tmp_path / "view")
+    cli = ["ivm-refresh", route, view, "--group-cols", "seg",
+           "--sum-cols", "bal"]
+    assert main(cli) == 0
+    assert capsys.readouterr().out.startswith("initial")
+    assert main(cli) == 0
+    assert capsys.readouterr().out.startswith("noop")
+
+    assert main(["snapshot-prune", route, "--keep", "1"]) == 0
+    assert "pruned generations: [1]" in capsys.readouterr().out
+
+    assert main(["snapshot-log", str(tmp_path / "nolake")]) == 1
