@@ -155,8 +155,16 @@ def refresh_view_from_changes(
                 f"{view_path} exists but has no {IVM_META} sidecar — not "
                 "an IVM view; refusing to overwrite it"
             )
-        view.write.format(fmt).save(view_path)
-        _write_meta(jvm, fs, view_path, {**spec, "applied_generation": latest})
+        # stage data + sidecar together, land with ONE rename: a crash
+        # can never leave a sidecar-less view (a half-written stage is
+        # cleared by _recover_swap on the next call)
+        view.write.format(fmt).mode("overwrite").save(tmp)
+        _write_meta(jvm, fs, tmp, {**spec, "applied_generation": latest})
+        fs.mkdirs(vpath.getParent())
+        if not fs.rename(tmp_p, vpath):
+            raise IOError(
+                f"IVM initial build: could not move {tmp} to {view_path}"
+            )
         return {
             "mode": "initial",
             "applied_from": None,

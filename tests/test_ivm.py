@@ -190,6 +190,27 @@ def test_guardrails(spark, tmp_path):
         ivm.refresh_view_from_changes(spark, route, not_view, ["seg"])
 
 
+def test_initial_build_crash_window(spark, tmp_path):
+    """A crash during the initial build (staged tmp fully written,
+    final rename never ran) must leave NO view — the next call clears
+    the stage and builds cleanly; a sidecar-less view can never exist."""
+    lake, route, cfg, view = _seed(spark, tmp_path, n=30, files=1)
+    # simulate: stage dir present with data + sidecar, no view
+    staged = view + ".compact-tmp"
+    spark.range(1).write.parquet(staged)
+    jvm, _, fs = ivm._hadoop_fs(spark, staged)
+    ivm._write_meta(
+        jvm, fs, staged,
+        {"source_route": route, "group_cols": ["seg"], "sum_cols": ["bal"],
+         "applied_generation": 1},
+    )
+    assert not os.path.exists(view)
+    r = ivm.refresh_view_from_changes(spark, route, view, ["seg"], ["bal"])
+    assert r["mode"] == "initial"
+    assert not os.path.exists(staged)
+    assert _view_rows(spark, view) == _recompute(spark, route)
+
+
 def test_crash_window_healing(spark, tmp_path):
     lake, route, cfg, view = _seed(spark, tmp_path, n=60, files=2)
     ivm.refresh_view_from_changes(spark, route, view, ["seg"], ["bal"])
