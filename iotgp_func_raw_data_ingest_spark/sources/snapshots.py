@@ -481,6 +481,11 @@ def read_changes_between(
             "pass a different name"
         )
     if key_cols is not None:
+        if not key_cols:
+            raise ValueError(
+                "key_cols=[] would classify on nothing — pass None for "
+                "plain insert/delete semantics, or name the key columns"
+            )
         missing = [k for k in key_cols if k not in data_cols]
         if missing:
             raise ValueError(f"key_cols not in the route's columns: {missing}")

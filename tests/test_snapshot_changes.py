@@ -223,6 +223,8 @@ def test_error_paths(spark, tmp_path):
         _feed(spark, route, 1, 2, change_col="bal")
     with pytest.raises(ValueError, match="key_cols"):
         _feed(spark, route, 1, 2, key_cols=["nope"])
+    with pytest.raises(ValueError, match="key_cols"):
+        _feed(spark, route, 1, 2, key_cols=[])
     with pytest.raises(FileNotFoundError):
         snap.diff_generations(spark, route, 99, 2)
 
