@@ -311,10 +311,16 @@ def main(argv: list[str] | None = None) -> int:
             [c for c in args.group_cols.split(",") if c],
             [c for c in args.sum_cols.split(",") if c],
         )
-        print(
-            f"{report['mode']}: applied {report['applied_from']} -> "
-            f"{report['applied_to']}; groups touched: {report['groups_delta']}"
-        )
+        if report["mode"] == "initial":
+            # applied_from/groups_delta are None on an initial build —
+            # print the one fact that matters instead of "None -> 1"
+            print(f"initial build at generation {report['applied_to']}")
+        else:
+            print(
+                f"{report['mode']}: applied {report['applied_from']} -> "
+                f"{report['applied_to']}; "
+                f"groups touched: {report['groups_delta']}"
+            )
         return 0
 
     return 2  # unreachable

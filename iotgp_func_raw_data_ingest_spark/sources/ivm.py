@@ -209,11 +209,19 @@ def refresh_view_from_changes(
     delta = feed.groupBy(*group_cols).agg(*delta_exprs)
 
     current = read_view(spark, view_path, fmt=fmt)
-    combine_exprs = [F.sum(COUNT_COL).cast("bigint").alias(COUNT_COL)]
-    combine_exprs += [F.sum(_sum_col(c)).alias(_sum_col(c)) for c in sum_cols]
-    # align delta's sum dtypes to the view's (sign * decimal widens) so
-    # the union does not silently promote the persisted schema
+    # align BOTH the delta's sum dtypes (sign * decimal widens) and the
+    # combine re-aggregate's outputs (F.sum over decimal widens precision
+    # by 10 per refresh) back to the view's persisted dtypes, so the
+    # on-disk schema is stable across refreshes instead of drifting
+    # decimal(22,2) -> (32,2) -> (38,2). The view dtype is the initial
+    # build's F.sum output — already 10 digits wider than the measure —
+    # so the cast-back cannot lose a value the view could hold anyway.
     view_types = dict(current.dtypes)
+    combine_exprs = [F.sum(COUNT_COL).cast("bigint").alias(COUNT_COL)]
+    combine_exprs += [
+        F.sum(_sum_col(c)).cast(view_types[_sum_col(c)]).alias(_sum_col(c))
+        for c in sum_cols
+    ]
     delta = delta.select(
         *group_cols,
         F.col(COUNT_COL),

@@ -420,9 +420,14 @@ def read_changes_between(
        99% carried ballast produces zero feed rows.
     3. Rows surviving on the removed side are deletions; on the added
        side, insertions. With ``key_cols``, a key present on both sides
-       is reclassified as an update: the removed row becomes
-       ``update_preimage`` and the added row ``update_postimage``
-       (rows with a NULL key never equal-join and stay insert/delete).
+       WITH EQUAL MULTIPLICITY is reclassified as an update: its removed
+       rows become ``update_preimage`` and its added rows
+       ``update_postimage`` (for a unique key — what the merge/delete
+       primitives already require — that is the familiar one-pre/one-post
+       pair). A key whose net-removed and net-added counts DIFFER cannot
+       be presented as paired images, so its rows keep the plain
+       delete/insert labels instead of emitting unpairable images (rows
+       with a NULL key never equal-join and likewise stay insert/delete).
 
     Output: the data columns (schema-evolution columns null-padded on
     the older side) plus ``change_col`` ∈ {'insert', 'delete',
@@ -498,9 +503,21 @@ def read_changes_between(
             inserted.withColumn(change_col, F.lit("insert"))
         )
 
+    # update = a key present on both sides with EQUAL multiplicity (a
+    # unique key gives the 1:1 pre/post pair; M:N with M != N has no
+    # pairing, so those keys fall back to delete/insert). Both counts
+    # are keys-of-changed-rows sized aggregations over the already
+    # delta-sized diff — no new table-scale work.
+    del_counts = deleted.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("_n_del")
+    )
+    ins_counts = inserted.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("_n_ins")
+    )
     upd_keys = (
-        deleted.select(*key_cols)
-        .intersect(inserted.select(*key_cols))
+        del_counts.join(ins_counts, on=key_cols, how="inner")
+        .filter(F.col("_n_del") == F.col("_n_ins"))
+        .select(*key_cols)
         .withColumn("_is_update", F.lit(True))
     )
 

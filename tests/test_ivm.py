@@ -231,3 +231,33 @@ def test_crash_window_healing(spark, tmp_path):
     assert r["mode"] == "incremental"
     assert not os.path.exists(view + ".compact-old")
     assert _view_rows(spark, view) == _recompute(spark, route)
+
+
+def test_persisted_schema_stable_across_refreshes(spark, tmp_path):
+    """The combine re-aggregate must not widen the persisted decimal
+    sum column each refresh (decimal(22,2) -> (32,2) -> (38,2) drift):
+    the on-disk view schema after any number of incremental refreshes
+    equals the initial build's."""
+    lake, route, cfg, view = _seed(spark, tmp_path)
+    ivm.refresh_view_from_changes(spark, route, view, ["seg"], ["bal"])
+    initial_types = dict(ivm.read_view(spark, view).dtypes)
+    assert initial_types["sum_bal"] == "decimal(22,2)"
+
+    for lo, hi in ((280, 301), (1, 20)):
+        src = spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 5).cast("string").alias("seg"),
+            F.lit(2.75).cast("decimal(12,2)").alias("bal"),
+            F.lit("u").alias("op"),
+        )
+        merge_lake_table_pruned(
+            spark, lake, "curated", "crm", "accounts", src, ["k"], cfg,
+            matched_update={"bal": "s.bal"},
+            matched_update_condition="s.op = 'u'",
+            matched_delete_condition="s.op = 'd'",
+        )
+        r = ivm.refresh_view_from_changes(spark, route, view, ["seg"], ["bal"])
+        assert r["mode"] == "incremental"
+        assert dict(ivm.read_view(spark, view).dtypes) == initial_types
+
+    assert _view_rows(spark, view) == _recompute(spark, route)

@@ -240,3 +240,54 @@ def test_empty_generations_raise(spark, tmp_path):
     snap.publish_generation(spark, route, kind="truncate", remove=files)
     with pytest.raises(ValueError, match="empty"):
         _feed(spark, route, 2, 2)
+
+
+def test_duplicate_key_multiplicity_mismatch_falls_back(spark, tmp_path):
+    """With duplicate keys, a key whose net-removed and net-added row
+    counts DIFFER cannot be presented as paired update images — its rows
+    must keep plain delete/insert labels; a key with EQUAL multiplicity
+    (including >1) still classifies as update pre/post images."""
+    lake = str(tmp_path / "lake")
+    route = f"{lake}/curated/crm/dups"
+    rows = [
+        # key 1: two identical-key rows now, one later  -> 2 removed, 1 added
+        (1, 10.0), (1, 11.0),
+        # key 2: two rows now, two (changed) later      -> 2:2, update
+        (2, 20.0), (2, 21.0),
+        # key 3: untouched carried ballast
+        (3, 30.0),
+    ]
+    spark.createDataFrame(rows, "k int, bal double").coalesce(1).write.parquet(
+        route
+    )
+    assert snap.enable_snapshots(spark, route) == 1
+
+    after = [
+        (1, 12.0),                 # key 1 collapsed to one row
+        (2, 22.0), (2, 23.0),      # key 2 rewritten, same multiplicity
+        (3, 30.0),                 # carried
+    ]
+    import os
+
+    before_files = set(snap.read_generation(spark, route, 1)["files"])
+    spark.createDataFrame(after, "k int, bal double").coalesce(
+        1
+    ).write.mode("append").parquet(route)
+    added = sorted(
+        f for f in os.listdir(route)
+        if f.startswith("part-") and f not in before_files
+    )
+    snap.publish_generation(
+        spark, route, kind="rewrite", add=added, remove=sorted(before_files)
+    )
+
+    feed = _feed(spark, route, 1, 2, key_cols=["k"])
+    got = {(r["k"], r["bal"], r["_change_type"]) for r in feed.collect()}
+    assert got == {
+        # key 1: 2 removed vs 1 added -> no pairing, plain labels
+        (1, 10.0, "delete"), (1, 11.0, "delete"), (1, 12.0, "insert"),
+        # key 2: equal multiplicity -> update images
+        (2, 20.0, "update_preimage"), (2, 21.0, "update_preimage"),
+        (2, 22.0, "update_postimage"), (2, 23.0, "update_postimage"),
+        # key 3 carried: cancelled, absent
+    }
