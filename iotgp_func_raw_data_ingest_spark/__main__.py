@@ -115,6 +115,11 @@ def main(argv: list[str] | None = None) -> int:
     p_spr.add_argument("route")
     p_spr.add_argument("--keep", type=int, default=10)
     p_spr.add_argument("--no-vacuum", action="store_true")
+    p_spr.add_argument(
+        "--vacuum-grace", type=float, default=None,
+        help="seconds _retired/ must be quiet before vacuuming (default: "
+        "the stage-heal grace); 0 forces the vacuum on a quiesced route",
+    )
 
     p_chg = sub.add_parser("changes", help="change feed between generations")
     p_chg.add_argument("route")
@@ -285,11 +290,18 @@ def main(argv: list[str] | None = None) -> int:
         from iotgp_func_raw_data_ingest_spark.sources import snapshots as snap
 
         out = snap.prune_generations(
-            spark, args.route, keep_last=args.keep, vacuum=not args.no_vacuum
+            spark, args.route, keep_last=args.keep,
+            vacuum=not args.no_vacuum,
+            vacuum_grace_seconds=args.vacuum_grace,
+        )
+        tail = (
+            "vacuum deferred (fresh retirements inside the grace window)"
+            if out["vacuum_deferred"]
+            else f"vacuumed files: {len(out['vacuumed_files'])}"
         )
         print(
             f"pruned generations: {out['pruned_generations'] or 'none'}; "
-            f"vacuumed files: {len(out['vacuumed_files'])}"
+            f"{tail}"
         )
         return 0
 

@@ -55,7 +55,11 @@ Reader guarantees:
 - Snapshot resolution reads ONE small JSON instead of a recursive
   directory listing — at 100 TB / millions of files on an object
   store, that is the difference between a metadata call and a
-  multi-minute LIST storm.
+  multi-minute LIST storm. Resolving the manifest's names to physical
+  paths costs exactly TWO flat LISTs (route root + ``_retired/``) plus
+  that one JSON read, regardless of how many files the generation
+  holds — never a per-file existence probe (N round-trips on an
+  object store).
 
 Scale: manifests are O(#files-per-route) names (routes are compacted,
 so thousands of names ≈ a few hundred KB); publish and resolve are
@@ -143,6 +147,41 @@ def _list_part_files(jvm, fs, route: str) -> list[str]:
         for st in fs.listStatus(hpath)
         if st.getPath().getName().startswith("part-")
     )
+
+
+def _locate_files(jvm, fs, route: str, names: list[str], what: str) -> list[str]:
+    """Resolve part-file names to their current physical location — the
+    route root for live files, ``_retired/`` for files a later
+    generation replaced — with exactly TWO flat LISTs (route root +
+    ``_retired/``) instead of up-to-two existence probes PER FILE: at
+    object-store latencies a thousand-file generation resolves in two
+    metadata calls, not two thousand. Live wins when a name exists in
+    both places (it shouldn't — ``retire_files`` refuses that state).
+    Raises if any name is in neither place (vacuumed)."""
+    live = {
+        st.getPath().getName()
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(route))
+        if st.getPath().getName().startswith("part-")
+    }
+    retired_p = jvm.org.apache.hadoop.fs.Path(f"{route}/{RETIRED_DIR}")
+    retired = (
+        {st.getPath().getName() for st in fs.listStatus(retired_p)}
+        if fs.exists(retired_p)
+        else set()
+    )
+    paths = []
+    for name in names:
+        if name in live:
+            paths.append(f"{route}/{name}")
+        elif name in retired:
+            paths.append(f"{route}/{RETIRED_DIR}/{name}")
+        else:
+            raise FileNotFoundError(
+                f"{what} of {route} references {name}, which is neither "
+                "live nor retired — vacuumed by prune_generations; this "
+                "generation is gone"
+            )
+    return paths
 
 
 def snapshots_enabled(spark: SparkSession, route: str) -> bool:
@@ -242,8 +281,9 @@ def resolve_snapshot(
     """The manifest of ``generation`` (default: latest) with a
     ``paths`` key added — each file name resolved to its current
     physical location (route root for live files, ``_retired/`` for
-    files replaced by a later generation). Raises if a referenced file
-    was vacuumed (the generation is no longer readable — prune it)."""
+    files replaced by a later generation) via two flat LISTs, never a
+    per-file probe. Raises if a referenced file was vacuumed (the
+    generation is no longer readable — prune it)."""
     route = route.rstrip("/")
     jvm, _, fs = _hadoop_fs(spark, route)
     if generation is None:
@@ -256,22 +296,10 @@ def resolve_snapshot(
             )
         generation = nums[-1]
     manifest = read_generation(spark, route, generation)
-    paths = []
-    for name in manifest["files"]:
-        live = f"{route}/{name}"
-        retired = f"{route}/{RETIRED_DIR}/{name}"
-        if fs.exists(jvm.org.apache.hadoop.fs.Path(live)):
-            paths.append(live)
-        elif fs.exists(jvm.org.apache.hadoop.fs.Path(retired)):
-            paths.append(retired)
-        else:
-            raise FileNotFoundError(
-                f"generation {generation} of {route} references {name}, "
-                "which is neither live nor retired — vacuumed by "
-                "prune_generations; this generation is gone"
-            )
     out = dict(manifest)
-    out["paths"] = paths
+    out["paths"] = _locate_files(
+        jvm, fs, route, manifest["files"], f"generation {generation}"
+    )
     return out
 
 
@@ -341,31 +369,12 @@ def diff_generations(
     }
 
 
-def _resolve_file_names(jvm, fs, route: str, names: list[str]) -> list[str]:
-    """Resolve part-file names to their current physical location (live
-    root or ``_retired/``), raising if any was vacuumed."""
-    paths = []
-    for name in names:
-        live = f"{route}/{name}"
-        retired = f"{route}/{RETIRED_DIR}/{name}"
-        if fs.exists(jvm.org.apache.hadoop.fs.Path(live)):
-            paths.append(live)
-        elif fs.exists(jvm.org.apache.hadoop.fs.Path(retired)):
-            paths.append(retired)
-        else:
-            raise FileNotFoundError(
-                f"{route} generation diff references {name}, which is "
-                "neither live nor retired — vacuumed by prune_generations"
-            )
-    return paths
-
-
 def _read_names(
     spark: SparkSession, jvm, fs, route: str, names: list[str], fmt: str
 ) -> DataFrame | None:
     if not names:
         return None
-    paths = _resolve_file_names(jvm, fs, route, names)
+    paths = _locate_files(jvm, fs, route, names, "generation diff")
     r = spark.read
     if fmt == "parquet":
         r = r.option("mergeSchema", "true")
@@ -592,18 +601,42 @@ def prune_generations(
     route: str,
     keep_last: int = 10,
     vacuum: bool = True,
+    vacuum_grace_seconds: float | None = None,
 ) -> dict:
     """Drop generation manifests older than the newest ``keep_last``
     and (optionally) vacuum ``_retired/`` files no retained generation
     references. The latest generation is always kept. Returns
-    ``{"pruned_generations": [...], "vacuumed_files": [...]}``.
+    ``{"pruned_generations": [...], "vacuumed_files": [...],
+    "vacuum_deferred": bool}``.
 
     Run it like any retention job — scheduled, per route, under the
     same single-writer-per-route contract as compaction (a vacuum
     racing a publisher could otherwise delete a file a just-committed
-    manifest still references)."""
+    manifest still references).
+
+    Grace window (defense-in-depth, mirroring the lake's unready-stage
+    grace): if anything was retired into ``_retired/`` within the last
+    ``vacuum_grace_seconds`` (default: ``lake.UNREADY_STAGE_GRACE_
+    SECONDS``), the vacuum step is DEFERRED to the next scheduled run
+    — a slow publisher may be mid-commit (files retired, manifest CAS
+    or a crash-heal retry still in flight), and deleting a just-retired
+    file would break its idempotent ``retire_files`` retry ("neither
+    live nor retired") and could yank a file out from under an
+    in-flight pinned read. Retirement recency is read off the
+    ``_retired/`` DIRECTORY mtime (a rename bumps the directory; the
+    moved file's own mtime survives the rename unchanged, so it cannot
+    date the retirement). Manifest pruning is never deferred — dropping
+    an old gen-N.json breaks no in-flight protocol step. Pass
+    ``vacuum_grace_seconds=0`` to force the vacuum when the operator
+    KNOWS no publisher is live (tests, quiesced routes)."""
+    from iotgp_func_raw_data_ingest_spark.sources.lake import (
+        UNREADY_STAGE_GRACE_SECONDS,
+    )
+
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (the latest always stays)")
+    if vacuum_grace_seconds is None:
+        vacuum_grace_seconds = UNREADY_STAGE_GRACE_SECONDS
     route = route.rstrip("/")
     jvm, _, fs = _hadoop_fs(spark, route)
     nums = _list_gen_numbers(jvm, fs, route)
@@ -617,15 +650,28 @@ def prune_generations(
         )
         pruned.append(n)
     vacuumed: list[str] = []
+    deferred = False
     if vacuum:
-        referenced: set[str] = set()
-        for n in keep:
-            referenced.update(read_generation(spark, route, n)["files"])
         retired_p = jvm.org.apache.hadoop.fs.Path(f"{route}/{RETIRED_DIR}")
         if fs.exists(retired_p):
-            for st in fs.listStatus(retired_p):
-                name = st.getPath().getName()
-                if name not in referenced:
-                    fs.delete(st.getPath(), False)
-                    vacuumed.append(name)
-    return {"pruned_generations": pruned, "vacuumed_files": sorted(vacuumed)}
+            quiet_for = time.time() - (
+                fs.getFileStatus(retired_p).getModificationTime() / 1000.0
+            )
+            if quiet_for < vacuum_grace_seconds:
+                deferred = True
+            else:
+                referenced: set[str] = set()
+                for n in keep:
+                    referenced.update(
+                        read_generation(spark, route, n)["files"]
+                    )
+                for st in fs.listStatus(retired_p):
+                    name = st.getPath().getName()
+                    if name not in referenced:
+                        fs.delete(st.getPath(), False)
+                        vacuumed.append(name)
+    return {
+        "pruned_generations": pruned,
+        "vacuumed_files": sorted(vacuumed),
+        "vacuum_deferred": deferred,
+    }

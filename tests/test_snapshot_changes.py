@@ -229,7 +229,8 @@ def test_error_paths(spark, tmp_path):
         snap.diff_generations(spark, route, 99, 2)
 
     # vacuuming the from-generation makes its files unreadable → raise
-    snap.prune_generations(spark, route, keep_last=1)
+    # (grace 0: the route is quiesced, force the vacuum this pass)
+    snap.prune_generations(spark, route, keep_last=1, vacuum_grace_seconds=0)
     with pytest.raises(FileNotFoundError):
         _feed(spark, route, 1, 2).count()
 

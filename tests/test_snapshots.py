@@ -141,7 +141,9 @@ def test_prune_and_vacuum(spark, tmp_path):
     snap.publish_generation(spark, route, kind="merge", add=new, remove=[old[0]])
     snap.retire_files(spark, route, [old[0]])
     snap.publish_generation(spark, route, kind="compact")  # gen 3, same files
-    res = snap.prune_generations(spark, route, keep_last=2)
+    res = snap.prune_generations(
+        spark, route, keep_last=2, vacuum_grace_seconds=0
+    )
     assert res["pruned_generations"] == [1]
     # gen 1 was the only referent of the retired file → vacuumed
     assert res["vacuumed_files"] == [old[0]]
@@ -193,3 +195,44 @@ def test_manifest_is_sorted_json(spark, tmp_path):
         m = json.load(f)
     assert m["files"] == sorted(m["files"])
     assert m["generation"] == 1
+
+
+def test_vacuum_grace_defers_just_retired(spark, tmp_path):
+    """A vacuum concurrent with a slow publisher must leave a
+    just-retired file alive: a rename into _retired/ bumps the
+    DIRECTORY's mtime (the file's own mtime survives the rename and
+    cannot date the retirement), so a default-grace prune defers the
+    vacuum step — manifest pruning still runs — and a grace-0 prune on
+    the quiesced route clears the file."""
+    route = _route(spark, tmp_path, n=30, files=3)
+    snap.enable_snapshots(spark, route)
+    old = _parts(route)
+    repl = spark.range(5).select(
+        F.col("id").alias("k"), F.lit(1.0).alias("v")
+    )
+    repl.coalesce(1).write.mode("append").parquet(route)
+    new = sorted(set(_parts(route)) - set(old))
+    snap.publish_generation(
+        spark, route, kind="merge", add=new, remove=[old[0]]
+    )
+    snap.retire_files(spark, route, [old[0]])  # "slow publisher" just moved it
+
+    res = snap.prune_generations(spark, route, keep_last=1)
+    assert res["pruned_generations"] == [1]
+    assert res["vacuum_deferred"] is True
+    assert res["vacuumed_files"] == []
+    jvm, _, fs = _hadoop_fs(spark, route)
+    retired_p = jvm.org.apache.hadoop.fs.Path(
+        f"{route}/{snap.RETIRED_DIR}/{old[0]}"
+    )
+    assert fs.exists(retired_p)
+    # the publisher's idempotent retire retry still succeeds (the
+    # vacuum did NOT create the "neither live nor retired" state)
+    assert snap.retire_files(spark, route, [old[0]]) == 0
+
+    res2 = snap.prune_generations(
+        spark, route, keep_last=1, vacuum_grace_seconds=0
+    )
+    assert res2["vacuum_deferred"] is False
+    assert res2["vacuumed_files"] == [old[0]]
+    assert not fs.exists(retired_p)

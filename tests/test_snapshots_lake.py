@@ -330,6 +330,8 @@ def test_validate_snapshot_lists_orphan_retired(spark, tmp_path):
     assert s["snapshot_ok"] is True
     assert s["generations"] == 1
     assert s["orphan_retired"]  # gen-1-only files, unreferenced now
-    got = snap.prune_generations(spark, route, keep_last=1, vacuum=True)
+    got = snap.prune_generations(
+        spark, route, keep_last=1, vacuum=True, vacuum_grace_seconds=0
+    )
     assert got["vacuumed_files"] == s["orphan_retired"]
     assert _snapshot_report(spark, lake)["orphan_retired"] == []
