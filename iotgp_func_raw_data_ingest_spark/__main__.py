@@ -45,6 +45,10 @@ Commands:
 - ``ivm-refresh <route> <view> --group-cols a,b [--sum-cols x,y]``
                                — create / incrementally refresh an exact
                                  count+sum view from the change feed
+- ``expire-tombstones <table_path> <horizon_seq>``
+                               — hard-delete soft-deleted CDC rows at or
+                                 below a seq horizon (retain_tombstones
+                                 retention)
 """
 
 from __future__ import annotations
@@ -133,6 +137,13 @@ def main(argv: list[str] | None = None) -> int:
     p_ivm.add_argument("view")
     p_ivm.add_argument("--group-cols", required=True)
     p_ivm.add_argument("--sum-cols", default="")
+
+    p_exp_tomb = sub.add_parser(
+        "expire-tombstones",
+        help="hard-delete soft-deleted CDC rows at/below a seq horizon",
+    )
+    p_exp_tomb.add_argument("table_path")
+    p_exp_tomb.add_argument("horizon_seq", type=int)
 
     args = p.parse_args(argv)
 
@@ -333,6 +344,19 @@ def main(argv: list[str] | None = None) -> int:
                 f"{report['applied_to']}; "
                 f"groups touched: {report['groups_delta']}"
             )
+        return 0
+
+    if args.cmd == "expire-tombstones":
+        from iotgp_func_raw_data_ingest_spark.sources.maintenance import (
+            expire_tombstones,
+        )
+
+        rep = expire_tombstones(spark, args.table_path, args.horizon_seq)
+        print(
+            f"removed {rep['tombstones_removed']} tombstone(s) across "
+            f"{rep['files_rewritten']}/{rep['files_total']} file(s); "
+            f"{rep['rows_kept']} row(s) carried"
+        )
         return 0
 
     return 2  # unreachable

@@ -391,3 +391,223 @@ def q231_cdc_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q235_cdc_tombstone_retention",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(c_custkey AS BIGINT) AS k,
+               c_mktsegment AS seg,
+               ROUND(c_acctbal, 2) AS bal
+        FROM customer
+    ),
+    off AS (SELECT MAX(k) + 1 AS o FROM base),
+    changes AS (
+        SELECT k, NULL AS seg, NULL AS bal, 'd' AS op, k * 10 + 8 AS seq
+        FROM base WHERE k % 5 = 1
+        UNION ALL
+        SELECT k, 'Z-' || seg, ROUND(bal + 1.5, 2), 'u', k * 10 + 3
+        FROM base WHERE k % 5 = 1
+        UNION ALL
+        SELECT k, NULL, NULL, 'd', k * 10 + 1 FROM base WHERE k % 13 = 4
+        UNION ALL
+        SELECT k, 'T-' || seg, ROUND(bal + 9.0, 2), 'u', k * 10 + 9
+        FROM base WHERE k % 13 = 4
+        UNION ALL
+        SELECT k + o, 'INS', 44.0, 'c', (k + o) * 10 + 2
+        FROM base, off WHERE k % 11 = 3
+        UNION ALL
+        SELECT k + o, 'STALE', 1.0, 'u', (k + o) * 10 + 1
+        FROM base, off WHERE k % 11 = 3
+        UNION ALL
+        SELECT k + 2 * o, NULL, NULL, 'd', (k + 2 * o) * 10 + 5
+        FROM base, off WHERE k % 19 = 6
+        UNION ALL
+        SELECT k + 2 * o, 'LATE', 7.0, 'c', (k + 2 * o) * 10 + 2
+        FROM base, off WHERE k % 19 = 6
+        UNION ALL
+        SELECT k, 'K-' || seg, ROUND(bal + 2.75, 2), 'u', k * 10 + 7
+        FROM base WHERE k % 17 = 2
+    ),
+    latest AS (
+        SELECT k, seg, bal, op, seq FROM (
+            SELECT c.*, ROW_NUMBER() OVER (
+                PARTITION BY k ORDER BY seq DESC
+            ) AS rn
+            FROM changes c
+        ) WHERE rn = 1
+    ),
+    rows_out AS (
+        SELECT b.seg, b.bal, CAST(NULL AS BIGINT) AS sq
+        FROM base b LEFT JOIN latest l ON b.k = l.k
+        WHERE l.k IS NULL                      -- untouched rows carried
+        UNION ALL
+        SELECT l.seg, l.bal, l.seq
+        FROM latest l WHERE l.op <> 'd'        -- latest-by-seq survivors
+        UNION ALL
+        SELECT '__tombstones__', CAST(NULL AS DOUBLE), l.seq
+        FROM latest l, off
+        WHERE l.op = 'd' AND l.seq > o * 10    -- unexpired tombstones
+    )
+    SELECT seg,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(bal), 2) AS sum_bal,
+           CAST(SUM(sq) AS BIGINT) AS sum_seq
+    FROM rows_out GROUP BY seg
+    """,
+)
+def q235_cdc_tombstone_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-delete tombstone retention
+    (``start_cdc_merge_stream(retain_tombstones=True)`` +
+    ``lake.read_cdc_table`` + ``maintenance.expire_tombstones``): the
+    feed REPLAYS the exact case q231 must design around — a WINNING
+    delete in an EARLY batch followed by a STALE change for the same key
+    in a LATER batch — and the retained tombstone's ``_seq`` must reject
+    it, because there is no physical-delete resurrection window left.
+
+    Feed design (per base key k; re-key offset o = max(k)+1):
+
+    - k%5=1  — winning DELETE seq k*10+8 in batch 0, STALE update seq
+      k*10+3 in batch 2: must stay deleted (THE resurrection case);
+    - k%13=4 — DELETE seq k*10+1 in batch 0, NEWER update seq k*10+9 in
+      batch 2: must legitimately resurrect (``_deleted`` flips back);
+    - k%11=3 — re-keyed INSERT seq (k+o)*10+2 in batch 0, stale update
+      seq (k+o)*10+1 in batch 1: guard holds on live rows too;
+    - k%19=6 — TOMBSTONE for the ABSENT key k+2o, seq (k+2o)*10+5, in
+      batch 0; its late INSERT seq (k+2o)*10+2 in batch 1: the
+      tombstone-before-insert case — the insert must stay out (the
+      physical mode's conditional-insert would have landed it);
+    - k%17=2 — plain update seq k*10+7 (control class).
+
+    After the stream (drained, then RESTARTED against its checkpoint —
+    ledger idempotence), ``expire_tombstones(horizon_seq = o*10)``
+    hard-deletes every base-keyed tombstone (seqs < o*10) and must keep
+    the re-keyed k+2o tombstones (seqs > o*10) and every live row. The
+    result groups live rows by segment (count / sum bal / sum of the
+    persisted ``_seq``) plus one '__tombstones__' census row over the
+    surviving tombstones — so the hash pins the rejected resurrection,
+    the legitimate resurrection, the retained-vs-expired split at the
+    horizon, and that tombstone rows are key+markers only (their bal is
+    NULL: a non-NULL would shift a sum).
+
+    100 TB shape: per batch identical to q231 (pruned merge, guard is
+    one comparison in the existing projection); tombstones add one
+    boolean column and keep route size ∝ live+unexpired keys; expiry is
+    the keyed delete's staged-replace physics — cost ∝ tombstone-bearing
+    files. ``read_cdc_table``'s marker filter is a parquet-stat-prunable
+    boolean predicate.
+
+    Reference parity: engine-added (SURVEY §2.6); the reference has no
+    delete story at all (append-only, src/function_app.py:389-414)."""
+    from iotgp_func_raw_data_ingest_spark.sources.lake import read_cdc_table
+    from iotgp_func_raw_data_ingest_spark.sources.maintenance import (
+        expire_tombstones,
+    )
+    from iotgp_func_raw_data_ingest_spark.streaming.pipeline import (
+        start_cdc_merge_stream,
+    )
+
+    t = prep(spark, sf_dir)
+    cust = t["customer"].select(
+        F.col("c_custkey").cast("bigint").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round("c_acctbal", 2).alias("bal"),
+    )
+    work = tempfile.mkdtemp(prefix="q235_")
+    try:
+        with _few_shuffle_partitions(spark):
+            lake = f"{work}/lake"
+            cfg = EngineConfig(output_path=lake)
+            route = f"{lake}/curated/crm/customers"
+            cust.repartitionByRange(8, "k").write.parquet(route)
+
+            off = cust.agg((F.max("k") + 1).alias("o")).first()["o"]
+            k = F.col("k")
+            null_s = F.lit(None).cast("string")
+            null_d = F.lit(None).cast("double")
+
+            def _chg(filt, key, seg, bal, op, seq, batch):
+                return cust.filter(filt).select(
+                    key.alias("k"), seg.alias("seg"), bal.alias("bal"),
+                    F.lit(op).alias("op"), seq.alias("seq"),
+                    F.lit(batch).alias("b"),
+                )
+
+            changes = (
+                _chg(k % 5 == 1, k, null_s, null_d, "d", k * 10 + 8, 0)
+                .unionByName(_chg(k % 5 == 1, k, F.concat(F.lit("Z-"), "seg"),
+                                  F.round(F.col("bal") + 1.5, 2), "u",
+                                  k * 10 + 3, 2))
+                .unionByName(_chg(k % 13 == 4, k, null_s, null_d, "d",
+                                  k * 10 + 1, 0))
+                .unionByName(_chg(k % 13 == 4, k, F.concat(F.lit("T-"), "seg"),
+                                  F.round(F.col("bal") + 9.0, 2), "u",
+                                  k * 10 + 9, 2))
+                .unionByName(_chg(k % 11 == 3, k + off, F.lit("INS"),
+                                  F.lit(44.0), "c", (k + off) * 10 + 2, 0))
+                .unionByName(_chg(k % 11 == 3, k + off, F.lit("STALE"),
+                                  F.lit(1.0), "u", (k + off) * 10 + 1, 1))
+                .unionByName(_chg(k % 19 == 6, k + 2 * off, null_s, null_d,
+                                  "d", (k + 2 * off) * 10 + 5, 0))
+                .unionByName(_chg(k % 19 == 6, k + 2 * off, F.lit("LATE"),
+                                  F.lit(7.0), "c", (k + 2 * off) * 10 + 2, 1))
+                .unionByName(_chg(k % 17 == 2, k, F.concat(F.lit("K-"), "seg"),
+                                  F.round(F.col("bal") + 2.75, 2), "u",
+                                  k * 10 + 7, 1))
+            )
+            _write_ordered_tranches(
+                [changes.filter(F.col("b") == i).drop("b") for i in range(3)],
+                f"{work}/in",
+            )
+            feed_schema = changes.drop("b").schema
+            for _restart in range(2):  # 2nd: restart on a drained checkpoint
+                stream = (
+                    spark.readStream.schema(feed_schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(f"{work}/in")
+                )
+                q = start_cdc_merge_stream(
+                    stream, lake, "curated", "crm", "customers",
+                    ["k"], "seq", cfg, f"{work}/ckpt",
+                    persist_seq=True, retain_tombstones=True,
+                )
+                q.awaitTermination()
+
+            report = expire_tombstones(spark, route, horizon_seq=off * 10)
+            if report["tombstones_removed"] <= 0:
+                raise AssertionError(
+                    "q235: expiry removed no tombstones — the horizon "
+                    "split is untested"
+                )
+            raw = spark.read.option("mergeSchema", "true").parquet(route)
+            dead = F.coalesce(F.col("_deleted"), F.lit(False))
+            n_tomb = raw.filter(dead).count()
+            if n_tomb <= 0:
+                raise AssertionError(
+                    "q235: no tombstones survived expiry — retention of "
+                    "above-horizon tombstones is untested"
+                )
+            n_live = read_cdc_table(
+                spark, lake, "curated", "crm", "customers"
+            ).count()
+            if n_live + n_tomb != raw.count():
+                raise AssertionError(
+                    "q235: read_cdc_table's live view and the tombstone "
+                    "census do not partition the route"
+                )
+            out = (
+                raw.withColumn(
+                    "g", F.when(dead, F.lit("__tombstones__"))
+                    .otherwise(F.col("seg"))
+                )
+                .groupBy(F.col("g").alias("seg"))
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n"),
+                    F.round(F.sum("bal"), 2).alias("sum_bal"),
+                    F.sum("_seq").cast("bigint").alias("sum_seq"),
+                )
+            )
+            return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

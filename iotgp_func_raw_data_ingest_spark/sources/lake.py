@@ -512,6 +512,32 @@ def read_lake_table(
     return r.format(fmt).load(path)
 
 
+def read_cdc_table(
+    spark: SparkSession,
+    lake_path: str,
+    folder: str,
+    source_db: str,
+    table: str,
+    fmt: str = "parquet",
+    include_deleted: bool = False,
+) -> DataFrame:
+    """Read a CDC-maintained route honoring soft deletes: rows whose
+    engine-managed ``_deleted`` marker is true (written by
+    ``streaming.pipeline.start_cdc_merge_stream(retain_tombstones=
+    True)``) are filtered out unless ``include_deleted``. Pre-evolution
+    files read the marker as NULL — treated as live (``coalesce``), so
+    a route that predates tombstone mode reads identically to
+    ``read_lake_table``; a route with no ``_deleted`` column at all
+    likewise. The filter is a plain predicate on a boolean column —
+    parquet row-group stats prune all-live and all-tombstone row groups
+    engine-side, no extra pass. Engine columns (``_seq``/``_deleted``)
+    stay in the result; callers project them away when unwanted."""
+    df = read_lake_table(spark, lake_path, folder, source_db, table, fmt=fmt)
+    if include_deleted or "_deleted" not in df.columns:
+        return df
+    return df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+
+
 def compact_lake_table(
     spark: SparkSession,
     lake_path: str,

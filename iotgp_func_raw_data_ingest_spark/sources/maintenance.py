@@ -574,3 +574,113 @@ def delete_keys_from_table(
         "rows_deleted": n_before - rows_kept,
         "rows_kept": rows_kept,
     }
+
+
+def expire_tombstones(
+    spark: SparkSession,
+    table_path: str,
+    horizon_seq,
+    fmt: str = "parquet",
+) -> dict:
+    """Retention for soft-deleted CDC rows: hard-delete tombstone rows
+    (``_deleted = true``, written by ``start_cdc_merge_stream(
+    retain_tombstones=True)``) whose persisted ``_seq`` is at or below
+    ``horizon_seq``, rewriting ONLY the files that hold one — the same
+    file-pruned staged-replace protocol as the keyed delete, so cost ∝
+    tombstone-bearing files, never route size.
+
+    The horizon is a SAFETY promise, not a clock: expiring a tombstone
+    re-opens the stale-change resurrection window for exactly that key
+    at seqs ≤ its tombstone's, so pass the largest seq the operator
+    KNOWS can no longer arrive (the CDC source's retention horizon
+    mapped to seq — e.g. the log LSN the topic has already truncated
+    past). Live rows are never touched, whatever their ``_seq``;
+    tombstones above the horizon are kept verbatim.
+
+    PLAN scans only the marker + seq columns (+ the virtual file name):
+    parquet footer stats on the boolean ``_deleted`` skip all-live
+    files before any row is read. STAGE rewrites survivors of the
+    affected files; COMMIT is the shared crash-healed staged replace
+    (snapshot-enabled routes publish a generation + retire originals,
+    like every other rewrite). Returns ``{files_total, files_rewritten,
+    tombstones_removed, rows_kept}``.
+
+    Reference parity: engine-added (SURVEY §2.6); the reference has no
+    delete story at all (append-only, src/function_app.py:389-414)."""
+    import uuid as _uuid
+
+    from pyspark.sql import Observation
+
+    from iotgp_func_raw_data_ingest_spark.sources.lake import (
+        _check_format,
+        _hadoop_fs,
+        _seal_stage,
+        heal_staged_replaces,
+        write_stage_lease,
+    )
+
+    _check_format(fmt)
+    jvm, hpath, fs = _hadoop_fs(spark, table_path)
+    heal_staged_replaces(spark, table_path)
+
+    files_total = sum(
+        1 for s in fs.listStatus(hpath)
+        if s.getPath().getName().startswith("part-")
+    )
+    r = spark.read
+    if fmt == "parquet":
+        r = r.option("mergeSchema", "true")
+    if fmt == "csv":
+        r = r.option("header", "true")
+    df = r.format(fmt).load(table_path)
+    zero = {
+        "files_total": files_total, "files_rewritten": 0,
+        "tombstones_removed": 0, "rows_kept": 0,
+    }
+    if "_deleted" not in df.columns or "_seq" not in df.columns:
+        return zero  # never ran in tombstone mode — nothing to expire
+    doomed = F.coalesce(F.col("_deleted"), F.lit(False)) & (
+        F.col("_seq") <= F.lit(horizon_seq)
+    )
+    affected = sorted(
+        row["_file"]
+        for row in df.select("_deleted", "_seq")
+        .withColumn("_file", F.input_file_name())
+        .filter(doomed)
+        .select("_file")
+        .distinct()
+        .collect()
+    )
+    if not affected:
+        return zero
+
+    obs_in = Observation("expire_in")
+    obs_out = Observation("expire_out")
+    ra = spark.read
+    if fmt == "parquet":
+        ra = ra.option("mergeSchema", "true")
+    if fmt == "csv":
+        ra = ra.option("header", "true")
+    survivors = (
+        ra.format(fmt).load(affected)
+        .observe(obs_in, F.count(F.lit(1)).alias("n"))
+        .filter(~doomed)
+        .observe(obs_out, F.count(F.lit(1)).alias("n"))
+    )
+
+    stage_name = f".delete-stage-{_uuid.uuid4().hex}"
+    stage = f"{table_path}/{stage_name}"
+    write_stage_lease(spark, stage, "expire-tombstones")
+    survivors.repartition(max(1, len(affected))).write.mode("append").format(
+        fmt
+    ).save(stage)
+    n_before = int(obs_in.get["n"])
+    rows_kept = int(obs_out.get["n"])
+    _seal_stage(spark, stage, [a.rsplit("/", 1)[-1] for a in affected])
+    _finish_keyed_delete(spark, table_path, stage_name)
+    return {
+        "files_total": files_total,
+        "files_rewritten": len(affected),
+        "tombstones_removed": n_before - rows_kept,
+        "rows_kept": rows_kept,
+    }

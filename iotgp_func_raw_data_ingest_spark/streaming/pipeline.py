@@ -240,6 +240,7 @@ def start_cdc_merge_stream(
     delete_op: str = "d",
     set_cols: list[str] | None = None,
     persist_seq: bool = False,
+    retain_tombstones: bool = False,
     trigger_seconds: int | None = None,
 ) -> StreamingQuery:
     """Tombstone-aware CDC apply: each micro-batch of change rows
@@ -285,12 +286,32 @@ def start_cdc_merge_stream(
     DELETED, its ``_seq`` is gone — a stale non-delete change for that
     key arriving in a later batch is indistinguishable from a first
     insert and resurrects the row (likewise a tombstone arriving before
-    its key's insert no-ops, then the insert lands). Closing that window
-    needs tombstone retention (soft-delete rows), which changes the
-    route's read contract; out-of-scope here and documented so the
-    operator can choose feed partitioning (key-hash partitioned CDC
-    topics keep per-key order and never hit it). ``_seq`` is reserved:
-    a feed carrying its own ``_seq`` column is rejected.
+    its key's insert no-ops, then the insert lands). ``_seq`` is
+    reserved: a feed carrying its own ``_seq`` column is rejected.
+
+    ``retain_tombstones=True`` (requires ``persist_seq``) CLOSES that
+    window by never physically deleting: a winning delete becomes a
+    soft-delete UPDATE — the row is kept with an engine-managed
+    ``_deleted = true`` marker, its ``_seq`` advanced to the delete's,
+    and its data columns nulled (a tombstone is key + markers, nothing
+    else) — and a delete for an ABSENT key INSERTS that tombstone row
+    instead of no-opping. Because the key's ``_seq`` now survives its
+    death, a stale change arriving AFTER the tombstone (any seq below
+    it, across any batch split) is carried, and a genuinely newer
+    change resurrects the row legitimately (``_deleted`` flips back to
+    false). There is no delete clause at all in this mode: the whole
+    apply is one guarded update + one unconditional insert, so every
+    path rides the same ``s._seq > t._seq`` comparison. Read contract:
+    the route now contains tombstone rows — read it through
+    ``sources.lake.read_cdc_table`` (filters ``_deleted``, also correct
+    on pre-evolution files where the marker reads NULL) instead of a
+    raw scan. Storage: tombstones accumulate until
+    ``sources.maintenance.expire_tombstones`` hard-deletes those at or
+    below a seq horizon — the operator's promise that no staler change
+    can still arrive (a CDC topic's retention horizon, mapped to seq).
+    Expiring below that promise re-opens exactly the window this mode
+    closes, for exactly the expired keys. ``_deleted`` is reserved like
+    ``_seq``.
 
     Scale: per batch, cost ∝ TOUCHED files (the pruned merge's PLAN/
     STAGE/COMMIT protocol), not route size — a small CDC batch against
@@ -317,6 +338,12 @@ def start_cdc_merge_stream(
             "set_cols=[] would update nothing on match — pass None to "
             "derive the SET map from the feed schema, or name the columns"
         )
+    if retain_tombstones and not persist_seq:
+        raise ValueError(
+            "retain_tombstones requires persist_seq=True — a tombstone "
+            "without a persisted seq cannot reject the stale changes it "
+            "exists to reject"
+        )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
@@ -335,6 +362,11 @@ def start_cdc_merge_stream(
             raise ValueError(
                 "persist_seq reserves the _seq column; the feed must not "
                 "carry one"
+            )
+        if retain_tombstones and "_deleted" in batch_df.columns:
+            raise ValueError(
+                "retain_tombstones reserves the _deleted column; the feed "
+                "must not carry one"
             )
         # deterministic collapse: latest change per key by seq, with a
         # content-hash tiebreaker — duplicate seq values for one key
@@ -375,6 +407,33 @@ def start_cdc_merge_stream(
             # carry) — older than any arriving change by definition
             stale_guard = " AND (t._seq IS NULL OR s._seq > t._seq)"
             evolve = ["_seq"]
+        if retain_tombstones:
+            # soft delete: a winning delete is just another guarded
+            # UPDATE, to the tombstone representation (data columns
+            # nulled in the SOURCE so the matched-update SET map and
+            # the unmatched INSERT write the identical tombstone row) —
+            # no delete clause exists in this mode, so every path rides
+            # the one s._seq > t._seq comparison
+            is_del = F.col(op_col) == F.lit(delete_op)
+            for c in data_cols:
+                if c == "_seq":
+                    continue
+                latest = latest.withColumn(
+                    c, F.when(is_del, F.lit(None)).otherwise(F.col(c))
+                )
+            latest = latest.withColumn("_deleted", is_del)
+            data_cols = [*data_cols, "_deleted"]
+            merge_lake_table_pruned(
+                spark, lake_path, folder, source_db, table, latest,
+                key_cols, cfg,
+                matched_update={c: f"s.`{c}`" for c in data_cols},
+                matched_update_condition=stale_guard.removeprefix(" AND "),
+                matched_delete_condition=None,
+                not_matched_condition=None,
+                evolve_schema=["_seq", "_deleted"],
+            )
+            mark_batch_committed(spark, checkpoint_dir, batch_id)
+            return
         merge_lake_table_pruned(
             spark, lake_path, folder, source_db, table, latest, key_cols, cfg,
             # backtick-quote: feed schemas carry legal-but-non-identifier
