@@ -19,6 +19,16 @@ oracle is still the declarative latest-per-key-by-seq reconstruction;
 the feed is designed so no key hits the documented physical-delete
 resurrection window (a WINNING delete is always in the last batch — see
 ``start_cdc_merge_stream``'s docstring for why that window exists).
+
+q235 (round 11) removes even THAT design constraint:
+``retain_tombstones=True`` keeps winning deletes as soft-delete marker
+rows whose ``_seq`` outlives the row, so the feed deliberately REPLAYS
+the resurrection case (winning delete early, stale change late) and the
+tombstone must reject it; ``expire_tombstones`` then retention-splits
+the tombstones at a seq horizon. q236 makes the change feed
+streaming-native: ``start_changes_stream`` follows the generation
+ledger (offset = generation, checkpointed by Spark's own offset log)
+and ``start_ivm_refresh_stream`` makes the IVM view commit-driven.
 """
 
 from __future__ import annotations
@@ -606,6 +616,216 @@ def q235_cdc_tombstone_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.count(F.lit(1)).cast("bigint").alias("n"),
                     F.round(F.sum("bal"), 2).alias("sum_bal"),
                     F.sum("_seq").cast("bigint").alias("sum_seq"),
+                )
+            )
+            return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q236_changes_stream_follow",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k, ROUND(c_acctbal, 2) AS bal FROM customer
+    ),
+    upd AS (SELECT k, bal FROM base WHERE k % 50 = 0 AND k % 97 <> 0),
+    del AS (SELECT k, bal FROM base WHERE k % 97 = 0),
+    ins AS (SELECT -(k + 1) AS k, ROUND(bal + 7.5, 2) AS bal
+            FROM base WHERE k % 61 = 0),
+    merged AS (
+      SELECT k,
+             CASE WHEN k % 50 = 0 THEN ROUND(bal + 1000, 2) ELSE bal END
+             AS bal
+      FROM base WHERE k % 97 <> 0
+      UNION ALL
+      SELECT k, bal FROM ins
+    ),
+    span2_del AS (SELECT k, bal FROM merged WHERE k % 3 = 0)
+    SELECT CAST(1 AS BIGINT) AS from_gen, CAST(2 AS BIGINT) AS to_gen,
+           'update_preimage' AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           ROUND(SUM(bal), 2) AS sum_bal
+    FROM upd
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), CAST(2 AS BIGINT), 'update_postimage',
+           CAST(COUNT(*) AS BIGINT), CAST(SUM(k) AS BIGINT),
+           ROUND(SUM(ROUND(bal + 1000, 2)), 2)
+    FROM upd
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), CAST(2 AS BIGINT), 'delete',
+           CAST(COUNT(*) AS BIGINT), CAST(SUM(k) AS BIGINT),
+           ROUND(SUM(bal), 2)
+    FROM del
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), CAST(2 AS BIGINT), 'insert',
+           CAST(COUNT(*) AS BIGINT), CAST(SUM(k) AS BIGINT),
+           ROUND(SUM(bal), 2)
+    FROM ins
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(3 AS BIGINT), 'delete',
+           CAST(COUNT(*) AS BIGINT), CAST(SUM(k) AS BIGINT),
+           ROUND(SUM(bal), 2)
+    FROM span2_del
+    """,
+)
+def q236_changes_stream_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous change-feed consumption
+    (``streaming.pipeline.start_changes_stream`` over the
+    ``generation_ledger_stream`` Python streaming source, offset =
+    generation number) with event-driven IVM
+    (``start_ivm_refresh_stream``) riding the same ledger:
+
+    1. enable snapshots (gen 1) and DRAIN both streams — the enable
+       generation must contribute NO feed rows, and the IVM stream's
+       first drain is the view's pinned initial build;
+    2. q233's pruned MERGE (updates + deletes + re-keyed inserts,
+       gen 2); drain → the sink receives exactly the (1,2] compressed
+       feed, and the view refreshes to gen 2;
+    3. keyed delete of ``k % 3 = 0`` (gen 3); drain AGAIN on the same
+       checkpoint — the RESTART leg: Spark's offset log must resume the
+       watermark at 2, so the sink receives ONLY the (2,3] feed (a
+       broken watermark either re-emits (1,2] — doubling counts — or
+       skips (2,3] entirely; both flip the hash);
+    4. a final drain on the quiet ledger must emit nothing and the IVM
+       refresh must no-op; the builder asserts the view equals a
+       from-scratch recompute of the final route EXACTLY and that its
+       applied watermark is generation 3.
+
+    The result is the accumulated sink output grouped per (span,
+    change class): count, key-sum, balance-sum.
+
+    100 TB shape: the ledger source's rows are manifest summaries
+    (driver-side metadata, one tiny JSON per commit — no listing, no
+    data read); each drained batch's real work is the compressed
+    change feed — the delta-sized multiset diff over only the files
+    the span's manifests disagree on — plus, for the IVM leg, a
+    delta+groups-sized refresh. Nothing in the follower's cost scales
+    with route size; commit-driven beats cron-driven precisely because
+    a quiet ledger costs one metadata poll.
+
+    Reference parity: engine-added (SURVEY §2.6); the reference has no
+    versioning and no derived-view story (src/function_app.py:389-414).
+    """
+    from iotgp_func_raw_data_ingest_spark.sources import ivm
+    from iotgp_func_raw_data_ingest_spark.sources import snapshots as snap
+    from iotgp_func_raw_data_ingest_spark.sources.lake import (
+        merge_lake_table_pruned,
+    )
+    from iotgp_func_raw_data_ingest_spark.sources.maintenance import (
+        delete_keys_from_table,
+    )
+    from iotgp_func_raw_data_ingest_spark.streaming.pipeline import (
+        start_changes_stream,
+        start_ivm_refresh_stream,
+    )
+
+    t = prep(spark, sf_dir)
+    cust = t["customer"].select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round("c_acctbal", 2).alias("bal"),
+    )
+    work = tempfile.mkdtemp(prefix="q236_")
+    try:
+        with _few_shuffle_partitions(spark):
+            lake = f"{work}/lake"
+            cfg = EngineConfig(output_path=lake)
+            route = f"{lake}/curated/crm/customers"
+            view = f"{work}/view"
+            outdir = f"{work}/out"
+            ckpt = f"{work}/ckpt"
+            cust.repartitionByRange(8, "k").write.parquet(route)
+            assert snap.enable_snapshots(spark, route) == 1
+
+            def sink(feed: DataFrame, frm: int, to: int) -> None:
+                feed.withColumn(
+                    "from_gen", F.lit(frm).cast("bigint")
+                ).withColumn(
+                    "to_gen", F.lit(to).cast("bigint")
+                ).write.mode("append").parquet(outdir)
+
+            def drain() -> None:
+                q1 = start_changes_stream(
+                    spark, route, sink, ckpt, key_cols=["k"]
+                )
+                q1.awaitTermination()
+                q2 = start_ivm_refresh_stream(
+                    spark, route, view, ["seg"], ["bal"]
+                )
+                q2.awaitTermination()
+
+            drain()  # gen 1: no feed; IVM initial build
+            if ivm.read_view_meta(spark, view)["applied_generation"] != 1:
+                raise AssertionError("q236: initial IVM build missed gen 1")
+
+            updates = cust.filter(
+                (F.col("k") % 50 == 0) & (F.col("k") % 97 != 0)
+            ).withColumn("op", F.lit("u"))
+            deletes = cust.filter(F.col("k") % 97 == 0).withColumn(
+                "op", F.lit("d")
+            )
+            inserts = cust.filter(F.col("k") % 61 == 0).select(
+                (-(F.col("k") + 1)).alias("k"),
+                F.col("seg"),
+                F.round(F.col("bal") + 7.5, 2).alias("bal"),
+                F.lit("i").alias("op"),
+            )
+            merge_lake_table_pruned(
+                spark, lake, "curated", "crm", "customers",
+                updates.unionByName(deletes).unionByName(inserts),
+                ["k"], cfg,
+                matched_update={"bal": "ROUND(t.bal + 1000, 2)"},
+                matched_update_condition="s.op = 'u'",
+                matched_delete_condition="s.op = 'd'",
+            )
+            drain()  # gen 2: (1,2] feed; IVM -> 2
+
+            doomed = (
+                spark.read.parquet(route)
+                .filter(F.col("k") % 3 == 0)
+                .select("k")
+            )
+            delete_keys_from_table(spark, route, "k", doomed)
+            drain()  # gen 3 RESTART leg: only (2,3]; IVM -> 3
+            drain()  # quiet ledger: nothing emitted, IVM noop
+
+            meta = ivm.read_view_meta(spark, view)
+            if meta["applied_generation"] != 3:
+                raise AssertionError(
+                    f"q236: IVM watermark is {meta['applied_generation']}, "
+                    "not 3 — the event-driven refresh missed a commit"
+                )
+            recomputed = (
+                snap.read_route_snapshot(spark, route)
+                .groupBy("seg")
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                    F.round(F.sum("bal"), 2).alias("sum_bal"),
+                )
+            )
+            maintained = ivm.read_view(spark, view).select(
+                "seg", "n_rows", F.round("sum_bal", 2).alias("sum_bal")
+            )
+            if (
+                maintained.exceptAll(recomputed).head(1)
+                or recomputed.exceptAll(maintained).head(1)
+            ):
+                raise AssertionError(
+                    "q236: event-driven IVM view diverged from recompute"
+                )
+
+            out = (
+                spark.read.parquet(outdir)
+                .groupBy(
+                    "from_gen", "to_gen",
+                    F.col("_change_type").alias("change_type"),
+                )
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n"),
+                    F.sum("k").cast("bigint").alias("sum_k"),
+                    F.round(F.sum("bal"), 2).alias("sum_bal"),
                 )
             )
             return out.localCheckpoint(eager=True)

@@ -228,7 +228,144 @@ class ParquetReplayStreamSource(DataSource):
         return ParquetReplayStreamReader(dict(self.options))
 
 
+class _GenerationPartition(InputPartition):
+    def __init__(self, row: tuple | None):
+        self.row = row
+
+
+class GenerationLedgerStreamReader(DataSourceStreamReader):
+    """Follow a snapshot-enabled route's generation ledger as a stream:
+    offset = ``{"generation": N}``, one row per NEWLY COMMITTED
+    generation manifest. Because the offset IS the applied-generation
+    watermark, Spark's own offset log checkpoints it — a restarted
+    stream resumes from exactly the last committed generation, the
+    committed-batch-ledger idiom with zero custom state files.
+
+    Generations are consecutive integers by the publish CAS (parent+1
+    always), so the ``(start, end]`` offset span enumerates manifests
+    directly; a manifest missing from that span means
+    ``prune_generations`` dropped it — the reader raises with the
+    remedy rather than silently skipping history (the same refusal the
+    IVM refresh makes).
+
+    The rows are manifest SUMMARIES (generation, parent, kind, writer,
+    created_utc_ms, n_files, row_count) — tiny driver-side metadata,
+    exactly what ``publish_generation`` wrote. The row-level change
+    feed is deliberately NOT produced here: computing it needs the
+    distributed multiset diff (``snapshots.read_changes_between``),
+    which ``streaming.pipeline.start_changes_stream`` runs inside
+    ``foreachBatch`` where a full SparkSession exists. Manifests are
+    read with plain local-filesystem I/O (the planner worker has no
+    JVM gateway); for object-store routes, front the ledger with a
+    mounted path or extend this seam with fsspec.
+    """
+
+    def __init__(self, options: dict):
+        route = options["route"]
+        for prefix in ("file://", "file:"):
+            if route.startswith(prefix):
+                route = route[len(prefix):]
+                break
+        self._route = route.rstrip("/")
+        self._start = int(options.get("start_generation", 0))
+
+    def _gen_dir(self) -> str:
+        return f"{self._route}/_gen"
+
+    def _latest(self) -> int:
+        import os
+
+        d = self._gen_dir()
+        if not os.path.isdir(d):
+            return self._start
+        best = self._start
+        for name in os.listdir(d):
+            if name.startswith("gen-") and name.endswith(".json"):
+                body = name[4:-5]
+                if body.isdigit():
+                    best = max(best, int(body))
+        return best
+
+    def _manifest(self, n: int) -> dict:
+        import json
+        import os
+
+        path = f"{self._gen_dir()}/gen-{n:012d}.json"
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"generation {n} of {self._route} is missing from the "
+                "ledger (pruned by prune_generations?) — the stream "
+                "cannot skip history; restart it with start_generation "
+                "at or above the oldest kept generation"
+            )
+        with open(path, "rb") as f:
+            return json.loads(f.read().decode("utf-8"))
+
+    def initialOffset(self) -> dict:
+        return {"generation": self._start}
+
+    def latestOffset(self) -> dict:
+        return {"generation": self._latest()}
+
+    def partitions(self, start: dict, end: dict):
+        s, e = start["generation"], end["generation"]
+        parts = []
+        for n in range(s + 1, e + 1):
+            m = self._manifest(n)
+            rc = m.get("row_count")
+            parts.append(
+                _GenerationPartition(
+                    (
+                        int(m["generation"]),
+                        int(m["parent"]) if m.get("parent") else None,
+                        str(m.get("kind")),
+                        str(m.get("writer")),
+                        int(m.get("created_utc_ms", 0)),
+                        len(m.get("files", [])),
+                        int(rc) if rc is not None else None,
+                    )
+                )
+            )
+        return parts or [_GenerationPartition(None)]
+
+    def read(self, partition: _GenerationPartition):
+        if partition.row is None:
+            return iter(())
+        return iter((partition.row,))
+
+    def commit(self, end: dict) -> None:  # offsets live in the checkpoint
+        pass
+
+
+class GenerationLedgerStreamSource(DataSource):
+    """``spark.readStream.format("generation_ledger_stream")``.
+
+    Options: ``route`` (required — a snapshot-enabled route directory),
+    ``start_generation`` (emit generations strictly ABOVE this; default
+    0 = the full retained history).
+
+    One row per newly committed generation; schema below. The
+    foreachBatch consumers (``start_changes_stream``,
+    ``start_ivm_refresh_stream``) turn those commit events into the
+    row-level change feed / an exact view refresh."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "generation_ledger_stream"
+
+    def schema(self) -> str:
+        return (
+            "generation bigint, parent bigint, kind string, "
+            "writer string, created_utc_ms bigint, n_files int, "
+            "row_count bigint"
+        )
+
+    def streamReader(self, schema) -> GenerationLedgerStreamReader:  # noqa: ANN001
+        return GenerationLedgerStreamReader(dict(self.options))
+
+
 def register_python_datasources(spark) -> None:  # noqa: ANN001
     """Register all Python data sources (idempotent per session)."""
     spark.dataSource.register(ParquetRowGroupDataSource)
     spark.dataSource.register(ParquetReplayStreamSource)
+    spark.dataSource.register(GenerationLedgerStreamSource)

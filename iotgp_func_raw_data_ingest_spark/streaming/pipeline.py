@@ -461,6 +461,153 @@ def start_cdc_merge_stream(
     return writer.start()
 
 
+def _ledger_stream(spark, route: str, start_generation: int) -> DataFrame:
+    from iotgp_func_raw_data_ingest_spark.sources.pydatasource import (
+        register_python_datasources,
+    )
+
+    register_python_datasources(spark)
+    return (
+        spark.readStream.format("generation_ledger_stream")
+        .option("route", route)
+        .option("start_generation", str(start_generation))
+        .load()
+    )
+
+
+def start_changes_stream(
+    spark,
+    route: str,
+    sink,
+    checkpoint_dir: str,
+    key_cols: list[str] | None = None,
+    fmt: str = "parquet",
+    start_generation: int = 0,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """Follow a snapshot-enabled route's generation ledger CONTINUOUSLY,
+    pushing each newly committed generation's row-level change feed
+    through ``sink(feed_df, from_generation, to_generation)`` — the
+    always-on form of ``snapshots.read_changes_between`` (its one-shot
+    batch shape), so downstream consumers react to commits instead of
+    polling with cron.
+
+    Mechanics: the ``generation_ledger_stream`` Python data source emits
+    one row per committed generation, with the OFFSET equal to the
+    generation number — Spark's own offset log therefore checkpoints
+    the applied-generation watermark, and a restarted stream resumes
+    from exactly the last generation a committed batch consumed. Inside
+    ``foreachBatch``, the batch's generation span collapses to ONE
+    compressed feed (``read_changes_between(first-1, last)`` — net
+    changes, carried ballast cancelled), computed from only the files
+    the span's manifests disagree on.
+
+    Semantics the caller must know:
+
+    - ``start_generation=N`` emits changes committed AFTER generation N
+      (default 0 = the full retained history; a route's first
+      generation contributes no feed rows — its content is the enable
+      snapshot, not a change).
+    - ``sink`` runs at-least-once (foreachBatch contract); the
+      committed-batch ledger makes it effectively-once outside the
+      crash-between-sink-and-marker window — same guarantee as every
+      other stream here. Make the sink idempotent per (from, to) span
+      if that residual window matters.
+    - A span crossing a PRUNED generation fails loudly with the remedy
+      (keep ``prune_generations`` retention above the stream's restart
+      lag), mirroring the IVM refusal — never a silently torn feed.
+    - A span crossing a whole-route rewrite costs a full route read
+      (DEPLOYMENT.md caveat) though the net feed stays correct.
+
+    Scale: the ledger rows are manifest summaries (driver-side
+    metadata); each batch's real work is the change feed's
+    delta-sized multiset diff — cost ∝ what the span's generations
+    disagree on, never route size.
+
+    Reference parity: engine-added (SURVEY §2.6) — the reference has no
+    versioning, so nothing to follow (src/function_app.py:389-414)."""
+    from iotgp_func_raw_data_ingest_spark.sources.snapshots import (
+        read_changes_between,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        bspark = batch_df.sparkSession
+        if batch_committed(bspark, checkpoint_dir, batch_id):
+            return
+        gens = sorted(
+            r["generation"] for r in batch_df.select("generation").collect()
+        )
+        if gens:
+            base = max(gens[0] - 1, 1)
+            to = gens[-1]
+            if to > base:
+                feed = read_changes_between(
+                    bspark, route, base, to, fmt=fmt, key_cols=key_cols
+                )
+                sink(feed, base, to)
+        mark_batch_committed(bspark, checkpoint_dir, batch_id)
+
+    writer = _ledger_stream(spark, route, start_generation).writeStream.foreachBatch(
+        _sink
+    ).option("checkpointLocation", checkpoint_dir)
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_ivm_refresh_stream(
+    spark,
+    route: str,
+    view_path: str,
+    group_cols: list[str],
+    sum_cols: list[str] | tuple[str, ...] = (),
+    checkpoint_dir: str | None = None,
+    fmt: str = "parquet",
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """Event-driven incremental view maintenance: refresh the
+    count+sum view (``sources.ivm.refresh_view_from_changes``) whenever
+    the route commits a generation, instead of on a cron — the ledger
+    stream is the commit signal, the refresh itself stays the exact
+    feed-based delta apply.
+
+    Idempotence needs NO batch ledger here: the refresh is already
+    exactly-once by construction (the view's applied-generation
+    watermark travels inside the view directory and moves in the same
+    atomic swap as the data) — a replayed batch finds the view current
+    and no-ops. The refresh always catches up to the LATEST committed
+    generation, which may be beyond the batch's own span; that is
+    correct (exactness is per-state, not per-span) and makes
+    back-to-back commits coalesce into one refresh.
+
+    ``checkpoint_dir`` defaults to ``<view_path>.ckpt`` — the stream's
+    position matters only for how often an already-current refresh
+    no-ops, never for correctness."""
+    from iotgp_func_raw_data_ingest_spark.sources.ivm import (
+        refresh_view_from_changes,
+    )
+
+    ckpt = checkpoint_dir or f"{view_path.rstrip('/')}.ckpt"
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.select("generation").head(1):
+            refresh_view_from_changes(
+                batch_df.sparkSession, route, view_path,
+                list(group_cols), list(sum_cols), fmt=fmt,
+            )
+
+    writer = _ledger_stream(spark, route, 0).writeStream.foreachBatch(
+        _sink
+    ).option("checkpointLocation", ckpt)
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_rollup_stream(
     events_stream: DataFrame,
     lake_path: str,

@@ -1,0 +1,246 @@
+"""Continuous change-feed consumption off the generation ledger
+(``sources.pydatasource.GenerationLedgerStreamSource`` +
+``streaming.pipeline.start_changes_stream`` /
+``start_ivm_refresh_stream``): offset = generation number, so Spark's
+own offset log checkpoints the applied-generation watermark — restarts
+resume exactly, spans compress to one net feed, pruned history fails
+loudly, and IVM refreshes become commit-driven."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iotgp_func_raw_data_ingest_spark.config import EngineConfig
+from iotgp_func_raw_data_ingest_spark.sources import ivm
+from iotgp_func_raw_data_ingest_spark.sources import snapshots as snap
+from iotgp_func_raw_data_ingest_spark.sources.lake import merge_lake_table_pruned
+from iotgp_func_raw_data_ingest_spark.sources.maintenance import (
+    delete_keys_from_table,
+)
+from iotgp_func_raw_data_ingest_spark.streaming.pipeline import (
+    start_changes_stream,
+    start_ivm_refresh_stream,
+)
+
+
+def _seed(spark, base, n=200, files=4):
+    lake = str(base / "lake")
+    route = f"{lake}/curated/crm/accounts"
+    df = spark.range(1, n + 1).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).cast("string").alias("seg"),
+        F.round(F.col("id") * 1.5, 2).alias("bal"),
+    )
+    df.repartitionByRange(files, "k").write.parquet(route)
+    assert snap.enable_snapshots(spark, route) == 1
+    return lake, route, EngineConfig(output_path=lake)
+
+
+def _merge_updates(spark, lake, cfg, lo, hi):
+    src = spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).cast("string").alias("seg"),
+        F.lit(7.25).alias("bal"),
+        F.lit("u").alias("op"),
+    )
+    merge_lake_table_pruned(
+        spark, lake, "curated", "crm", "accounts", src, ["k"], cfg,
+        matched_update={"bal": "s.bal"},
+        matched_update_condition="s.op = 'u'",
+        matched_delete_condition="s.op = 'd'",
+    )
+
+
+def _drain(q):
+    q.awaitTermination(300)
+
+
+def _collected(spark, outdir):
+    if not os.path.exists(outdir):
+        return set()
+    return {
+        (r["from_gen"], r["to_gen"], r["_change_type"], r["n"])
+        for r in spark.read.parquet(outdir)
+        .groupBy("from_gen", "to_gen", "_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+
+def test_follow_ledger_across_restarts(spark, tmp_path):
+    """Each availableNow run drains the ledger from the checkpointed
+    watermark: leg A (only gen 1) emits nothing, leg B emits (1,2],
+    leg C — a RESTART — emits only (2,3], leg D re-emits nothing."""
+    lake, route, cfg = _seed(spark, tmp_path)
+    outdir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def sink(feed, frm, to):
+        feed.withColumn("from_gen", F.lit(frm)).withColumn(
+            "to_gen", F.lit(to)
+        ).write.mode("append").parquet(outdir)
+
+    _drain(start_changes_stream(spark, route, sink, ckpt, key_cols=["k"]))
+    assert _collected(spark, outdir) == set()  # gen 1 is not a change
+
+    _merge_updates(spark, lake, cfg, 50, 61)  # gen 2: 11 updates
+    _drain(start_changes_stream(spark, route, sink, ckpt, key_cols=["k"]))
+    assert _collected(spark, outdir) == {
+        (1, 2, "update_preimage", 11),
+        (1, 2, "update_postimage", 11),
+    }
+
+    doomed = spark.range(1, 201).filter(F.col("id") % 7 == 0).select(
+        F.col("id").alias("k")
+    )
+    delete_keys_from_table(spark, route, "k", doomed)  # gen 3: 28 deletes
+    _drain(start_changes_stream(spark, route, sink, ckpt, key_cols=["k"]))
+    after_c = _collected(spark, outdir)
+    assert after_c == {
+        (1, 2, "update_preimage", 11),
+        (1, 2, "update_postimage", 11),
+        (2, 3, "delete", 28),
+    }
+
+    _drain(start_changes_stream(spark, route, sink, ckpt, key_cols=["k"]))
+    assert _collected(spark, outdir) == after_c  # nothing re-emitted
+
+
+def test_multi_generation_batch_compresses_to_one_feed(spark, tmp_path):
+    """Two commits between runs arrive as ONE batch and ONE compressed
+    feed (delete-then-reinsert of the same content nets to the update
+    classes only, q233 semantics)."""
+    lake, route, cfg = _seed(spark, tmp_path)
+    outdir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spans = []
+
+    def sink(feed, frm, to):
+        spans.append((frm, to))
+        feed.withColumn("from_gen", F.lit(frm)).withColumn(
+            "to_gen", F.lit(to)
+        ).write.mode("append").parquet(outdir)
+
+    _merge_updates(spark, lake, cfg, 10, 16)   # gen 2
+    _merge_updates(spark, lake, cfg, 100, 103)  # gen 3
+    _drain(start_changes_stream(spark, route, sink, ckpt, key_cols=["k"]))
+    assert spans == [(1, 3)]
+    assert _collected(spark, outdir) == {
+        (1, 3, "update_preimage", 9),   # 6 keys (gen 2) + 3 keys (gen 3)
+        (1, 3, "update_postimage", 9),
+    }
+
+
+def test_start_generation_skips_history(spark, tmp_path):
+    lake, route, cfg = _seed(spark, tmp_path)
+    _merge_updates(spark, lake, cfg, 10, 16)   # gen 2 — to be skipped
+    _merge_updates(spark, lake, cfg, 100, 103)  # gen 3
+    outdir = str(tmp_path / "out")
+
+    def sink(feed, frm, to):
+        feed.withColumn("from_gen", F.lit(frm)).withColumn(
+            "to_gen", F.lit(to)
+        ).write.mode("append").parquet(outdir)
+
+    _drain(
+        start_changes_stream(
+            spark, route, sink, str(tmp_path / "ckpt"),
+            key_cols=["k"], start_generation=2,
+        )
+    )
+    assert _collected(spark, outdir) == {
+        (2, 3, "update_preimage", 3),
+        (2, 3, "update_postimage", 3),
+    }
+
+
+def test_pruned_history_fails_loudly(spark, tmp_path):
+    """A stream whose watermark (or span interior) has been pruned from
+    the ledger must raise with the remedy, never skip history."""
+    lake, route, cfg = _seed(spark, tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    _drain(start_changes_stream(spark, route, lambda *a: None, ckpt))
+    _merge_updates(spark, lake, cfg, 10, 16)    # gen 2
+    _merge_updates(spark, lake, cfg, 100, 103)  # gen 3
+    snap.prune_generations(
+        spark, route, keep_last=1, vacuum_grace_seconds=0
+    )  # drops gens 1, 2
+    q = start_changes_stream(spark, route, lambda *a: None, ckpt)
+    with pytest.raises(Exception, match="prune"):
+        q.awaitTermination(300)
+
+
+def test_ivm_refresh_stream_event_driven(spark, tmp_path):
+    """The ledger stream drives refresh_view_from_changes: initial
+    build on first drain, incremental after each commit, noop when the
+    ledger is quiet — and the view stays exactly equal to a recompute."""
+    lake, route, cfg = _seed(spark, tmp_path)
+    view = str(tmp_path / "view")
+
+    def recompute():
+        return {
+            r["seg"]: (r["n_rows"], round(r["sum_bal"], 2))
+            for r in snap.read_route_snapshot(spark, route)
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("bal").alias("sum_bal"),
+            )
+            .collect()
+        }
+
+    def view_rows():
+        return {
+            r["seg"]: (r["n_rows"], round(r["sum_bal"], 2))
+            for r in ivm.read_view(spark, view).collect()
+        }
+
+    _drain(start_ivm_refresh_stream(spark, route, view, ["seg"], ["bal"]))
+    assert ivm.read_view_meta(spark, view)["applied_generation"] == 1
+    assert view_rows() == recompute()
+
+    _merge_updates(spark, lake, cfg, 40, 71)  # gen 2
+    doomed = spark.range(1, 201).filter(F.col("id") % 3 == 0).select(
+        F.col("id").alias("k")
+    )
+    delete_keys_from_table(spark, route, "k", doomed)  # gen 3
+    _drain(start_ivm_refresh_stream(spark, route, view, ["seg"], ["bal"]))
+    assert ivm.read_view_meta(spark, view)["applied_generation"] == 3
+    assert view_rows() == recompute()
+
+    # quiet ledger: the drain finds nothing and the view is untouched
+    before = view_rows()
+    _drain(start_ivm_refresh_stream(spark, route, view, ["seg"], ["bal"]))
+    assert view_rows() == before
+
+
+def test_ledger_rows_carry_manifest_summaries(spark, tmp_path):
+    """The source's rows are the manifest summaries themselves —
+    generation / parent / kind / n_files — usable directly for commit
+    monitoring without any feed computation."""
+    from iotgp_func_raw_data_ingest_spark.sources.pydatasource import (
+        register_python_datasources,
+    )
+
+    lake, route, cfg = _seed(spark, tmp_path)
+    _merge_updates(spark, lake, cfg, 10, 16)  # gen 2
+    register_python_datasources(spark)
+    rows = []
+    q = (
+        spark.readStream.format("generation_ledger_stream")
+        .option("route", route)
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, _id: rows.extend(df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = {(r["generation"], r["parent"], r["kind"]) for r in rows}
+    assert got == {(1, None, "enable"), (2, 1, "merge")}
+    assert all(r["n_files"] > 0 for r in rows)
