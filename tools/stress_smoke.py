@@ -402,6 +402,7 @@ def main() -> int:
         "merge_pruned(1% CDC batch)",
         "cdc_apply_stream(3 micro-batches)",
         "snapshot_feed(1% CDC delta)",
+        "cdc_tombstones(3 batches + expiry)",
     )
     if not name_filter or any(name_filter in n for n in _merge_tier_names):
         _shutil.rmtree(merge_work, ignore_errors=True)
@@ -425,7 +426,7 @@ def main() -> int:
             (F.col("id") % 9973).cast("double").alias("bal"),
             payload.alias("payload"),
         )
-        for variant in ("full", "pruned", "cdc", "feed"):
+        for variant in ("full", "pruned", "cdc", "feed", "tomb"):
             merge_target.repartitionByRange(64, "k").write.parquet(
                 f"{merge_work}/{variant}/curated/crm/accounts"
             )
@@ -619,12 +620,104 @@ def main() -> int:
         # return the feed plan itself so the harness audits ITS shuffle
         return snap.read_changes_between(spark, route, 1, 2, key_cols=["k"])
 
+    def _tombstone_stress():
+        """Tombstone-retention economics (retain_tombstones=True): the
+        cdc_apply_stream tier's exact batch shapes — tail-slice
+        updates+deletes, inserts, absent-key tombstones — applied with
+        soft deletes, then an expire_tombstones pass at a horizon
+        covering every tombstone. Witnesses: (a) the stream's total
+        physical rewrite stays touched-slice sized with the _deleted
+        marker added (vs cdc_stream's — the mode costs one boolean
+        column, not new physics); (b) the expiry's staged replace
+        rewrites ONLY tombstone-bearing files (files_rewritten vs
+        files_total, MB), the retention job's 100 TB cost model."""
+        from iotgp_func_raw_data_ingest_spark.plans.streaming_queries2 import (
+            _write_ordered_tranches,
+        )
+        from iotgp_func_raw_data_ingest_spark.sources.maintenance import (
+            expire_tombstones,
+        )
+        from iotgp_func_raw_data_ingest_spark.streaming.pipeline import (
+            start_cdc_merge_stream,
+        )
+
+        lake = f"{merge_work}/tomb"
+        route = f"{lake}/curated/crm/accounts"
+        before_files = {
+            f for f in os.listdir(route) if f.startswith("part-")
+        }
+        slice_w = n_docs // 300
+        tranches = []
+        for i in range(3):
+            lo = n_docs - (3 - i) * slice_w
+            upd = spark.range(lo, lo + slice_w).select(
+                F.col("id").alias("k"),
+                F.lit("cdc").alias("seg"),
+                (F.col("id") % 9973).cast("double").alias("bal"),
+                F.when(F.col("id") % 9973 > 9000, "d").otherwise("u").alias("op"),
+                (F.col("id") * 10 + i).alias("seq"),
+            )
+            tomb = spark.range(
+                3 * n_docs + i * 100, 3 * n_docs + i * 100 + 100
+            ).select(  # absent keys: now INSERT tombstone marker rows
+                F.col("id").alias("k"),
+                F.lit(None).cast("string").alias("seg"),
+                F.lit(None).cast("double").alias("bal"),
+                F.lit("d").alias("op"),
+                (F.col("id") * 10 + i).alias("seq"),
+            )
+            tranches.append(upd.unionByName(tomb))
+        in_dir = f"{merge_work}/tomb_in"
+        _write_ordered_tranches(tranches, in_dir)
+        stream = (
+            spark.readStream.schema(tranches[0].schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        mcfg = EngineConfig(output_path=lake, max_batch_size=500_000)
+        q = start_cdc_merge_stream(
+            stream, lake, "curated", "crm", "accounts",
+            ["k"], "seq", mcfg, f"{merge_work}/tomb_ckpt",
+            persist_seq=True, retain_tombstones=True,
+        )
+        q.awaitTermination()
+        stream_rewritten = sum(
+            os.path.getsize(os.path.join(route, f))
+            for f in os.listdir(route)
+            if f.startswith("part-") and f not in before_files
+        )
+        pre_expire_files = {
+            f for f in os.listdir(route) if f.startswith("part-")
+        }
+        t0 = time.perf_counter()
+        exp = expire_tombstones(spark, route, horizon_seq=10 * 10 * n_docs)
+        expire_wall = time.perf_counter() - t0
+        expire_rewritten = sum(
+            os.path.getsize(os.path.join(route, f))
+            for f in os.listdir(route)
+            if f.startswith("part-") and f not in pre_expire_files
+        )
+        rep = {
+            "mb_rewritten_stream": round(stream_rewritten / 1e6),
+            "tombstones_removed": exp["tombstones_removed"],
+            "expire_files_rewritten": exp["files_rewritten"],
+            "expire_files_total": exp["files_total"],
+            "mb_rewritten_expire": round(expire_rewritten / 1e6),
+            "expire_wall_s": round(expire_wall, 1),
+            "rows_after": spark.read.option("mergeSchema", "true")
+            .parquet(route).count(),
+        }
+        merge_reports["cdc_tombstones"] = dict(rep)
+        print(f"  cdc_tombstones: {rep}", flush=True)
+        return spark.createDataFrame([{k2: int(v) for k2, v in rep.items()}])
+
     ops.update(
         {
             "merge_full_rewrite(1% CDC batch)": lambda: _merge_stress("full"),
             "merge_pruned(1% CDC batch)": lambda: _merge_stress("pruned"),
             "cdc_apply_stream(3 micro-batches)": _cdc_stream_stress,
             "snapshot_feed(1% CDC delta)": _feed_stress,
+            "cdc_tombstones(3 batches + expiry)": _tombstone_stress,
         }
     )
 
