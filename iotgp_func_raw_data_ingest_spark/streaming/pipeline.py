@@ -528,7 +528,15 @@ def start_changes_stream(
     versioning, so nothing to follow (src/function_app.py:389-414)."""
     from iotgp_func_raw_data_ingest_spark.sources.snapshots import (
         read_changes_between,
+        snapshots_enabled,
     )
+
+    if not snapshots_enabled(spark, route):
+        raise ValueError(
+            f"{route} has no generation ledger — the changes stream "
+            "follows commits, so there is nothing to follow; call "
+            "snapshots.enable_snapshots(route) first"
+        )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         bspark = batch_df.sparkSession
@@ -588,7 +596,15 @@ def start_ivm_refresh_stream(
     from iotgp_func_raw_data_ingest_spark.sources.ivm import (
         refresh_view_from_changes,
     )
+    from iotgp_func_raw_data_ingest_spark.sources.snapshots import (
+        snapshots_enabled,
+    )
 
+    if not snapshots_enabled(spark, route):
+        raise ValueError(
+            f"{route} has no generation ledger — IVM follows commits; "
+            "call snapshots.enable_snapshots(route) first"
+        )
     ckpt = checkpoint_dir or f"{view_path.rstrip('/')}.ckpt"
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:

@@ -244,3 +244,18 @@ def test_ledger_rows_carry_manifest_summaries(spark, tmp_path):
     got = {(r["generation"], r["parent"], r["kind"]) for r in rows}
     assert got == {(1, None, "enable"), (2, 1, "merge")}
     assert all(r["n_files"] > 0 for r in rows)
+
+
+def test_not_enabled_route_fails_fast(spark, tmp_path):
+    """A changes/IVM stream on a route with no generation ledger raises
+    at construction (nothing to follow), never spins silently."""
+    route = str(tmp_path / "lake" / "curated" / "crm" / "plain")
+    spark.range(5).select(F.col("id").alias("k")).write.parquet(route)
+    with pytest.raises(ValueError, match="enable_snapshots"):
+        start_changes_stream(
+            spark, route, lambda *a: None, str(tmp_path / "c1")
+        )
+    with pytest.raises(ValueError, match="enable_snapshots"):
+        start_ivm_refresh_stream(
+            spark, route, str(tmp_path / "v"), ["k"]
+        )
