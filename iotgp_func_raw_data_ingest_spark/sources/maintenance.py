@@ -639,6 +639,17 @@ def expire_tombstones(
     }
     if "_deleted" not in df.columns or "_seq" not in df.columns:
         return zero  # never ran in tombstone mode — nothing to expire
+    # PLAN predicate: the bare conjunction — a NULL ``_deleted``
+    # (pre-evolution row) yields NULL, which a filter drops, exactly the
+    # doomed-set semantics — and unlike a coalesce() form it pushes
+    # EqualTo(_deleted,true) + the _seq range into the parquet scan, so
+    # footer stats skip all-live files before any row is read
+    # (explain-verified: PushedFilters carries both).
+    doomed_plan = (F.col("_deleted") == F.lit(True)) & (
+        F.col("_seq") <= F.lit(horizon_seq)
+    )
+    # survivors complement: here NULL ``_deleted`` must SURVIVE, so the
+    # negation needs the coalesce (three-valued ~NULL would drop it)
     doomed = F.coalesce(F.col("_deleted"), F.lit(False)) & (
         F.col("_seq") <= F.lit(horizon_seq)
     )
@@ -646,7 +657,7 @@ def expire_tombstones(
         row["_file"]
         for row in df.select("_deleted", "_seq")
         .withColumn("_file", F.input_file_name())
-        .filter(doomed)
+        .filter(doomed_plan)
         .select("_file")
         .distinct()
         .collect()
