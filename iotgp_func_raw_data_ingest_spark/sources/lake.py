@@ -528,14 +528,20 @@ def read_cdc_table(
     files read the marker as NULL — treated as live (``coalesce``), so
     a route that predates tombstone mode reads identically to
     ``read_lake_table``; a route with no ``_deleted`` column at all
-    likewise. The filter is a plain predicate on a boolean column —
-    parquet row-group stats prune all-live and all-tombstone row groups
-    engine-side, no extra pass. Engine columns (``_seq``/``_deleted``)
-    stay in the result; callers project them away when unwanted."""
+    likewise. The filter is written as ``_deleted IS NULL OR _deleted =
+    false`` rather than a ``coalesce`` so it PUSHES into the parquet
+    scan (explain-verified: ``Or(IsNull(_deleted),
+    Not(EqualTo(_deleted,true)))`` lands in PushedFilters; the coalesce
+    form pushes nothing) — row-group stats then prune all-tombstone
+    row groups engine-side, no extra pass. Engine columns
+    (``_seq``/``_deleted``) stay in the result; callers project them
+    away when unwanted."""
     df = read_lake_table(spark, lake_path, folder, source_db, table, fmt=fmt)
     if include_deleted or "_deleted" not in df.columns:
         return df
-    return df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+    return df.filter(
+        F.col("_deleted").isNull() | (F.col("_deleted") == F.lit(False))
+    )
 
 
 def compact_lake_table(
