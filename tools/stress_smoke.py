@@ -908,6 +908,24 @@ def main() -> int:
         if k in merge_reports
     ] + [
         "",
+        "cdc_tombstones (r11) re-runs the cdc_apply_stream shapes with",
+        "retain_tombstones=True (soft deletes: winning deletes become",
+        "marker rows, absent-key deletes INSERT tombstones) and then an",
+        "expire_tombstones pass at a horizon covering every tombstone.",
+        "Two witnesses: the stream's physical rewrite equals the plain",
+        "cdc_stream tier's (the mode costs one boolean column, not new",
+        "physics), and the expiry's staged replace rewrites ONLY the",
+        "tombstone-bearing files — the retention job's cost model at",
+        "100 TB (its PLAN predicate pushes EqualTo(_deleted,true) +",
+        "the _seq range into the parquet scan, so all-live files are",
+        "skipped on footer stats):",
+        "",
+    ] + [
+        f"- {k}: {merge_reports[k]}"
+        for k in ("cdc_tombstones",)
+        if k in merge_reports
+    ] + [
+        "",
     ]
     if name_filter:
         print("name filter active — not writing STRESS.md")
