@@ -140,3 +140,42 @@ def test_cli_snapshot_changes_ivm_lifecycle(spark, tmp_path, capsys):
     assert "pruned generations: [1]" in capsys.readouterr().out
 
     assert main(["snapshot-log", str(tmp_path / "nolake")]) == 1
+
+
+def test_cli_expire_tombstones_and_vacuum_grace(spark, tmp_path, capsys):
+    """expire-tombstones removes at/below the horizon and reports the
+    split; snapshot-prune surfaces the vacuum grace deferral and the
+    --vacuum-grace override."""
+    from pyspark.sql import functions as F
+
+    from iotgp_func_raw_data_ingest_spark.sources import snapshots as snap
+    from iotgp_func_raw_data_ingest_spark.sources.maintenance import (
+        delete_keys_from_table,
+    )
+
+    route = str(tmp_path / "lake" / "curated" / "crm" / "accounts")
+    spark.range(1, 21).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("string").alias("name"),
+        F.when(F.col("id") <= 4, True).otherwise(False).alias("_deleted"),
+        (F.col("id") * 10).alias("_seq"),
+    ).coalesce(1).write.parquet(route)
+
+    assert main(["expire-tombstones", route, "25"]) == 0
+    out = capsys.readouterr().out
+    assert "removed 2 tombstone(s)" in out  # _seq 10, 20 <= 25
+
+    assert main(["expire-tombstones", route, "1000"]) == 0
+    assert "removed 2 tombstone(s)" in capsys.readouterr().out  # 30, 40
+
+    # vacuum grace: a just-retired file defers the vacuum step ...
+    snap.enable_snapshots(spark, route)
+    delete_keys_from_table(
+        spark, route, "k", spark.range(5, 8).select(F.col("id").alias("k"))
+    )
+    assert main(["snapshot-prune", route, "--keep", "1"]) == 0
+    assert "vacuum deferred" in capsys.readouterr().out
+    # ... and --vacuum-grace 0 forces it on the quiesced route
+    assert main(["snapshot-prune", route, "--keep", "1",
+                 "--vacuum-grace", "0"]) == 0
+    assert "vacuumed files: 1" in capsys.readouterr().out
