@@ -535,7 +535,11 @@ def read_cdc_table(
     form pushes nothing) — row-group stats then prune all-tombstone
     row groups engine-side, no extra pass. Engine columns
     (``_seq``/``_deleted``) stay in the result; callers project them
-    away when unwanted."""
+    away when unwanted. For a PINNED-generation read of a tombstone
+    route, apply the same ``_deleted IS NULL OR _deleted = false``
+    predicate to ``snapshots.read_route_snapshot``'s output — a
+    generation committed mid-history legitimately contains the
+    tombstones that existed at that generation."""
     df = read_lake_table(spark, lake_path, folder, source_db, table, fmt=fmt)
     if include_deleted or "_deleted" not in df.columns:
         return df
