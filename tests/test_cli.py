@@ -179,3 +179,40 @@ def test_cli_expire_tombstones_and_vacuum_grace(spark, tmp_path, capsys):
     assert main(["snapshot-prune", route, "--keep", "1",
                  "--vacuum-grace", "0"]) == 0
     assert "vacuumed files: 1" in capsys.readouterr().out
+
+
+def test_cli_changes_stream_export(spark, tmp_path, capsys):
+    """The changes-stream verb drains the ledger once per invocation:
+    first run exports nothing (gen 1 is the enable), a mutation then
+    exports its span, a third run finds the ledger quiet."""
+    from pyspark.sql import functions as F
+
+    from iotgp_func_raw_data_ingest_spark.sources import snapshots as snap
+    from iotgp_func_raw_data_ingest_spark.sources.maintenance import (
+        delete_keys_from_table,
+    )
+
+    route = str(tmp_path / "lake" / "curated" / "crm" / "accounts")
+    spark.range(1, 51).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("bal")
+    ).coalesce(2).write.parquet(route)
+    snap.enable_snapshots(spark, route)
+
+    outdir = str(tmp_path / "export")
+    cli = ["changes-stream", route, outdir,
+           "--checkpoint", str(tmp_path / "ckpt"), "--key-cols", "k"]
+    assert main(cli) == 0
+    assert "nothing new" in capsys.readouterr().out
+
+    delete_keys_from_table(
+        spark, route, "k", spark.range(1, 6).select(F.col("id").alias("k"))
+    )
+    assert main(cli) == 0
+    assert "exported span (1, 2]: 5 change row(s)" in capsys.readouterr().out
+    got = spark.read.parquet(outdir)
+    assert got.count() == 5
+    assert set(got.columns) >= {"k", "bal", "_change_type",
+                                "from_gen", "to_gen"}
+
+    assert main(cli) == 0
+    assert "nothing new" in capsys.readouterr().out
