@@ -259,3 +259,40 @@ def test_not_enabled_route_fails_fast(spark, tmp_path):
         start_ivm_refresh_stream(
             spark, route, str(tmp_path / "v"), ["k"]
         )
+
+
+def test_replayed_batch_does_not_duplicate_export(spark, tmp_path):
+    """The crash window foreachBatch leaves open: the sink ran but
+    Spark's offset commit didn't land. Simulated by deleting the last
+    checkpoint commit file after a drain — the restarted stream replays
+    that batch id, and the committed-batch ledger must skip the sink so
+    the export is not duplicated."""
+    lake, route, cfg = _seed(spark, tmp_path)
+    outdir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def sink(feed, frm, to):
+        feed.withColumn("from_gen", F.lit(frm)).withColumn(
+            "to_gen", F.lit(to)
+        ).write.mode("append").parquet(outdir)
+
+    _merge_updates(spark, lake, cfg, 50, 61)  # gen 2: 11 updates
+    _drain(start_changes_stream(spark, route, sink, ckpt, key_cols=["k"]))
+    before = _collected(spark, outdir)
+    assert before == {
+        (1, 2, "update_preimage", 11),
+        (1, 2, "update_postimage", 11),
+    }
+
+    # crash simulation: the sink's work (and our ledger marker) landed,
+    # Spark's own batch commit did not
+    commits = sorted(
+        f for f in os.listdir(f"{ckpt}/commits") if not f.startswith(".")
+    )
+    os.remove(f"{ckpt}/commits/{commits[-1]}")
+    crc = f"{ckpt}/commits/.{commits[-1]}.crc"  # local-FS checksum sidecar
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    _drain(start_changes_stream(spark, route, sink, ckpt, key_cols=["k"]))
+    assert _collected(spark, outdir) == before  # replay skipped the sink
