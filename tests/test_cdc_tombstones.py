@@ -218,3 +218,49 @@ def test_guardrails(spark, tmp_path):
     )
     with pytest.raises(Exception, match="_deleted"):
         q.awaitTermination(300)
+
+
+def test_expire_crash_after_seal_heals_exactly_once(spark, tmp_path, monkeypatch):
+    """expire_tombstones dying between its _ready seal and the commit
+    leaves a READY .delete-stage- the next maintenance pass completes
+    (cross-kind heal_staged_replaces) — the expiry lands exactly once,
+    never twice, never half."""
+    from iotgp_func_raw_data_ingest_spark.sources import maintenance as mnt
+    from iotgp_func_raw_data_ingest_spark.sources.lake import (
+        heal_staged_replaces,
+    )
+
+    cfg, lake = _seed(spark, tmp_path)
+    _apply(spark, tmp_path, cfg, lake, [
+        [
+            {"id": 1, "name": None, "v": None, "op": "d", "seq": 3},
+            {"id": 2, "name": None, "v": None, "op": "d", "seq": 8},
+        ],
+    ])
+    route = f"{lake}/f/db/t"
+
+    real_finish = mnt._finish_keyed_delete
+
+    def crash_on_commit(spark_, table_path, stage_name):
+        raise RuntimeError("injected crash before the staged commit")
+
+    monkeypatch.setattr(mnt, "_finish_keyed_delete", crash_on_commit)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        expire_tombstones(spark, route, horizon_seq=5)
+    monkeypatch.setattr(mnt, "_finish_keyed_delete", real_finish)
+
+    # the doomed tombstone (id 1) is still visible — nothing committed
+    raw = _route_rows(spark, lake)
+    assert raw[1] == (None, None, 3, True)
+
+    # any maintenance writer's preamble completes the READY stage
+    assert heal_staged_replaces(spark, route) == 1
+    raw = _route_rows(spark, lake)
+    assert 1 not in raw                      # expiry landed
+    assert raw[2] == (None, None, 8, True)   # above horizon kept
+    # untouched rows carried once (NULL markers: their file was never
+    # rewritten, so the evolved columns read as NULL = live)
+    assert raw[3] == ("c", 30, None, None)
+
+    # and a healed stage is gone — a second heal finds nothing
+    assert heal_staged_replaces(spark, route) == 0
