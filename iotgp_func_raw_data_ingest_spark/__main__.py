@@ -164,6 +164,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_cstr.add_argument("--key-cols", default="")
     p_cstr.add_argument("--start-generation", type=int, default=0)
+    p_cstr.add_argument(
+        "--live-only", action="store_true",
+        help="export the live-table feed of a tombstone-retaining CDC "
+        "route (soft deletes as logical deletes; expiry spans empty)",
+    )
 
     args = p.parse_args(argv)
 
@@ -389,27 +394,29 @@ def main(argv: list[str] | None = None) -> int:
         keys = [c for c in args.key_cols.split(",") if c] or None
         spans = []
 
+        # idempotent-per-span export: each span lands under its own
+        # partition directory with OVERWRITE, so a crash in the
+        # sink-to-marker window (pipeline.py's documented at-least-once
+        # residual) replays as a file-level rewrite of the same span —
+        # never duplicate rows. Consumers read the whole outdir; Spark
+        # partition discovery yields from_gen/to_gen as columns.
         def _sink(feed, frm, to):
-            spans.append((frm, to))
-            feed.withColumn(
-                "from_gen", F.lit(frm).cast("bigint")
-            ).withColumn(
-                "to_gen", F.lit(to).cast("bigint")
-            ).write.mode("append").parquet(args.outdir)
+            span_dir = f"{args.outdir}/from_gen={frm}/to_gen={to}"
+            spans.append((frm, to, span_dir))
+            feed.write.mode("overwrite").parquet(span_dir)
 
         q = start_changes_stream(
             spark, args.route, _sink, args.checkpoint,
             key_cols=keys, start_generation=args.start_generation,
+            live_only=args.live_only,
         )
         q.awaitTermination()
         if spans:
-            # count off the WRITTEN export (tiny, delta-sized) instead
-            # of re-evaluating the feed plan a second time
-            out = spark.read.parquet(args.outdir)
-            for frm, to in spans:
-                n = out.filter(
-                    (F.col("from_gen") == frm) & (F.col("to_gen") == to)
-                ).count()
+            # count off each span's OWN written directory (tiny,
+            # delta-sized) — counts cover exactly this span's current
+            # files, so a replayed or reused outdir cannot inflate them
+            for frm, to, span_dir in spans:
+                n = spark.read.parquet(span_dir).count()
                 print(f"exported span ({frm}, {to}]: {n} change row(s)")
         else:
             print("ledger quiet — nothing new to export")

@@ -29,10 +29,18 @@ the tombstones at a seq horizon. q236 makes the change feed
 streaming-native: ``start_changes_stream`` follows the generation
 ledger (offset = generation, checkpointed by Spark's own offset log)
 and ``start_ivm_refresh_stream`` makes the IVM view commit-driven.
+
+q237 (round 12) composes the two: the follower and the IVM view ride a
+TOMBSTONE-MODE route with ``live_only=True``, so soft deletes arrive as
+logical deletes, legitimate resurrections as logical inserts, rejected
+stale changes and the expiry span as NOTHING — and the maintained view
+stays hash-equal to a from-scratch ``read_cdc_table`` aggregate across
+the whole delete -> stale-update -> expiry lifecycle.
 """
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -829,5 +837,338 @@ def q236_changes_stream_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
             return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q237_live_feed_over_tombstones",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(c_custkey AS BIGINT) AS k,
+               c_mktsegment AS seg,
+               ROUND(c_acctbal, 2) AS bal
+        FROM customer
+    ),
+    off AS (SELECT MAX(k) + 1 AS o FROM base),
+    changes AS (
+        SELECT k, NULL AS seg, NULL AS bal, 'd' AS op, k * 10 + 8 AS seq,
+               0 AS b
+        FROM base WHERE k % 5 = 1
+        UNION ALL
+        SELECT k, NULL, NULL, 'd', k * 10 + 1, 0 FROM base WHERE k % 13 = 4
+        UNION ALL
+        SELECT k + 2 * o, NULL, NULL, 'd', (k + 2 * o) * 10 + 5, 0
+        FROM base, off WHERE k % 19 = 6
+        UNION ALL
+        SELECT k, 'Z-' || seg, ROUND(bal + 1.5, 2), 'u', k * 10 + 3, 1
+        FROM base WHERE k % 5 = 1
+        UNION ALL
+        SELECT k, 'T-' || seg, ROUND(bal + 9.0, 2), 'u', k * 10 + 9, 1
+        FROM base WHERE k % 13 = 4
+        UNION ALL
+        SELECT k + 2 * o, 'LATE', 7.0, 'c', (k + 2 * o) * 10 + 2, 1
+        FROM base, off WHERE k % 19 = 6
+        UNION ALL
+        SELECT k, 'K-' || seg, ROUND(bal + 2.75, 2), 'u', k * 10 + 7, 1
+        FROM base WHERE k % 17 = 2
+    ),
+    latest1 AS (
+        SELECT k, seg, bal, op FROM (
+            SELECT c.*, ROW_NUMBER() OVER (
+                PARTITION BY k ORDER BY seq DESC
+            ) AS rn
+            FROM changes c WHERE b <= 0
+        ) WHERE rn = 1
+    ),
+    latest2 AS (
+        SELECT k, seg, bal, op FROM (
+            SELECT c.*, ROW_NUMBER() OVER (
+                PARTITION BY k ORDER BY seq DESC
+            ) AS rn
+            FROM changes c
+        ) WHERE rn = 1
+    ),
+    live1 AS (
+        SELECT b.k, b.seg, b.bal
+        FROM base b LEFT JOIN latest1 l ON b.k = l.k
+        WHERE l.k IS NULL
+        UNION ALL
+        SELECT l.k, l.seg, l.bal FROM latest1 l WHERE l.op <> 'd'
+    ),
+    live2 AS (
+        SELECT b.k, b.seg, b.bal
+        FROM base b LEFT JOIN latest2 l ON b.k = l.k
+        WHERE l.k IS NULL
+        UNION ALL
+        SELECT l.k, l.seg, l.bal FROM latest2 l WHERE l.op <> 'd'
+    ),
+    del1 AS (
+        SELECT a.k, a.bal FROM base a
+        LEFT JOIN live1 s ON a.k = s.k WHERE s.k IS NULL
+    ),
+    ins2 AS (
+        SELECT a.k, a.bal FROM live2 a
+        LEFT JOIN live1 s ON a.k = s.k WHERE s.k IS NULL
+    ),
+    upd2 AS (
+        SELECT a.k, a.bal AS pre_bal, c.bal AS post_bal
+        FROM live1 a JOIN live2 c ON a.k = c.k
+        WHERE a.seg IS DISTINCT FROM c.seg
+           OR a.bal IS DISTINCT FROM c.bal
+    )
+    SELECT CAST(1 AS BIGINT) AS from_gen, CAST(2 AS BIGINT) AS to_gen,
+           'delete' AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           ROUND(SUM(bal), 2) AS sum_bal
+    FROM del1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(3 AS BIGINT), 'insert',
+           CAST(COUNT(*) AS BIGINT), CAST(SUM(k) AS BIGINT),
+           ROUND(SUM(bal), 2)
+    FROM ins2
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(3 AS BIGINT), 'update_preimage',
+           CAST(COUNT(*) AS BIGINT), CAST(SUM(k) AS BIGINT),
+           ROUND(SUM(pre_bal), 2)
+    FROM upd2
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(3 AS BIGINT), 'update_postimage',
+           CAST(COUNT(*) AS BIGINT), CAST(SUM(k) AS BIGINT),
+           ROUND(SUM(post_bal), 2)
+    FROM upd2
+    UNION ALL
+    SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'live:' || seg,
+           CAST(COUNT(*) AS BIGINT), CAST(NULL AS BIGINT),
+           ROUND(SUM(bal), 2)
+    FROM live2 GROUP BY seg
+    """,
+)
+def q237_live_feed_over_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live-table change feed + event-driven IVM OVER a tombstone-mode
+    CDC route (``live_only=True`` on ``start_changes_stream`` /
+    ``start_ivm_refresh_stream`` — the r11 composition gap): the
+    follower and the view must see soft deletes as LOGICAL deletes,
+    legitimate resurrections as LOGICAL inserts, rejected stale changes
+    as NOTHING, and a tombstone-expiry generation as an EMPTY span —
+    while the physical route is full of nulled-data tombstone rows that
+    would otherwise pile into a NULL group.
+
+    Lifecycle (per base key k; re-key offset o = max(k)+1; one
+    generation per CDC batch because the route is snapshot-enabled):
+
+    - gen 2 (CDC batch 0): winning DELETEs for k%5=1 (seq k*10+8) and
+      k%13=4 (seq k*10+1); tombstones for the ABSENT keys k+2o
+      (k%19=6, seq (k+2o)*10+5). Live feed: deletes of the k%5=1 and
+      k%13=4 base rows — the absent-key tombstones contribute NOTHING
+      (no live row ever existed);
+    - gen 3 (CDC batch 1): STALE update for k%5=1 (seq k*10+3 — the
+      tombstone's _seq rejects it: NO feed row), NEWER update for
+      k%13=4 (seq k*10+9 — legitimate resurrection: a live INSERT with
+      the T- values), LATE insert for k+2o (seq (k+2o)*10+2 — rejected
+      by the standing tombstone: nothing), control update for k%17=2
+      (live UPDATE pre/post pair, K- values; keys overlapping the
+      deleted classes resolve by latest-seq, same as the oracle);
+    - gen 4: ``expire_tombstones(horizon = o*10)`` hard-deletes every
+      base-keyed tombstone (all seqs < o*10) and keeps the re-keyed
+      k+2o ones — the LIVE span must be EMPTY (the builder asserts it;
+      a physical follower would have emitted their delete rows).
+
+    After each generation both streams drain on their own checkpoints
+    (restart legs by construction); the builder asserts the expiry
+    removed tombstones, that above-horizon tombstones survive, that the
+    view's watermark reached gen 4, and that the maintained live view
+    equals a from-scratch ``read_cdc_table`` aggregate EXACTLY. The
+    result is the per-(span, change class) feed census plus the view
+    rows themselves (``live:<seg>``), so the hash pins both surfaces.
+
+    100 TB shape: identical physics to q235 (guarded pruned merges,
+    file-pruned expiry) + q236 (manifest-summary ledger rows, delta-
+    sized feeds); ``live_only`` adds one parquet-pushable boolean
+    filter per diff side — no new shuffle, no new pass, and the expiry
+    span's cost stays ∝ the rewritten files even though its live feed
+    is empty.
+
+    Reference parity: engine-added (SURVEY §2.6); the reference has no
+    delete, versioning, or derived-view story
+    (src/function_app.py:389-414)."""
+    from iotgp_func_raw_data_ingest_spark.sources import ivm
+    from iotgp_func_raw_data_ingest_spark.sources import snapshots as snap
+    from iotgp_func_raw_data_ingest_spark.sources.lake import read_cdc_table
+    from iotgp_func_raw_data_ingest_spark.sources.maintenance import (
+        expire_tombstones,
+    )
+    from iotgp_func_raw_data_ingest_spark.streaming.pipeline import (
+        start_cdc_merge_stream,
+        start_changes_stream,
+        start_ivm_refresh_stream,
+    )
+
+    t = prep(spark, sf_dir)
+    cust = t["customer"].select(
+        F.col("c_custkey").cast("bigint").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round("c_acctbal", 2).alias("bal"),
+    )
+    work = tempfile.mkdtemp(prefix="q237_")
+    try:
+        with _few_shuffle_partitions(spark):
+            lake = f"{work}/lake"
+            cfg = EngineConfig(output_path=lake)
+            route = f"{lake}/curated/crm/customers"
+            view = f"{work}/view"
+            outdir = f"{work}/out"
+            feed_ckpt = f"{work}/feed-ckpt"
+            cdc_ckpt = f"{work}/cdc-ckpt"
+            cust.repartitionByRange(8, "k").write.parquet(route)
+            assert snap.enable_snapshots(spark, route) == 1
+
+            off = cust.agg((F.max("k") + 1).alias("o")).first()["o"]
+            k = F.col("k")
+            null_s = F.lit(None).cast("string")
+            null_d = F.lit(None).cast("double")
+
+            def _chg(filt, key, seg, bal, op, seq, batch):
+                return cust.filter(filt).select(
+                    key.alias("k"), seg.alias("seg"), bal.alias("bal"),
+                    F.lit(op).alias("op"), seq.alias("seq"),
+                    F.lit(batch).alias("b"),
+                )
+
+            changes = (
+                _chg(k % 5 == 1, k, null_s, null_d, "d", k * 10 + 8, 0)
+                .unionByName(_chg(k % 13 == 4, k, null_s, null_d, "d",
+                                  k * 10 + 1, 0))
+                .unionByName(_chg(k % 19 == 6, k + 2 * off, null_s, null_d,
+                                  "d", (k + 2 * off) * 10 + 5, 0))
+                .unionByName(_chg(k % 5 == 1, k, F.concat(F.lit("Z-"), "seg"),
+                                  F.round(F.col("bal") + 1.5, 2), "u",
+                                  k * 10 + 3, 1))
+                .unionByName(_chg(k % 13 == 4, k, F.concat(F.lit("T-"), "seg"),
+                                  F.round(F.col("bal") + 9.0, 2), "u",
+                                  k * 10 + 9, 1))
+                .unionByName(_chg(k % 19 == 6, k + 2 * off, F.lit("LATE"),
+                                  F.lit(7.0), "c", (k + 2 * off) * 10 + 2, 1))
+                .unionByName(_chg(k % 17 == 2, k, F.concat(F.lit("K-"), "seg"),
+                                  F.round(F.col("bal") + 2.75, 2), "u",
+                                  k * 10 + 7, 1))
+            )
+            # stage both tranches, feed them to the CDC stream ONE AT A
+            # TIME (renames preserve the pinned mtimes) so each batch
+            # commits its own generation with a follower drain between
+            stage = f"{work}/stage"
+            indir = f"{work}/in"
+            _write_ordered_tranches(
+                [changes.filter(F.col("b") == i).drop("b") for i in range(2)],
+                stage,
+            )
+            os.makedirs(indir, exist_ok=True)
+            feed_schema = changes.drop("b").schema
+
+            def cdc_step(i: int) -> None:
+                os.rename(f"{stage}/tranche-{i}.parquet",
+                          f"{indir}/tranche-{i}.parquet")
+                stream = (
+                    spark.readStream.schema(feed_schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(indir)
+                )
+                q = start_cdc_merge_stream(
+                    stream, lake, "curated", "crm", "customers",
+                    ["k"], "seq", cfg, cdc_ckpt,
+                    persist_seq=True, retain_tombstones=True,
+                )
+                q.awaitTermination()
+
+            def sink(feed: DataFrame, frm: int, to: int) -> None:
+                feed.withColumn(
+                    "from_gen", F.lit(frm).cast("bigint")
+                ).withColumn(
+                    "to_gen", F.lit(to).cast("bigint")
+                ).write.mode("append").parquet(outdir)
+
+            def drain() -> None:
+                q1 = start_changes_stream(
+                    spark, route, sink, feed_ckpt,
+                    key_cols=["k"], live_only=True,
+                )
+                q1.awaitTermination()
+                q2 = start_ivm_refresh_stream(
+                    spark, route, view, ["seg"], ["bal"], live_only=True,
+                )
+                q2.awaitTermination()
+
+            drain()          # gen 1: no feed; live IVM initial build
+            cdc_step(0)      # gen 2: the soft deletes
+            drain()
+            cdc_step(1)      # gen 3: stale/newer/late/control changes
+            drain()
+            report = expire_tombstones(spark, route, horizon_seq=off * 10)
+            if report["tombstones_removed"] <= 0:
+                raise AssertionError(
+                    "q237: expiry removed no tombstones — the empty-span "
+                    "property is untested"
+                )
+            drain()          # gen 4: expiry — live span must be EMPTY
+
+            raw = spark.read.option("mergeSchema", "true").parquet(route)
+            if raw.filter(F.coalesce("_deleted", F.lit(False))).count() <= 0:
+                raise AssertionError(
+                    "q237: no tombstone survived the horizon — retention "
+                    "composition untested"
+                )
+            exported = spark.read.parquet(outdir)
+            n_expiry = exported.filter(F.col("from_gen") >= 3).count()
+            if n_expiry != 0:
+                raise AssertionError(
+                    f"q237: the expiry span leaked {n_expiry} live feed "
+                    "row(s) — live_only failed to net it to zero"
+                )
+            meta = ivm.read_view_meta(spark, view)
+            if meta["applied_generation"] != 4 or not meta["live_only"]:
+                raise AssertionError(
+                    f"q237: view watermark/spec wrong: {meta}"
+                )
+            recomputed = (
+                read_cdc_table(spark, lake, "curated", "crm", "customers")
+                .groupBy("seg")
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                    F.round(F.sum("bal"), 2).alias("sum_bal"),
+                )
+            )
+            maintained = ivm.read_view(spark, view).select(
+                "seg", "n_rows", F.round("sum_bal", 2).alias("sum_bal")
+            )
+            if (
+                maintained.exceptAll(recomputed).head(1)
+                or recomputed.exceptAll(maintained).head(1)
+            ):
+                raise AssertionError(
+                    "q237: live IVM view diverged from the read_cdc_table "
+                    "recompute"
+                )
+
+            spans = (
+                exported.groupBy(
+                    "from_gen", "to_gen",
+                    F.col("_change_type").alias("change_type"),
+                )
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n"),
+                    F.sum("k").cast("bigint").alias("sum_k"),
+                    F.round(F.sum("bal"), 2).alias("sum_bal"),
+                )
+            )
+            view_rows = maintained.select(
+                F.lit(0).cast("bigint").alias("from_gen"),
+                F.lit(0).cast("bigint").alias("to_gen"),
+                F.concat(F.lit("live:"), "seg").alias("change_type"),
+                F.col("n_rows").alias("n"),
+                F.lit(None).cast("bigint").alias("sum_k"),
+                F.col("sum_bal"),
+            )
+            return spans.unionByName(view_rows).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -105,6 +105,7 @@ def refresh_view_from_changes(
     group_cols: list[str],
     sum_cols: list[str] | tuple[str, ...] = (),
     fmt: str = "parquet",
+    live_only: bool = False,
 ) -> dict:
     """Create or incrementally refresh the aggregate view of ``route``
     at ``view_path``. Returns ``{"mode": "initial" | "incremental" |
@@ -116,6 +117,21 @@ def refresh_view_from_changes(
     (rebuild by deleting the view, or raise ``prune_generations``
     retention above the refresh cadence) rather than silently applying
     a torn feed.
+
+    ``live_only`` (default off): the view's contract is exactness
+    w.r.t. the PHYSICAL route — on a tombstone-retaining CDC route
+    (``retain_tombstones=True``) that means soft-deleted rows COUNT:
+    their nulled data columns pile into a NULL group, and a later
+    ``expire_tombstones`` retracts keys that logically died long ago.
+    ``live_only=True`` instead maintains the aggregate of the LIVE
+    table (``lake.read_cdc_table`` semantics): the initial build
+    filters tombstones from the pinned snapshot and every refresh
+    consumes the live-table feed (``read_changes_between(live_only=
+    True)``), so a soft delete retracts, a resurrection re-inserts, and
+    an expiry span is a no-op — still exact, for the live relation.
+    The setting is part of the view's spec (recorded in the sidecar);
+    a view predating the option reads as ``live_only=False``. On a
+    route with no ``_deleted`` column the two settings coincide.
     """
     _check_format(fmt)
     if not group_cols:
@@ -145,10 +161,16 @@ def refresh_view_from_changes(
         "source_route": route,
         "group_cols": list(group_cols),
         "sum_cols": sum_cols,
+        "live_only": bool(live_only),
     }
     if meta is None:
         # initial build: one pinned full scan of the latest generation
         base = snap.read_route_snapshot(spark, route, fmt=fmt, generation=latest)
+        if live_only and "_deleted" in base.columns:
+            # the parquet-pushable live predicate (read_cdc_table's)
+            base = base.filter(
+                F.col("_deleted").isNull() | (F.col("_deleted") == F.lit(False))
+            )
         view = _aggregate(base, list(group_cols), sum_cols)
         if fs.exists(vpath):
             raise IOError(
@@ -173,9 +195,12 @@ def refresh_view_from_changes(
         }
 
     for k, v in spec.items():
-        if meta.get(k) != v:
+        # a sidecar written before the live_only option existed reads
+        # as live_only=False (the physical contract it was built under)
+        have = meta.get(k, False) if k == "live_only" else meta.get(k)
+        if have != v:
             raise ValueError(
-                f"view spec drift: sidecar has {k}={meta.get(k)!r}, caller "
+                f"view spec drift: sidecar has {k}={have!r}, caller "
                 f"passed {v!r} — a view's definition is fixed at creation; "
                 "build a new view for a new definition"
             )
@@ -195,7 +220,9 @@ def refresh_view_from_changes(
             "keep prune_generations retention above the refresh cadence"
         )
 
-    feed = snap.read_changes_between(spark, route, applied, latest, fmt=fmt)
+    feed = snap.read_changes_between(
+        spark, route, applied, latest, fmt=fmt, live_only=live_only
+    )
     sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
         F.lit(-1)
     )

@@ -649,9 +649,16 @@ def expire_tombstones(
         F.col("_seq") <= F.lit(horizon_seq)
     )
     # survivors complement: here NULL ``_deleted`` must SURVIVE, so the
-    # negation needs the coalesce (three-valued ~NULL would drop it)
-    doomed = F.coalesce(F.col("_deleted"), F.lit(False)) & (
-        F.col("_seq") <= F.lit(horizon_seq)
+    # negation needs the coalesce (three-valued ~NULL would drop it).
+    # The seq comparison is coalesced too: an externally written
+    # tombstone with NULL ``_seq`` has no horizon to compare against —
+    # treat it as above-horizon (never doomed) rather than letting the
+    # bare NULL comparison silently hard-delete it whenever its file is
+    # rewritten for another doomed row. (The PLAN predicate above stays
+    # bare: a NULL-seq tombstone never selects a file, which is exactly
+    # right — it is not doomed.)
+    doomed = F.coalesce(F.col("_deleted"), F.lit(False)) & F.coalesce(
+        F.col("_seq") <= F.lit(horizon_seq), F.lit(False)
     )
     affected = sorted(
         row["_file"]

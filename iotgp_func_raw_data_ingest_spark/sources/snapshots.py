@@ -410,6 +410,7 @@ def read_changes_between(
     fmt: str = "parquet",
     key_cols: list[str] | None = None,
     change_col: str = "_change_type",
+    live_only: bool = False,
 ) -> DataFrame:
     """Change data feed: the row-level changes that transform the
     ``from`` generation's view into the ``to`` generation's (default:
@@ -418,6 +419,23 @@ def read_changes_between(
     route. Compressed semantics (like Delta CDF between two versions):
     the NET change per row across the generation span, not a replay of
     intermediate states.
+
+    ``live_only`` (default off): on a tombstone-retaining CDC route
+    (``start_cdc_merge_stream(retain_tombstones=True)``), the feed's
+    default contract is PHYSICAL — a soft delete arrives as an update
+    whose postimage has nulled data and ``_deleted = true``, and a
+    later ``expire_tombstones`` emits delete changes for keys that
+    logically died long ago. ``live_only=True`` instead yields the
+    LIVE-TABLE feed (``lake.read_cdc_table`` semantics): rows with
+    ``coalesce(_deleted, false) = true`` are filtered SYMMETRICALLY
+    from both diff sides, so a soft delete classifies as a logical
+    delete (live preimage, no postimage), a resurrection as a logical
+    insert, and a tombstone-expiry span nets to ZERO feed rows — still
+    exact, because marker flips are precisely the live-set membership
+    changes. A route with no ``_deleted`` column reads identically
+    under either setting. The filter uses the parquet-pushable
+    ``_deleted IS NULL OR _deleted = false`` form, so all-tombstone
+    row groups are pruned engine-side.
 
     Plan (cost ∝ what the generations disagree on, never table size):
 
@@ -487,6 +505,15 @@ def read_changes_between(
         removed = empty if removed is None else removed
         added = empty if added is None else added
     removed, added = _align_columns(removed, added)
+    if live_only and "_deleted" in removed.columns:
+        # symmetric live filter on BOTH diff sides: the surviving rows
+        # are exactly each generation's live set, so the multiset diff
+        # below computes the live-table feed. Applied per side (before
+        # exceptAll) it pushes into each parquet scan; the null-padded
+        # side folds to a no-op.
+        live = F.col("_deleted").isNull() | (F.col("_deleted") == F.lit(False))
+        removed = removed.filter(live)
+        added = added.filter(live)
 
     data_cols = list(removed.columns)
     if change_col in data_cols:
@@ -654,9 +681,19 @@ def prune_generations(
     if vacuum:
         retired_p = jvm.org.apache.hadoop.fs.Path(f"{route}/{RETIRED_DIR}")
         if fs.exists(retired_p):
-            quiet_for = time.time() - (
-                fs.getFileStatus(retired_p).getModificationTime() / 1000.0
-            )
+            # retirement recency: the _retired/ DIRECTORY mtime (a
+            # rename bumps it; the moved file's own mtime survives the
+            # rename unchanged). Object stores and some Hadoop FS
+            # implementations report synthetic directory mtimes (often
+            # 0) — there, fall back to the newest FILE mtime under
+            # _retired/ (on such stores "rename" is copy+delete, so the
+            # file mtime IS the retirement instant). Taking the max of
+            # both can only defer MORE, never less — the safe direction
+            # for a grace window.
+            recency_ms = fs.getFileStatus(retired_p).getModificationTime()
+            for st in fs.listStatus(retired_p):
+                recency_ms = max(recency_ms, st.getModificationTime())
+            quiet_for = time.time() - recency_ms / 1000.0
             if quiet_for < vacuum_grace_seconds:
                 deferred = True
             else:

@@ -483,6 +483,7 @@ def start_changes_stream(
     key_cols: list[str] | None = None,
     fmt: str = "parquet",
     start_generation: int = 0,
+    live_only: bool = False,
     trigger_seconds: int | None = None,
 ) -> StreamingQuery:
     """Follow a snapshot-enabled route's generation ledger CONTINUOUSLY,
@@ -516,6 +517,11 @@ def start_changes_stream(
     - A span crossing a PRUNED generation fails loudly with the remedy
       (keep ``prune_generations`` retention above the stream's restart
       lag), mirroring the IVM refusal — never a silently torn feed.
+    - ``live_only=True`` follows the LIVE-TABLE feed of a
+      tombstone-retaining CDC route (``read_changes_between``'s option:
+      soft deletes classify as logical deletes, resurrections as
+      inserts, expiry spans net to zero); default off = the physical
+      feed, where tombstone rows are ordinary data.
     - A span crossing a whole-route rewrite costs a full route read
       (DEPLOYMENT.md caveat) though the net feed stays correct.
 
@@ -550,7 +556,8 @@ def start_changes_stream(
             to = gens[-1]
             if to > base:
                 feed = read_changes_between(
-                    bspark, route, base, to, fmt=fmt, key_cols=key_cols
+                    bspark, route, base, to, fmt=fmt, key_cols=key_cols,
+                    live_only=live_only,
                 )
                 sink(feed, base, to)
         mark_batch_committed(bspark, checkpoint_dir, batch_id)
@@ -573,6 +580,8 @@ def start_ivm_refresh_stream(
     sum_cols: list[str] | tuple[str, ...] = (),
     checkpoint_dir: str | None = None,
     fmt: str = "parquet",
+    start_generation: int | None = None,
+    live_only: bool = False,
     trigger_seconds: int | None = None,
 ) -> StreamingQuery:
     """Event-driven incremental view maintenance: refresh the
@@ -590,21 +599,45 @@ def start_ivm_refresh_stream(
     correct (exactness is per-state, not per-span) and makes
     back-to-back commits coalesce into one refresh.
 
+    ``start_generation`` positions the LEDGER stream only (emit commit
+    events strictly above it), never the refresh — which always applies
+    from the view's own watermark to latest. Default: the view's
+    applied generation if the view exists, else one below the oldest
+    RETAINED generation — never a pruned one, so the stream starts
+    cleanly on a mature route whose early ledger history
+    ``prune_generations`` already dropped (a hardcoded 0 would fail the
+    first ``partitions()`` enumeration against gen 1's missing
+    manifest, even though the refresh needs none of that history).
+
+    ``live_only`` is passed through to the refresh (soft-delete marker
+    flips count as logical insert/delete — see
+    ``ivm.refresh_view_from_changes``); it is part of the view's spec,
+    so all refreshes of one view must agree on it.
+
     ``checkpoint_dir`` defaults to ``<view_path>.ckpt`` — the stream's
     position matters only for how often an already-current refresh
     no-ops, never for correctness."""
     from iotgp_func_raw_data_ingest_spark.sources.ivm import (
+        read_view_meta,
         refresh_view_from_changes,
     )
     from iotgp_func_raw_data_ingest_spark.sources.snapshots import (
-        snapshots_enabled,
+        list_generations,
     )
 
-    if not snapshots_enabled(spark, route):
+    gens = list_generations(spark, route)
+    if not gens:
         raise ValueError(
             f"{route} has no generation ledger — IVM follows commits; "
             "call snapshots.enable_snapshots(route) first"
         )
+    if start_generation is None:
+        start_generation = gens[0] - 1
+        meta = read_view_meta(spark, view_path)
+        if meta is not None:
+            start_generation = max(
+                start_generation, int(meta["applied_generation"])
+            )
     ckpt = checkpoint_dir or f"{view_path.rstrip('/')}.ckpt"
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -612,9 +645,10 @@ def start_ivm_refresh_stream(
             refresh_view_from_changes(
                 batch_df.sparkSession, route, view_path,
                 list(group_cols), list(sum_cols), fmt=fmt,
+                live_only=live_only,
             )
 
-    writer = _ledger_stream(spark, route, 0).writeStream.foreachBatch(
+    writer = _ledger_stream(spark, route, start_generation).writeStream.foreachBatch(
         _sink
     ).option("checkpointLocation", ckpt)
     if trigger_seconds is not None:

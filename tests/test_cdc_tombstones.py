@@ -165,6 +165,40 @@ def test_expire_tombstones_horizon(spark, tmp_path):
     assert live == {3, 4}
 
 
+def test_expire_keeps_null_seq_tombstone(spark, tmp_path):
+    """An externally written tombstone with NULL _seq has no horizon to
+    compare against — it must be treated as above-horizon (kept
+    verbatim), even when its FILE is rewritten for another doomed row.
+    (The bare three-valued ``_seq <= horizon`` would evaluate NULL and
+    silently hard-delete it in the survivors filter.)"""
+    from pyspark.sql.types import (
+        BooleanType, LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("name", StringType()),
+        StructField("_seq", LongType()),
+        StructField("_deleted", BooleanType()),
+    ])
+    route = str(tmp_path / "route")
+    # ONE file holding a live row, a doomed tombstone (seq 3 <= 5), and
+    # an external NULL-seq tombstone — the rewrite must carry the latter
+    spark.createDataFrame(
+        [(1, "live", 7, False), (2, None, 3, True), (9, None, None, True)],
+        schema,
+    ).coalesce(1).write.parquet(route)
+    rep = expire_tombstones(spark, route, horizon_seq=5)
+    assert rep["tombstones_removed"] == 1
+    rows = {
+        r["id"]: (r["name"], r["_seq"], r["_deleted"])
+        for r in spark.read.parquet(route).collect()
+    }
+    assert 2 not in rows                       # doomed: removed
+    assert rows[1] == ("live", 7, False)       # live: carried
+    assert rows[9] == (None, None, True)       # NULL seq: never doomed
+
+
 def test_expire_tombstones_never_ran_tombstone_mode(spark, tmp_path):
     """A route with no _deleted/_seq columns is a clean no-op — not an
     error (retention jobs sweep many routes indiscriminately)."""

@@ -217,6 +217,48 @@ def test_ivm_refresh_stream_event_driven(spark, tmp_path):
     assert view_rows() == before
 
 
+def test_ivm_refresh_stream_starts_on_pruned_ledger(spark, tmp_path):
+    """The ledger stream backing the IVM refresh must default its start
+    to the oldest RETAINED generation (or the view's own watermark) —
+    a hardcoded 0 would enumerate every manifest from gen 1 and raise
+    FileNotFoundError on a mature route whose early history
+    prune_generations already dropped, even though the refresh needs
+    none of it."""
+    lake, route, cfg = _seed(spark, tmp_path)
+    view = str(tmp_path / "view")
+    _merge_updates(spark, lake, cfg, 10, 16)    # gen 2
+    _merge_updates(spark, lake, cfg, 100, 103)  # gen 3
+    snap.prune_generations(
+        spark, route, keep_last=2, vacuum_grace_seconds=0
+    )  # drops gen 1 — a start at 0 would fail partitions() on it
+    _drain(start_ivm_refresh_stream(spark, route, view, ["seg"], ["bal"]))
+    assert ivm.read_view_meta(spark, view)["applied_generation"] == 3
+
+    # with the view's watermark now at 3, a later commit + deeper prune
+    # still refreshes: the default start is the applied generation
+    _merge_updates(spark, lake, cfg, 150, 156)  # gen 4
+    snap.prune_generations(
+        spark, route, keep_last=2, vacuum_grace_seconds=0
+    )  # keeps only gens 3, 4
+    _drain(start_ivm_refresh_stream(spark, route, view, ["seg"], ["bal"]))
+    assert ivm.read_view_meta(spark, view)["applied_generation"] == 4
+    recomputed = {
+        (r["seg"], r["n_rows"], round(r["sum_bal"], 2))
+        for r in snap.read_route_snapshot(spark, route)
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("bal").alias("sum_bal"),
+        )
+        .collect()
+    }
+    maintained = {
+        (r["seg"], r["n_rows"], round(r["sum_bal"], 2))
+        for r in ivm.read_view(spark, view).collect()
+    }
+    assert maintained == recomputed
+
+
 def test_ledger_rows_carry_manifest_summaries(spark, tmp_path):
     """The source's rows are the manifest summaries themselves —
     generation / parent / kind / n_files — usable directly for commit

@@ -216,3 +216,53 @@ def test_cli_changes_stream_export(spark, tmp_path, capsys):
 
     assert main(cli) == 0
     assert "nothing new" in capsys.readouterr().out
+
+
+def test_cli_changes_stream_replayed_span_is_idempotent(spark, tmp_path, capsys):
+    """The documented at-least-once residual: a crash AFTER the span's
+    export landed but BEFORE both commit markers (the batch ledger's and
+    Spark's) replays the span on the next invocation. Because each span
+    overwrites its own from_gen=N/to_gen=M directory, the replay is a
+    file-level rewrite — row counts must not inflate."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from iotgp_func_raw_data_ingest_spark.sources import snapshots as snap
+    from iotgp_func_raw_data_ingest_spark.sources.maintenance import (
+        delete_keys_from_table,
+    )
+
+    route = str(tmp_path / "lake" / "curated" / "crm" / "accounts")
+    spark.range(1, 51).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("bal")
+    ).coalesce(2).write.parquet(route)
+    snap.enable_snapshots(spark, route)
+    delete_keys_from_table(
+        spark, route, "k", spark.range(1, 6).select(F.col("id").alias("k"))
+    )
+
+    outdir = str(tmp_path / "export")
+    ckpt = str(tmp_path / "ckpt")
+    cli = ["changes-stream", route, outdir,
+           "--checkpoint", ckpt, "--key-cols", "k"]
+    assert main(cli) == 0
+    assert "exported span (1, 2]: 5 change row(s)" in capsys.readouterr().out
+
+    # crash simulation: the export landed, neither marker did — the
+    # restarted stream re-runs the sink for the same span
+    for marker in os.listdir(f"{ckpt}/_committed_batches"):
+        os.remove(f"{ckpt}/_committed_batches/{marker}")
+    commits = sorted(
+        f for f in os.listdir(f"{ckpt}/commits") if not f.startswith(".")
+    )
+    os.remove(f"{ckpt}/commits/{commits[-1]}")
+    crc = f"{ckpt}/commits/.{commits[-1]}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    assert main(cli) == 0
+    assert "exported span (1, 2]: 5 change row(s)" in capsys.readouterr().out
+    got = spark.read.parquet(outdir)
+    assert got.count() == 5  # replay rewrote the span, duplicated nothing
+    assert got.filter(F.col("from_gen") == 1).count() == 5

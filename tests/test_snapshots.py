@@ -236,3 +236,40 @@ def test_vacuum_grace_defers_just_retired(spark, tmp_path):
     assert res2["vacuum_deferred"] is False
     assert res2["vacuumed_files"] == [old[0]]
     assert not fs.exists(retired_p)
+
+
+def test_vacuum_grace_survives_synthetic_dir_mtime(spark, tmp_path):
+    """Object stores and some Hadoop FS implementations report
+    synthetic DIRECTORY mtimes (often 0). The grace must then date
+    retirement off the newest FILE mtime under _retired/ instead of
+    treating the directory as ancient and vacuuming a just-retired
+    file out from under a slow publisher."""
+    route = _route(spark, tmp_path, n=30, files=3)
+    snap.enable_snapshots(spark, route)
+    old = _parts(route)
+    repl = spark.range(5).select(
+        F.col("id").alias("k"), F.lit(1.0).alias("v")
+    )
+    repl.coalesce(1).write.mode("append").parquet(route)
+    new = sorted(set(_parts(route)) - set(old))
+    snap.publish_generation(
+        spark, route, kind="merge", add=new, remove=[old[0]]
+    )
+    snap.retire_files(spark, route, [old[0]])
+    retired_dir = f"{route}/{snap.RETIRED_DIR}"
+    os.utime(retired_dir, (0, 0))  # simulate a synthetic store mtime
+    # the file under _retired/ keeps its real (recent) mtime — the
+    # fallback must pick it up and defer
+    res = snap.prune_generations(spark, route, keep_last=1)
+    assert res["vacuum_deferred"] is True
+    assert res["vacuumed_files"] == []
+    jvm, _, fs = _hadoop_fs(spark, route)
+    assert fs.exists(
+        jvm.org.apache.hadoop.fs.Path(f"{retired_dir}/{old[0]}")
+    )
+    # a genuinely quiet route (file mtimes old too) still vacuums
+    for f in os.listdir(retired_dir):
+        os.utime(f"{retired_dir}/{f}", (0, 0))
+    res2 = snap.prune_generations(spark, route, keep_last=1)
+    assert res2["vacuum_deferred"] is False
+    assert res2["vacuumed_files"] == [old[0]]
