@@ -115,6 +115,185 @@ def _hadoop_fs(spark: SparkSession, path: str):
     )
 
 
+ROUTE_LEASE_NAME = "_writer_lease.json"
+# threads of THIS process re-enter their own lease (e.g. a rollup's
+# upsert under a caller's lease); cross-process peers refuse on the file
+_HELD_ROUTE_LEASES = __import__("threading").local()
+
+
+class RouteLeaseHeld(IOError):
+    """Another maintenance writer holds this route's advisory lease."""
+
+
+def _read_small_json(jvm, fs, path_str: str) -> dict:
+    stream = fs.open(jvm.org.apache.hadoop.fs.Path(path_str))
+    try:
+        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    import json as _json
+
+    return _json.loads(raw.decode("utf-8"))
+
+
+def break_route_lease(spark: SparkSession, route: str) -> bool:
+    """Operator remedy for a lease a crashed PROCESS left behind (an
+    in-process failure releases its own lease): delete it. Returns
+    whether a lease existed. Only safe when the operator KNOWS no
+    maintenance writer is live on the route — the same promise
+    ``unready_grace_seconds=0`` makes for stage healing."""
+    jvm, _, fs = _hadoop_fs(spark, route.rstrip("/"))
+    p = jvm.org.apache.hadoop.fs.Path(
+        f"{route.rstrip('/')}/{ROUTE_LEASE_NAME}"
+    )
+    return bool(fs.exists(p) and fs.delete(p, False))
+
+
+def route_writer_lease(spark: SparkSession, route: str, kind: str,
+                       stale_seconds: float | None = None):
+    """Advisory SINGLE-WRITER-PER-ROUTE lease (context manager) — the
+    module contract every rewriter documents, enforced: a maintenance
+    op (compaction, upsert, merge, keyed delete, tombstone expiry,
+    generation prune) CAS-creates ``_writer_lease.json`` in the route
+    before planning and deletes it when done, so a concurrent peer gets
+    a loud ``RouteLeaseHeld`` refusal naming the holder instead of a
+    torn-state race the stage/vacuum graces can only soften.
+
+    Mechanics: atomic create-no-overwrite (write a dot-temp, rename in
+    — the same CAS primitive as the generation commit, with the same
+    object-store caveat). Reentrant per thread: an op invoked under its
+    caller's lease on the same route passes through. A lease older
+    than ``stale_seconds`` (default: the stage-heal grace) is presumed
+    crashed-ownerless — broken and re-acquired; an in-process failure
+    never strands one (release runs in ``finally``), so staleness only
+    matters after a whole-process kill. A missing route dir skips the
+    lease entirely (nothing to protect; the op's own error surfaces).
+
+    Scale: two metadata ops per maintenance action, route-local — no
+    coordination service, no heartbeats, nothing proportional to data.
+
+    Reference parity: engine-added (SURVEY §2.6); the reference has no
+    maintenance writers at all (append-only,
+    src/function_app.py:389-414)."""
+    import contextlib as _contextlib
+
+    @_contextlib.contextmanager
+    def _ctx():
+        import json as _json
+        import time as _time
+        import uuid as _uuid
+
+        r = route.rstrip("/")
+        held = getattr(_HELD_ROUTE_LEASES, "routes", None)
+        if held is None:
+            held = _HELD_ROUTE_LEASES.routes = {}
+        if r in held:  # reentrant: the caller's lease covers us
+            yield held[r]
+            return
+        jvm, hpath, fs = _hadoop_fs(spark, r)
+        if not fs.exists(hpath):
+            yield None
+            return
+        stale = (
+            UNREADY_STAGE_GRACE_SECONDS
+            if stale_seconds is None
+            else stale_seconds
+        )
+        dest = f"{r}/{ROUTE_LEASE_NAME}"
+        dest_p = jvm.org.apache.hadoop.fs.Path(dest)
+        writer_id = _uuid.uuid4().hex
+        payload = _json.dumps(
+            {"writer": writer_id, "kind": kind,
+             "created_utc_ms": int(_time.time() * 1000)},
+            sort_keys=True,
+        ).encode("utf-8")
+        acquired = False
+        for _attempt in range(3):
+            tmp = f"{r}/.lease-tmp-{writer_id}"
+            tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+            out = fs.create(tmp_p, True)
+            try:
+                out.write(bytearray(payload))
+            finally:
+                out.close()
+            if fs.rename(tmp_p, dest_p):  # CAS: refuses an existing dest
+                acquired = True
+                break
+            fs.delete(tmp_p, False)
+            try:
+                age = _time.time() - (
+                    fs.getFileStatus(dest_p).getModificationTime() / 1000.0
+                )
+            except Exception:
+                continue  # holder released between rename and stat — retry
+            if age >= stale:
+                fs.delete(dest_p, False)  # crashed-ownerless: break it
+                continue
+            try:
+                holder = _read_small_json(jvm, fs, dest)
+            except Exception:
+                holder = {}
+            raise RouteLeaseHeld(
+                f"{r} is leased by another maintenance writer "
+                f"(kind={holder.get('kind', '?')}, "
+                f"writer={holder.get('writer', '?')}, age={age:.0f}s) — "
+                "one rewriter per route at a time; retry after it "
+                "finishes, or, if you KNOW it crashed, "
+                "break_route_lease(spark, route)"
+            )
+        if not acquired:
+            raise RouteLeaseHeld(
+                f"could not acquire the writer lease on {r} after "
+                "repeated CAS races — pathological contention"
+            )
+        held[r] = writer_id
+        try:
+            yield writer_id
+        finally:
+            held.pop(r, None)
+            try:
+                if (
+                    fs.exists(dest_p)
+                    and _read_small_json(jvm, fs, dest).get("writer")
+                    == writer_id
+                ):
+                    fs.delete(dest_p, False)
+            except Exception:
+                pass  # a peer broke us as stale and took over — theirs now
+
+    return _ctx()
+
+
+def _with_route_lease(kind: str, route_param: str | None = None):
+    """Decorator wiring ``route_writer_lease`` into a maintenance entry
+    point. ``route_param`` names the single path parameter; None means
+    the (lake_path, folder, source_db, table) quartet."""
+    import functools as _functools
+    import inspect as _inspect
+
+    def deco(fn):
+        sig = _inspect.signature(fn)
+
+        @_functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            bound = sig.bind(*args, **kwargs)
+            a = bound.arguments
+            spark = a["spark"]
+            if route_param is not None:
+                route = a[route_param]
+            else:
+                route = (
+                    f"{a['lake_path'].rstrip('/')}/{a['folder']}/"
+                    f"{a['source_db']}/{a['table']}"
+                )
+            with route_writer_lease(spark, route, kind):
+                return fn(*args, **kwargs)
+
+        return wrapper
+
+    return deco
+
+
 def write_route_meta(spark: SparkSession, dest: str, meta: dict) -> None:
     """Write the route's ``_meta.json`` sidecar — the Spark-side analog
     of the reference's parquet footer KV metadata (kind / row_count /
@@ -548,6 +727,7 @@ def read_cdc_table(
     )
 
 
+@_with_route_lease("compact")
 def compact_lake_table(
     spark: SparkSession,
     lake_path: str,
@@ -635,6 +815,7 @@ def compact_lake_table(
     return files_before, files_after
 
 
+@_with_route_lease("upsert")
 def upsert_lake_table(
     spark: SparkSession,
     lake_path: str,
@@ -975,6 +1156,7 @@ def _merge_frames(
     return joined.filter(keep).select(*out_cols)
 
 
+@_with_route_lease("merge")
 def merge_lake_table(
     spark: SparkSession,
     lake_path: str,
@@ -1426,6 +1608,7 @@ def heal_staged_replaces(
     return healed
 
 
+@_with_route_lease("merge-pruned")
 def merge_lake_table_pruned(
     spark: SparkSession,
     lake_path: str,

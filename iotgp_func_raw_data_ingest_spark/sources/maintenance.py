@@ -33,6 +33,7 @@ from iotgp_func_raw_data_ingest_spark.config import EngineConfig
 from iotgp_func_raw_data_ingest_spark.sources.lake import (
     _check_format,
     _hadoop_fs,
+    _with_route_lease,
     read_lake_table,
     upsert_lake_table,
 )
@@ -219,6 +220,7 @@ def incremental_rollup(
     )
 
 
+@_with_route_lease("expire-partitions", route_param="table_path")
 def expire_lake_partitions(
     spark: SparkSession,
     table_path: str,
@@ -461,6 +463,7 @@ def _finish_keyed_delete(spark: SparkSession, table_path: str, stage_name: str) 
     return _finish_staged_replace(spark, table_path, stage_name)
 
 
+@_with_route_lease("keyed-delete", route_param="table_path")
 def delete_keys_from_table(
     spark: SparkSession,
     table_path: str,
@@ -576,6 +579,7 @@ def delete_keys_from_table(
     }
 
 
+@_with_route_lease("expire-tombstones", route_param="table_path")
 def expire_tombstones(
     spark: SparkSession,
     table_path: str,

@@ -80,7 +80,11 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-from iotgp_func_raw_data_ingest_spark.sources.lake import _check_format, _hadoop_fs
+from iotgp_func_raw_data_ingest_spark.sources.lake import (
+    _check_format,
+    _hadoop_fs,
+    _with_route_lease,
+)
 
 GEN_DIR = "_gen"
 RETIRED_DIR = "_retired"
@@ -623,6 +627,7 @@ def retire_files(spark: SparkSession, route: str, names: list[str]) -> int:
     return moved
 
 
+@_with_route_lease("prune", route_param="route")
 def prune_generations(
     spark: SparkSession,
     route: str,

@@ -461,6 +461,14 @@ def start_cdc_merge_stream(
     return writer.start()
 
 
+# generation kinds whose manifest replaces EVERY file (published by
+# lake._refresh_generation_after_rewrite): a change-feed diff against
+# one reads the whole route, so the follower isolates each in its own
+# singleton span. "enable" is also a full listing but is always a
+# span's base (generation 1), never its interior.
+WHOLE_ROUTE_REWRITE_KINDS = frozenset({"compact", "upsert", "merge_full"})
+
+
 def _ledger_stream(spark, route: str, start_generation: int) -> DataFrame:
     from iotgp_func_raw_data_ingest_spark.sources.pydatasource import (
         register_python_datasources,
@@ -522,13 +530,24 @@ def start_changes_stream(
       soft deletes classify as logical deletes, resurrections as
       inserts, expiry spans net to zero); default off = the physical
       feed, where tombstone rows are ordinary data.
-    - A span crossing a whole-route rewrite costs a full route read
-      (DEPLOYMENT.md caveat) though the net feed stays correct.
+    - A batch whose span crosses a WHOLE-ROUTE-REWRITE generation
+      (compaction / upsert / full merge — every file replaced, so a
+      diff against it reads the whole route) is SPLIT at each such
+      generation: the rewrite generation becomes its own singleton
+      span and only IT pays the full-route diff, while the delta-sized
+      runs between rewrites keep their net compression. The sink then
+      receives several (from, to] calls for one batch — same contract,
+      and applying the sub-feeds in order composes to the one
+      compressed feed. (This makes DEPLOYMENT.md's drain-before-
+      compaction advice mechanical instead of operational: a follower
+      sleeping through a compaction no longer pays the full read for
+      the UNRELATED deltas around it.)
 
     Scale: the ledger rows are manifest summaries (driver-side
     metadata); each batch's real work is the change feed's
     delta-sized multiset diff — cost ∝ what the span's generations
-    disagree on, never route size.
+    disagree on, never route size (the one exception, a rewrite
+    generation's own span, is isolated by the split above).
 
     Reference parity: engine-added (SURVEY §2.6) — the reference has no
     versioning, so nothing to follow (src/function_app.py:389-414)."""
@@ -549,17 +568,33 @@ def start_changes_stream(
         if batch_committed(bspark, checkpoint_dir, batch_id):
             return
         gens = sorted(
-            r["generation"] for r in batch_df.select("generation").collect()
+            (r["generation"], r["kind"])
+            for r in batch_df.select("generation", "kind").collect()
         )
         if gens:
-            base = max(gens[0] - 1, 1)
-            to = gens[-1]
-            if to > base:
+            base = max(gens[0][0] - 1, 1)
+            to = gens[-1][0]
+            # split the batch's span at whole-route-rewrite generations
+            # so only the rewrite span pays the full-route diff (the
+            # ledger rows carry each manifest's kind — no extra I/O)
+            bounds: list[tuple[int, int]] = []
+            cur = base
+            for g, kind in gens:
+                if g <= cur:
+                    continue
+                if kind in WHOLE_ROUTE_REWRITE_KINDS:
+                    if g - 1 > cur:
+                        bounds.append((cur, g - 1))
+                    bounds.append((g - 1, g))
+                    cur = g
+            if to > cur:
+                bounds.append((cur, to))
+            for frm, t_ in bounds:
                 feed = read_changes_between(
-                    bspark, route, base, to, fmt=fmt, key_cols=key_cols,
+                    bspark, route, frm, t_, fmt=fmt, key_cols=key_cols,
                     live_only=live_only,
                 )
-                sink(feed, base, to)
+                sink(feed, frm, t_)
         mark_batch_committed(bspark, checkpoint_dir, batch_id)
 
     writer = _ledger_stream(spark, route, start_generation).writeStream.foreachBatch(

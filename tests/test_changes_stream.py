@@ -134,6 +134,54 @@ def test_multi_generation_batch_compresses_to_one_feed(spark, tmp_path):
     }
 
 
+def test_span_splits_at_whole_route_rewrite(spark, tmp_path):
+    """A batch whose span crosses a compaction generation is split at
+    it: the rewrite generation gets its own singleton span (whose
+    compressed feed is EMPTY — a pure rewrite carries every row), and
+    the delta runs on either side stay delta-sized — their manifests
+    share files with the route instead of replacing all of them."""
+    from iotgp_func_raw_data_ingest_spark.sources.lake import (
+        compact_lake_table,
+    )
+
+    lake, route, cfg = _seed(spark, tmp_path)
+    outdir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spans = []
+
+    def sink(feed, frm, to):
+        spans.append((frm, to))
+        feed.withColumn("from_gen", F.lit(frm)).withColumn(
+            "to_gen", F.lit(to)
+        ).write.mode("append").parquet(outdir)
+
+    _merge_updates(spark, lake, cfg, 50, 61)  # gen 2: 11 updates
+    compact_lake_table(
+        spark, lake, "curated", "crm", "accounts", cfg,
+        target_records_per_file=50, zorder_cols=["k"],
+    )  # gen 3: whole-route rewrite (kind "compact"), 4 clustered files
+    _merge_updates(spark, lake, cfg, 150, 153)  # gen 4: 3 updates
+    _drain(start_changes_stream(spark, route, sink, ckpt, key_cols=["k"]))
+
+    assert spans == [(1, 2), (2, 3), (3, 4)]
+    assert _collected(spark, outdir) == {
+        (1, 2, "update_preimage", 11),
+        (1, 2, "update_postimage", 11),
+        # (2, 3] — the compaction — nets to ZERO feed rows
+        (3, 4, "update_preimage", 3),
+        (3, 4, "update_postimage", 3),
+    }
+    # the rewrite span replaced every file; the delta spans share most
+    # of theirs — that sharing IS the "input stays delta-sized" claim
+    # (read_changes_between only ever opens added+removed files)
+    d_rewrite = snap.diff_generations(spark, route, 2, 3)
+    assert d_rewrite["shared"] == []
+    d_delta = snap.diff_generations(spark, route, 3, 4)
+    n_before = len(snap.read_generation(spark, route, 3)["files"])
+    assert d_delta["shared"]
+    assert len(d_delta["removed"]) < n_before
+
+
 def test_start_generation_skips_history(spark, tmp_path):
     lake, route, cfg = _seed(spark, tmp_path)
     _merge_updates(spark, lake, cfg, 10, 16)   # gen 2 — to be skipped
