@@ -137,12 +137,22 @@ def main(argv: list[str] | None = None) -> int:
     p_chg.add_argument("to_gen", type=int, nargs="?", default=None)
     p_chg.add_argument("--key-cols", default="")
     p_chg.add_argument("--limit", type=int, default=20)
+    p_chg.add_argument(
+        "--live-only", action="store_true",
+        help="live-table feed of a tombstone-retaining CDC route "
+        "(soft deletes as logical deletes; expiry spans empty)",
+    )
 
     p_ivm = sub.add_parser("ivm-refresh", help="refresh a count+sum view")
     p_ivm.add_argument("route")
     p_ivm.add_argument("view")
     p_ivm.add_argument("--group-cols", required=True)
     p_ivm.add_argument("--sum-cols", default="")
+    p_ivm.add_argument(
+        "--live-only", action="store_true",
+        help="maintain the live-table aggregate of a tombstone-retaining "
+        "CDC route (part of the view's spec — fixed at creation)",
+    )
 
     p_exp_tomb = sub.add_parser(
         "expire-tombstones",
@@ -346,7 +356,8 @@ def main(argv: list[str] | None = None) -> int:
 
         keys = [c for c in args.key_cols.split(",") if c] or None
         feed = snap.read_changes_between(
-            spark, args.route, args.from_gen, args.to_gen, key_cols=keys
+            spark, args.route, args.from_gen, args.to_gen, key_cols=keys,
+            live_only=args.live_only,
         )
         feed.show(args.limit, truncate=False)
         return 0
@@ -358,6 +369,7 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.route, args.view,
             [c for c in args.group_cols.split(",") if c],
             [c for c in args.sum_cols.split(",") if c],
+            live_only=args.live_only,
         )
         if report["mode"] == "initial":
             # applied_from/groups_delta are None on an initial build —

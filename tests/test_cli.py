@@ -142,6 +142,47 @@ def test_cli_snapshot_changes_ivm_lifecycle(spark, tmp_path, capsys):
     assert main(["snapshot-log", str(tmp_path / "nolake")]) == 1
 
 
+def test_cli_live_only_flags(spark, tmp_path, capsys):
+    """--live-only on the changes and ivm-refresh verbs consumes the
+    live-table view of a tombstone-bearing route: the live IVM build
+    excludes tombstone rows, the physical one counts them."""
+    from pyspark.sql import functions as F
+
+    from iotgp_func_raw_data_ingest_spark.sources import ivm, snapshots as snap
+
+    route = str(tmp_path / "lake" / "curated" / "crm" / "accounts")
+    spark.range(1, 21).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("seg"),
+        F.col("id").cast("double").alias("bal"),
+        F.col("id").alias("_seq"),
+        (F.col("id") <= 5).alias("_deleted"),  # 5 tombstones, 15 live
+    ).coalesce(2).write.parquet(route)
+    snap.enable_snapshots(spark, route)
+
+    vlive, vphys = str(tmp_path / "v_live"), str(tmp_path / "v_phys")
+    assert main(["ivm-refresh", route, vlive, "--group-cols", "seg",
+                 "--live-only"]) == 0
+    assert main(["ivm-refresh", route, vphys, "--group-cols", "seg"]) == 0
+    capsys.readouterr()
+    total = lambda v: sum(  # noqa: E731
+        r["n_rows"] for r in ivm.read_view(spark, v).collect()
+    )
+    assert total(vlive) == 15
+    assert total(vphys) == 20
+
+    from iotgp_func_raw_data_ingest_spark.sources.maintenance import (
+        delete_keys_from_table,
+    )
+
+    doomed = spark.range(10, 13).select(F.col("id").alias("k"))
+    delete_keys_from_table(spark, route, "k", doomed)  # gen 2: 3 live keys
+    assert main(["changes", route, "1", "2", "--key-cols", "k",
+                 "--live-only"]) == 0
+    out = capsys.readouterr().out
+    assert "delete" in out and "_change_type" in out
+
+
 def test_cli_expire_tombstones_and_vacuum_grace(spark, tmp_path, capsys):
     """expire-tombstones removes at/below the horizon and reports the
     split; snapshot-prune surfaces the vacuum grace deferral and the
