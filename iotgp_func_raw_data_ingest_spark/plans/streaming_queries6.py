@@ -988,7 +988,11 @@ def q237_live_feed_over_tombstones(spark: SparkSession, sf_dir: str) -> DataFram
     sized feeds); ``live_only`` adds one parquet-pushable boolean
     filter per diff side — no new shuffle, no new pass, and the expiry
     span's cost stays ∝ the rewritten files even though its live feed
-    is empty.
+    is empty. Builder cost is dominated by the availableNow harness's
+    fixed start/stop (2 CDC + 3 overlapped follower/IVM drain
+    lifecycles around three pruned merges and one expiry) — the cost a
+    production follower, started once and kept running, never re-pays;
+    the per-commit marginal work is the delta-sized feed.
 
     Reference parity: engine-added (SURVEY §2.6); the reference has no
     delete, versioning, or derived-view story
@@ -1089,18 +1093,26 @@ def q237_live_feed_over_tombstones(spark: SparkSession, sf_dir: str) -> DataFram
                 ).write.mode("append").parquet(outdir)
 
             def drain() -> None:
+                # the two consumers are independent (one writes the
+                # export dir, one the view) — overlap their availableNow
+                # lifecycles so each drain pays the harness start/stop
+                # cost once, as concurrent production followers would
                 q1 = start_changes_stream(
                     spark, route, sink, feed_ckpt,
                     key_cols=["k"], live_only=True,
                 )
-                q1.awaitTermination()
                 q2 = start_ivm_refresh_stream(
                     spark, route, view, ["seg"], ["bal"], live_only=True,
                 )
+                q1.awaitTermination()
                 q2.awaitTermination()
 
-            drain()          # gen 1: no feed; live IVM initial build
             cdc_step(0)      # gen 2: the soft deletes
+            # first drain AFTER the tombstones exist: the follower's
+            # batch spans (1,2] (gen 1 contributes nothing, per q236),
+            # and the IVM INITIAL build runs against a route already
+            # holding tombstone rows — exercising the live filter on
+            # the pinned snapshot, not just on incremental feeds
             drain()
             cdc_step(1)      # gen 3: stale/newer/late/control changes
             drain()
