@@ -600,7 +600,15 @@ def q235_cdc_tombstone_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             raw = spark.read.option("mergeSchema", "true").parquet(route)
             dead = F.coalesce(F.col("_deleted"), F.lit(False))
-            n_tomb = raw.filter(dead).count()
+            # one census job for tombstone count + total (the separate
+            # filter().count() and raw.count() were two passes over the
+            # same route for two numbers); the live count stays its own
+            # read — it is read_cdc_table's filter being verified
+            census = raw.agg(
+                F.sum(F.when(dead, 1).otherwise(0)).alias("n_tomb"),
+                F.count(F.lit(1)).alias("n_all"),
+            ).first()
+            n_tomb = int(census["n_tomb"] or 0)
             if n_tomb <= 0:
                 raise AssertionError(
                     "q235: no tombstones survived expiry — retention of "
@@ -609,7 +617,7 @@ def q235_cdc_tombstone_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_live = read_cdc_table(
                 spark, lake, "curated", "crm", "customers"
             ).count()
-            if n_live + n_tomb != raw.count():
+            if n_live + n_tomb != census["n_all"]:
                 raise AssertionError(
                     "q235: read_cdc_table's live view and the tombstone "
                     "census do not partition the route"
@@ -755,13 +763,18 @@ def q236_changes_stream_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).write.mode("append").parquet(outdir)
 
             def drain() -> None:
+                # the two consumers are independent (one writes the
+                # export dir, one the view) — overlap their availableNow
+                # lifecycles so each drain pays the harness start/stop
+                # cost once, as concurrent production followers would
+                # (guide §2.6 overlap; the structure q237 already uses)
                 q1 = start_changes_stream(
                     spark, route, sink, ckpt, key_cols=["k"]
                 )
-                q1.awaitTermination()
                 q2 = start_ivm_refresh_stream(
                     spark, route, view, ["seg"], ["bal"]
                 )
+                q1.awaitTermination()
                 q2.awaitTermination()
 
             drain()  # gen 1: no feed; IVM initial build
@@ -816,9 +829,13 @@ def q236_changes_stream_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
             maintained = ivm.read_view(spark, view).select(
                 "seg", "n_rows", F.round("sum_bal", 2).alias("sum_bal")
             )
+            # one action for the symmetric multiset diff: the two
+            # directional head(1)s each re-ran the route recompute; the
+            # union is non-empty iff either direction is (same check)
             if (
-                maintained.exceptAll(recomputed).head(1)
-                or recomputed.exceptAll(maintained).head(1)
+                maintained.exceptAll(recomputed)
+                .unionAll(recomputed.exceptAll(maintained))
+                .head(1)
             ):
                 raise AssertionError(
                     "q236: event-driven IVM view diverged from recompute"
@@ -1153,9 +1170,11 @@ def q237_live_feed_over_tombstones(spark: SparkSession, sf_dir: str) -> DataFram
             maintained = ivm.read_view(spark, view).select(
                 "seg", "n_rows", F.round("sum_bal", 2).alias("sum_bal")
             )
+            # one action for the symmetric multiset diff (q236's note)
             if (
-                maintained.exceptAll(recomputed).head(1)
-                or recomputed.exceptAll(maintained).head(1)
+                maintained.exceptAll(recomputed)
+                .unionAll(recomputed.exceptAll(maintained))
+                .head(1)
             ):
                 raise AssertionError(
                     "q237: live IVM view diverged from the read_cdc_table "

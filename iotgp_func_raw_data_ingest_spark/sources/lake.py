@@ -892,8 +892,16 @@ def upsert_lake_table(
         # is needed). A crash before the rename leaves only a .compact-tmp
         # that _recover_swap deletes — a replayed batch can never find
         # data without its meta_extra marker and double-apply.
-        _writer(updates, cfg, fmt).save(tmp)
-        n = updates.count()
+        # the row count rides the first write itself (Observation) —
+        # counting afterwards re-executed the whole updates plan for a
+        # number the write already knew (guide §1.2: one pass, not two)
+        from pyspark.sql import Observation
+
+        first_obs = Observation()
+        _writer(
+            updates.observe(first_obs, F.count(F.lit(1)).alias("n")), cfg, fmt
+        ).save(tmp)
+        n = int(first_obs.get["n"] or 0)
         meta = {"row_count": n}
         meta.update(meta_extra or {})
         write_route_meta(spark, tmp, meta)
@@ -1722,10 +1730,30 @@ def merge_lake_table_pruned(
         not_matched_condition, insert_when_not_matched,
     )
 
-    # pin once; the source feeds the range probe, the PLAN collect and
-    # the merge join — a non-deterministic source must not drift between
+    # pin once; the source feeds the probe, the PLAN collect and the
+    # merge join — a non-deterministic source must not drift between
     source = source.localCheckpoint(eager=True)
-    if not source.head(1):
+    # ONE probe job over the pinned source replaces THREE driver
+    # round-trips (the emptiness head(1), the key-range bounds agg, and
+    # the cardinality check's duplicate-key limit(1)): row count,
+    # all-keys-non-null row count vs distinct key-tuple count
+    # (duplicates exist iff they differ — COUNT(DISTINCT k...) skips
+    # any-NULL tuples, exactly the rows the non-null count excludes),
+    # and per-key min/max for the footer-prunable range pre-filter.
+    # Each eliminated action was a full pass over the CDC batch — per
+    # micro-batch, since the CDC streams call this once per trigger
+    # (optimization guide §1.2: remove passes before tuning them).
+    keyed = F.lit(True)
+    for k in key_cols:
+        keyed = keyed & F.col(k).isNotNull()
+    probe = source.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.when(keyed, 1).otherwise(0)).alias("_n_keyed"),
+        F.count_distinct(*[F.col(k) for k in key_cols]).alias("_n_distinct"),
+        *[F.min(k).alias(f"_lo_{k}") for k in key_cols],
+        *[F.max(k).alias(f"_hi_{k}") for k in key_cols],
+    ).first()
+    if not probe["_n"]:
         # empty CDC batch (routine in production): a true no-op — don't
         # stage an empty part file into the route
         return {
@@ -1741,17 +1769,16 @@ def merge_lake_table_pruned(
         src_keys = src_keys.filter(F.col(k).isNotNull())
     src_keys = src_keys.distinct()
 
-    # PLAN: range pre-filter (parquet-footer prunable) + broadcast semi-join
-    bounds = src_keys.agg(
-        *[F.min(k).alias(f"_lo_{k}") for k in key_cols],
-        *[F.max(k).alias(f"_hi_{k}") for k in key_cols],
-    ).first()
-    if bounds[f"_lo_{key_cols[0]}"] is not None:  # empty non-null key set -> skip
+    # PLAN: range pre-filter (parquet-footer prunable) + broadcast
+    # semi-join. The probe's min/max skip NULLs per column, so for
+    # composite keys the range can be wider than the all-keys-non-null
+    # set's — a superset of candidate files; the semi-join stays exact.
+    if probe["_n_distinct"]:  # empty non-null key set -> skip the PLAN
         tagged = target_all
         for k in key_cols:
             tagged = tagged.filter(
                 F.col(k).between(
-                    F.lit(bounds[f"_lo_{k}"]), F.lit(bounds[f"_hi_{k}"])
+                    F.lit(probe[f"_lo_{k}"]), F.lit(probe[f"_hi_{k}"])
                 )
             )
         affected = sorted(
@@ -1797,7 +1824,12 @@ def merge_lake_table_pruned(
                 for c in target_all.columns
             ]
         )
-        _check_merge_cardinality(source, slice_df, key_cols)
+        if probe["_n_keyed"] != probe["_n_distinct"]:
+            # duplicate keys exist among the source's keyed rows (known
+            # from the probe — no extra job on the common no-dup path);
+            # only now pay the ANSI matched-duplicate probe against the
+            # slice, which raises with a named example key on violation
+            _check_merge_cardinality(source, slice_df, key_cols)
     else:
         # insert-only merge: an empty slice with the route's full schema
         # so inserts align to it exactly like the full merge would

@@ -524,9 +524,35 @@ def delete_keys_from_table(
         1 for s in fs.listStatus(hpath)
         if s.getPath().getName().startswith("part-")
     )
-    keyed = keys.select(key_col).distinct()
+    # Pin the (broadcast-small-by-contract) key set once: it feeds TWO
+    # broadcast builds (the PLAN semi-join and the survivor anti-join),
+    # which previously re-executed the caller's key plan per build.
+    # NULL keys are dropped up front — they can never equal-join either
+    # way, so they only inflated the broadcast. The pinned set also
+    # yields the min/max probe for the same footer-prunable range
+    # pre-filter the pruned merge's PLAN uses: files whose key range
+    # misses the doomed range are skipped on parquet footer stats
+    # before the semi-join runs (guide §6 — pushdown must reach the
+    # scan; at 100 TB the PLAN pass is the delete's only table-wide
+    # scan, and the range filter is what bounds it).
+    keyed = (
+        keys.select(key_col)
+        .filter(F.col(key_col).isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    bounds = keyed.agg(
+        F.min(key_col).alias("_lo"), F.max(key_col).alias("_hi")
+    ).first()
+    if bounds["_lo"] is None:  # no non-null keys — nothing can match
+        return {
+            "files_total": files_total, "files_rewritten": 0,
+            "rows_deleted": 0, "rows_kept": 0,
+        }
     df = spark.read.format(fmt).load(table_path)
-    tagged = df.withColumn("_file", F.input_file_name())
+    tagged = df.filter(
+        F.col(key_col).between(F.lit(bounds["_lo"]), F.lit(bounds["_hi"]))
+    ).withColumn("_file", F.input_file_name())
     affected = sorted(
         r["_file"]
         for r in tagged.join(F.broadcast(keyed), key_col, "left_semi")

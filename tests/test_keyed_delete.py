@@ -111,3 +111,29 @@ def test_crashed_commit_heals_from_manifest(spark, tmp_path):
     )
     assert report["rows_deleted"] == 0
     assert not os.path.exists(f"{table}/.delete-stage-aborted")
+
+
+def test_delete_null_and_empty_key_sets(spark, tmp_path):
+    """The pinned key set (one localCheckpoint feeding both broadcast
+    builds + the range probe that pushes a min/max pre-filter into the
+    PLAN scan) must keep NULL-key semantics: NULL keys never equal-join,
+    so a NULL-only or empty key set is a file-level no-op, and NULLs
+    mixed into a real key set change nothing."""
+    table = str(tmp_path / "t")
+    _build_table(spark, table)
+
+    for label, keys in (
+        ("empty", spark.createDataFrame([], "user_id long")),
+        ("all-null", spark.createDataFrame([(None,)], "user_id long")),
+    ):
+        report = delete_keys_from_table(spark, table, "user_id", keys)
+        assert report["files_rewritten"] == 0, label
+        assert report["rows_deleted"] == 0, label
+    assert spark.read.parquet(table).count() == 1000
+
+    mixed = spark.createDataFrame([(None,), (5,)], "user_id long")
+    report = delete_keys_from_table(spark, table, "user_id", mixed)
+    assert report["rows_deleted"] > 0
+    got = spark.read.parquet(table)
+    assert got.filter(F.col("user_id") == 5).count() == 0
+    assert got.count() == 1000 - report["rows_deleted"]

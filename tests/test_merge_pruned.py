@@ -445,3 +445,60 @@ def test_finish_staged_replace_raises_on_failed_rename(spark, tmp_path):
     assert os.path.exists(f"{stage}/{blocker}")
     assert os.path.exists(f"{stage}/_ready")
     assert os.path.exists(f"{route}/{victim}")
+
+
+def test_pruned_probe_null_key_edges(spark, tmp_path):
+    """The fused source probe (one agg job for emptiness + range bounds
+    + duplicate detection, replacing three separate actions) must keep
+    the NULL-key exemptions of the ANSI rule it folded in:
+
+    - rows with ANY null key column never match a target row, so
+      duplicates among them must NOT raise (COUNT(DISTINCT ...) skips
+      any-NULL tuples and the keyed-row count excludes them the same
+      way — parity by construction, pinned here);
+    - an all-null-key source skips the PLAN scan entirely (no non-null
+      key tuple can match) yet still inserts through the unmatched
+      clause;
+    - a genuinely duplicated, MATCHED composite key still raises.
+    """
+    lake = str(tmp_path / "lake")
+    route = f"{lake}/curated/crm/accounts"
+    df = spark.range(100).select(
+        (F.col("id") % 10).alias("k1"),
+        (F.col("id") / 10).cast("long").alias("k2"),
+        F.lit("T").alias("seg"),
+        F.col("id").cast("double").alias("bal"),
+    )
+    df.repartition(2, "k1", "k2").write.parquet(route)
+    cfg = EngineConfig(output_path=lake)
+
+    # duplicate tuples whose k2 is NULL: exempt from the cardinality
+    # rule (never matched), each inserts one row
+    dup_null = spark.createDataFrame(
+        [(3, None, "a", 1.0), (3, None, "b", 2.0)],
+        "k1 long, k2 long, seg string, bal double",
+    )
+    report = merge_lake_table_pruned(
+        spark, lake, *ROUTE, dup_null, ["k1", "k2"], cfg
+    )
+    assert report["rows_inserted"] == 2 and report["rows_updated"] == 0
+
+    # all-null-key batch: the probe's distinct count is 0 -> PLAN skipped,
+    # inserts still land
+    all_null = spark.createDataFrame(
+        [(None, None, "x", 7.0)], "k1 long, k2 long, seg string, bal double"
+    )
+    report = merge_lake_table_pruned(
+        spark, lake, *ROUTE, all_null, ["k1", "k2"], cfg
+    )
+    assert report["files_rewritten"] == 0 and report["rows_inserted"] == 1
+
+    # duplicated AND matched composite key: still the ANSI error
+    dup_matched = spark.createDataFrame(
+        [(3, 0, "a", 1.0), (3, 0, "b", 2.0)],
+        "k1 long, k2 long, seg string, bal double",
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_lake_table_pruned(
+            spark, lake, *ROUTE, dup_matched, ["k1", "k2"], cfg
+        )

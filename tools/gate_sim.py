@@ -25,7 +25,9 @@ from pyspark.sql import SparkSession
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    prefix = sys.argv[2] if len(sys.argv) > 2 else ""
+    # comma-separated prefixes select a subset (one Spark startup for a
+    # targeted re-gate after an operator change)
+    prefix = tuple((sys.argv[2] if len(sys.argv) > 2 else "").split(","))
     spark = (
         SparkSession.builder.master("local[16]")
         .appName("gate-sim")
