@@ -441,12 +441,20 @@ def q78_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     t = prep(spark, sf_dir)
+    # Aggregate BEFORE attaching the broadcast dims (guide §2.3): the
+    # group key is functionally (l_partkey, l_suppkey) — s_name/n_name
+    # hang off l_suppkey 1:1 through inner FK joins — so grouping the
+    # bare lineitem first shuffles narrow (partkey, suppkey, min) rows
+    # instead of carrying supplier/nation name strings through the
+    # exchange, and the dims broadcast-attach to the one-row-per-part
+    # WINNERS at the very end. Same result by FK functional dependency
+    # (oracle-verified); r12: 2 exchanges -> same count but ~60% fewer
+    # bytes through the first, and the dim joins move from the 600k-row
+    # pre-window relation to the ~20k-row winner relation.
     costs = (
         t["lineitem"]
         .filter(F.col("l_quantity") > 0)
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy("l_partkey", "l_suppkey", "s_name", "n_name")
+        .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )
     w = W.partitionBy("l_partkey")
@@ -456,6 +464,8 @@ def q78_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("unit_cost") == F.col("min_cost"))
         .withColumn("rn", F.row_number().over(w_pick))
         .filter(F.col("rn") == 1)
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             F.col("l_partkey").alias("partkey"),
             F.col("l_suppkey").alias("suppkey"),
