@@ -86,23 +86,39 @@ def exact_dedup_groups(df: DataFrame, id_col: str, content_col: str) -> DataFram
 # ---------------------------------------------------------------------------
 
 
+def shingle_frame(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """The (id, shingles) relation every shingle-based operator starts
+    from. Callers that feed SEVERAL operators from one corpus (e.g. an
+    exact-truth side and an LSH candidate side of the same eval) can
+    compute this once, pin it (``localCheckpoint``), and pass it as the
+    operators' ``shingled`` argument — the tokenize+shingle pass then
+    runs once instead of once per consumer subtree (guide §1.2)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(text_col, k).alias("shingles"),
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     k: int = 3,
     threshold: float = 0.5,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with word-k-gram Jaccard ≥ threshold.
 
     Candidates come from a self-join on shared shingles (inverted index),
     so cost scales with shingle co-occurrence, not n². Complete: any pair
     with Jaccard ≥ threshold > 0 shares at least one shingle.
+
+    ``shingled``: optional pre-computed ``shingle_frame(df, id_col,
+    text_col, k)`` (same contract) — pass it when the caller shares the
+    shingle pass across operators; ``df``/``text_col`` are then unused.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(text_col, k).alias("shingles"),
-    ).withColumn("n_sh", F.size("shingles"))
+    base = shingle_frame(df, id_col, text_col, k) if shingled is None else shingled
+    sh = base.withColumn("n_sh", F.size("shingles"))
     # repartition on the join key: the self-join then reuses ONE exchange
     # for both sides, so tokenize/shingle/explode runs once instead of
     # twice (measured 2× at sf0.1), and the join needs no further shuffle.
@@ -166,15 +182,19 @@ MINHASH_PARAMS: list[tuple[int, int]] = [
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 16
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Minhash signatures via one md5-derived 32-bit shingle hash + a
     seeded universal-hash family (portable: DuckDB replays the identical
-    arithmetic — see plans/llm_ops._minhash_sql)."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(text_col, k).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    arithmetic — see plans/llm_ops._minhash_sql). ``shingled``: optional
+    pre-computed ``shingle_frame`` (see jaccard_pairs)."""
+    base = shingle_frame(df, id_col, text_col, k) if shingled is None else shingled
+    sh = base.filter(F.size("shingles") > 0)
     hashed = sh.select(
         "id",
         "shingles",
@@ -237,6 +257,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 8,
     threshold: float = 0.5,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via banded minhash LSH + exact-Jaccard verification.
 
@@ -248,7 +269,7 @@ def minhash_lsh_pairs(
     golden tests pin known near-dup constructions (tests/test_dedup.py).
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes, shingled=shingled)
     # Keep the banded relation NARROW (id, bucket): the shingle arrays must
     # not ride through the 8-way band explode and the self-join — at scale
     # that multiplies shuffled bytes by bands × array size. Candidates are
@@ -574,22 +595,75 @@ _FASTSS_STAT_WIDTH_FACTOR = 3.2
 _FASTSS_STAT_DICT_HEADROOM = 5
 
 
+def _fastss_footer_rows(nonnull: DataFrame) -> int | None:
+    """Exact input ROW COUNT from the scan's parquet footers —
+    driver-side metadata reads, no Spark job (guide §6: footer stats
+    are exact for row counts; unlike byte sizes they are immune to
+    dictionary/RLE encoding). Sound only when every file row maps to at
+    most one plan row, so any row-multiplying plan shape (join,
+    generate/explode, grouping-set expand) is rejected, as are
+    non-local/non-parquet inputs and very long file lists (a 100k-file
+    route's footer sweep would itself cost more than the one bounded
+    agg it replaces). ``None`` = cannot bound soundly — caller falls
+    through to the next tier."""
+    try:
+        files = nonnull.inputFiles()
+    except Exception:  # noqa: BLE001 - exotic plans: fall through
+        return None
+    if not files or len(files) > 256:
+        return None
+    if not all(f.endswith(".parquet") for f in files):
+        return None
+    try:
+        plan = nonnull._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:  # noqa: BLE001 - conservative
+        return None
+    if any(t in plan for t in ("Join", "Generate", "Expand", "CartesianProduct")):
+        return None
+    try:
+        import pyarrow.parquet as _pq
+
+        total = 0
+        for f in files:
+            if f.startswith("file:"):
+                f = f[5:]
+            elif "://" in f:
+                return None  # non-local filesystem
+            total += _pq.ParquetFile(f).metadata.num_rows
+        return total
+    except Exception:  # noqa: BLE001 - unreadable footer: fall through
+        return None
+
+
 def _fastss_sort_partitions(
     nonnull: DataFrame,
     max_dist: int,
     sort_partitions: int | None = None,
 ) -> int:
     """Pick the FastSS index self-join's sort-partition count — the
-    three-tier decision documented inline in blocked_levenshtein_pairs
-    (tier 1 explicit / tier 2 stat bound, job-free / tier 3 exact length
-    agg). Split out so the sizing policy is unit-testable in isolation;
-    ``nonnull`` is the (id, txt, blk) relation with null texts dropped.
+    tiered decision documented inline in blocked_levenshtein_pairs
+    (tier 1 explicit / tier 2a footer-rows bound / tier 2b stat bound,
+    both job-free / tier 3 exact length agg). Split out so the sizing
+    policy is unit-testable in isolation; ``nonnull`` is the (id, txt,
+    blk) relation with null texts dropped.
     """
     default_parts = int(
         nonnull.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
     if sort_partitions is not None:
         return sort_partitions
+    # Tier 2a (r12 VERDICT item 7): EXACT row count from parquet footers
+    # + the operator's 64-char key contract bound the index per key at
+    # 1+L (d=1) / 1+L+L(L−1)/2 ≤ 2081 (d=2) variants — a measured-rows ×
+    # contract-width bound with NO estimator slack, so the mid-SF inputs
+    # the 16×-inflated byte bound pushed into the tier-3 length agg now
+    # resolve job-free; genuinely large inputs still fall through to the
+    # exact agg below (the documented safety margin).
+    n_rows = _fastss_footer_rows(nonnull)
+    if n_rows is not None:
+        per_key_cap = 65 if max_dist == 1 else 2081
+        if n_rows * per_key_cap <= default_parts * 500_000:
+            return default_parts
     try:
         # py4j hands scala.math.BigInt back as a Python int
         s_bytes = int(
@@ -734,9 +808,15 @@ def blocked_levenshtein_pairs(
         # The partition COUNT decision is gated so plan construction
         # stays job-free in every context that builds-but-doesn't-run
         # (r6 ADVICE: plan audits / EXPLAIN tooling must not pay a
-        # scan). Three tiers:
+        # scan). Tiers:
         #
         # 1. ``sort_partitions`` given → use it, fully lazy.
+        # 2a. EXACT footer row count (parquet scans, driver-side, no
+        #    job) × the 64-char contract's per-key variant cap — no
+        #    estimator slack, so mid-SF inputs resolve lazily where the
+        #    byte bound below (16× safety-inflated) could not. Rejected
+        #    for any row-multiplying plan shape / non-local files (see
+        #    _fastss_footer_rows).
         # 2. Upper-bound the index from the input relation's Catalyst
         #    byte statistic S (driver-side metadata, no job). For the
         #    short record-linkage keys this operator is contracted for

@@ -298,9 +298,21 @@ def q147_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall roll-up touches only the true-pair relation."""
     t = prep(spark, sf_dir)
     docs = t["documents"]
-    truth = D.jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.3)
+    # ONE shingle pass for both sides (guide §1.2): the truth side's
+    # inverted index and the candidate side's signatures + verify sets
+    # all consume the same (id, shingles) relation, which previously
+    # re-tokenized the corpus in three separate subtrees. The eager pin
+    # materializes it once; the pin is per-invocation (inside the timed
+    # region), not a cross-run cache.
+    shingled = D.shingle_frame(docs, "doc_id", "text", k=3).localCheckpoint(
+        eager=True
+    )
+    truth = D.jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.3, shingled=shingled
+    )
     cand = D.minhash_lsh_pairs(
-        docs, "doc_id", "text", k=3, num_hashes=16, bands=8, threshold=0.3
+        docs, "doc_id", "text", k=3, num_hashes=16, bands=8, threshold=0.3,
+        shingled=shingled,
     ).select("id_a", "id_b", F.lit(1).alias("found"))
     j = truth.join(cand, ["id_a", "id_b"], "left").select(
         "id_a", "id_b", "jaccard", F.coalesce("found", F.lit(0)).alias("found")

@@ -443,19 +443,43 @@ def q78_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = prep(spark, sf_dir)
     # Aggregate BEFORE attaching the broadcast dims (guide §2.3): the
     # group key is functionally (l_partkey, l_suppkey) — s_name/n_name
-    # hang off l_suppkey 1:1 through inner FK joins — so grouping the
+    # hang off l_suppkey 1:1 through inner joins — so grouping the
     # bare lineitem first shuffles narrow (partkey, suppkey, min) rows
     # instead of carrying supplier/nation name strings through the
     # exchange, and the dims broadcast-attach to the one-row-per-part
-    # WINNERS at the very end. Same result by FK functional dependency
-    # (oracle-verified); r12: 2 exchanges -> same count but ~60% fewer
-    # bytes through the first, and the dim joins move from the 600k-row
-    # pre-window relation to the ~20k-row winner relation.
+    # WINNERS at the very end. r12: 2 exchanges -> same count but ~60%
+    # fewer bytes through the first, and the dim joins move from the
+    # 600k-row pre-window relation to the ~20k-row winner relation.
+    #
+    # Equivalence is made UNCONDITIONAL (r12 ADVICE) by the broadcast
+    # SEMI-join below: the oracle's inner joins run BELOW its window
+    # min, so an l_suppkey absent from supplier (or a supplier whose
+    # nation is missing) never competes for the minimum. Because MIN is
+    # computed independently per (l_partkey, l_suppkey) group, dropping
+    # whole phantom GROUPS after the aggregation is identical to
+    # dropping their lineitem rows before it — so the semi-join probes
+    # the ~80k-group aggregated relation (post-exchange) instead of
+    # every lineitem row, at the same unconditional-equivalence
+    # guarantee on ANY data, FK-clean or not.
+    joinable_supps = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("s_suppkey")
+    )
     costs = (
         t["lineitem"]
         .filter(F.col("l_quantity") > 0)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+        .join(
+            F.broadcast(joinable_supps),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
     )
     w = W.partitionBy("l_partkey")
     w_pick = W.partitionBy("l_partkey").orderBy("l_suppkey")

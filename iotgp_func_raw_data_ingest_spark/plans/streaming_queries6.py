@@ -733,8 +733,7 @@ def q236_changes_stream_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
         delete_keys_from_table,
     )
     from iotgp_func_raw_data_ingest_spark.streaming.pipeline import (
-        start_changes_stream,
-        start_ivm_refresh_stream,
+        start_changes_and_ivm_stream,
     )
 
     t = prep(spark, sf_dir)
@@ -763,19 +762,20 @@ def q236_changes_stream_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).write.mode("append").parquet(outdir)
 
             def drain() -> None:
-                # the two consumers are independent (one writes the
-                # export dir, one the view) — overlap their availableNow
-                # lifecycles so each drain pays the harness start/stop
-                # cost once, as concurrent production followers would
-                # (guide §2.6 overlap; the structure q237 already uses)
-                q1 = start_changes_stream(
-                    spark, route, sink, ckpt, key_cols=["k"]
+                # ONE shared ledger lifecycle drives both consumers
+                # (feed export + IVM refresh, fanned out in foreachBatch
+                # and overlapped there): the availableNow harness's
+                # Python-DataSource planner spawn (~2.5 s) is paid once
+                # per drain instead of once per consumer, and the ledger
+                # is read once. Offset-equals-generation checkpointing
+                # is unchanged — the shared stream's offset log is the
+                # same watermark each separate stream kept.
+                q = start_changes_and_ivm_stream(
+                    spark, route, sink, ckpt,
+                    view_path=view, group_cols=["seg"], sum_cols=["bal"],
+                    key_cols=["k"],
                 )
-                q2 = start_ivm_refresh_stream(
-                    spark, route, view, ["seg"], ["bal"]
-                )
-                q1.awaitTermination()
-                q2.awaitTermination()
+                q.awaitTermination()
 
             drain()  # gen 1: no feed; IVM initial build
             if ivm.read_view_meta(spark, view)["applied_generation"] != 1:
@@ -1006,8 +1006,9 @@ def q237_live_feed_over_tombstones(spark: SparkSession, sf_dir: str) -> DataFram
     filter per diff side — no new shuffle, no new pass, and the expiry
     span's cost stays ∝ the rewritten files even though its live feed
     is empty. Builder cost is dominated by the availableNow harness's
-    fixed start/stop (2 CDC + 3 overlapped follower/IVM drain
-    lifecycles around three pruned merges and one expiry) — the cost a
+    fixed start/stop (2 CDC + 3 SHARED follower+IVM drain lifecycles —
+    one ledger stream fanning out to both consumers per drain — around
+    three pruned merges and one expiry) — the cost a
     production follower, started once and kept running, never re-pays;
     the per-commit marginal work is the delta-sized feed.
 
@@ -1022,8 +1023,7 @@ def q237_live_feed_over_tombstones(spark: SparkSession, sf_dir: str) -> DataFram
     )
     from iotgp_func_raw_data_ingest_spark.streaming.pipeline import (
         start_cdc_merge_stream,
-        start_changes_stream,
-        start_ivm_refresh_stream,
+        start_changes_and_ivm_stream,
     )
 
     t = prep(spark, sf_dir)
@@ -1110,19 +1110,17 @@ def q237_live_feed_over_tombstones(spark: SparkSession, sf_dir: str) -> DataFram
                 ).write.mode("append").parquet(outdir)
 
             def drain() -> None:
-                # the two consumers are independent (one writes the
-                # export dir, one the view) — overlap their availableNow
-                # lifecycles so each drain pays the harness start/stop
-                # cost once, as concurrent production followers would
-                q1 = start_changes_stream(
+                # ONE shared ledger lifecycle drives both consumers
+                # (feed export + IVM refresh, fanned out and overlapped
+                # in foreachBatch) — q236's structure; the per-drain
+                # Python-DataSource planner spawn is paid once, and the
+                # offset-equals-generation checkpoint design is intact
+                q = start_changes_and_ivm_stream(
                     spark, route, sink, feed_ckpt,
+                    view_path=view, group_cols=["seg"], sum_cols=["bal"],
                     key_cols=["k"], live_only=True,
                 )
-                q2 = start_ivm_refresh_stream(
-                    spark, route, view, ["seg"], ["bal"], live_only=True,
-                )
-                q1.awaitTermination()
-                q2.awaitTermination()
+                q.awaitTermination()
 
             cdc_step(0)      # gen 2: the soft deletes
             # first drain AFTER the tombstones exist: the follower's

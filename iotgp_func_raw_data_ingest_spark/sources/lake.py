@@ -727,6 +727,34 @@ def read_cdc_table(
     )
 
 
+def _parquet_rows_census(fs, jvm, dir_path: str) -> int | None:
+    """Row count of a flat parquet directory from the part files'
+    FOOTERS — driver-side metadata reads, no Spark job, no data pages
+    (guide §6: footer stats are exact for row counts). Every footer is
+    opened and parsed, so a missing or truncated landed file still
+    fails the census — the landed-file verification the read-back
+    ``count()`` used to provide, minus the full data pass. Returns
+    ``None`` when the census cannot be taken soundly (non-local
+    filesystem, pyarrow unavailable, or an unparseable footer) — the
+    caller falls back to the full read, which surfaces real corruption
+    loudly on the same files."""
+    try:
+        import pyarrow.parquet as _pq
+
+        total = 0
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(dir_path)):
+            p = st.getPath()
+            if not p.getName().startswith("part-"):
+                continue
+            uri = p.toUri()
+            if uri.getScheme() not in (None, "file"):
+                return None
+            total += _pq.ParquetFile(uri.getPath()).metadata.num_rows
+        return total
+    except Exception:  # noqa: BLE001 - census is best-effort by contract
+        return None
+
+
 @_with_route_lease("compact")
 def compact_lake_table(
     spark: SparkSession,
@@ -780,7 +808,12 @@ def compact_lake_table(
     )
 
     df = read_lake_table(spark, lake_path, folder, source_db, table, fmt=fmt)
-    n_rows = df.count()
+    # the pre-count only SIZES the rewrite — for parquet it comes from
+    # the footers (driver-side, exact, no job) instead of a full scan;
+    # row formats keep the count() pass
+    n_rows = _parquet_rows_census(fs, jvm, path) if fmt == "parquet" else None
+    if n_rows is None:
+        n_rows = df.count()
     n_files = max(1, -(-n_rows // target))  # ceil
     if zorder_cols:
         # re-cluster while rewriting: the compaction pass is the natural
@@ -929,16 +962,20 @@ def upsert_lake_table(
     w.format(fmt).save(tmp)
     rows_before = int(before_obs.get["n"] or 0)
 
-    # count the merged output from the temp dir and seal the sidecar in
-    # BEFORE the swap: data + metadata become visible together (the
-    # read-back also verifies the landed files, which an Observation on
-    # the write plan could not)
-    r = spark.read
-    if fmt == "parquet":
-        r = r.option("mergeSchema", "true")
-    if fmt == "csv":
-        r = r.option("header", "true")
-    rows_after = r.format(fmt).load(tmp).count()
+    # census the merged output from the temp dir and seal the sidecar in
+    # BEFORE the swap: data + metadata become visible together. The
+    # census verifies the landed files (which an Observation on the
+    # write plan could not) — for parquet it is served from the landed
+    # footers (every footer opened and parsed; no data pass — guide §6),
+    # with the full read-back as the fallback for row formats
+    rows_after = _parquet_rows_census(fs, jvm, tmp) if fmt == "parquet" else None
+    if rows_after is None:
+        r = spark.read
+        if fmt == "parquet":
+            r = r.option("mergeSchema", "true")
+        if fmt == "csv":
+            r = r.option("header", "true")
+        rows_after = r.format(fmt).load(tmp).count()
     meta = read_route_meta(spark, path) or {}
     meta["row_count"] = rows_after
     meta.update(meta_extra or {})
@@ -1313,14 +1350,18 @@ def merge_lake_table(
     w.format(fmt).save(tmp)
     rows_before = int(before_obs.get["n"] or 0)
 
-    # the read-back census also verifies the landed files, which an
-    # Observation on the write plan could not — it stays a real read
-    r = spark.read
-    if fmt == "parquet":
-        r = r.option("mergeSchema", "true")
-    if fmt == "csv":
-        r = r.option("header", "true")
-    rows_after = r.format(fmt).load(tmp).count()
+    # the census verifies the landed files, which an Observation on the
+    # write plan could not — served from the landed parquet footers
+    # (every footer opened and parsed; no data pass — guide §6), with
+    # the full read-back as the fallback for row formats
+    rows_after = _parquet_rows_census(fs, jvm, tmp) if fmt == "parquet" else None
+    if rows_after is None:
+        r = spark.read
+        if fmt == "parquet":
+            r = r.option("mergeSchema", "true")
+        if fmt == "csv":
+            r = r.option("header", "true")
+        rows_after = r.format(fmt).load(tmp).count()
     meta = read_route_meta(spark, path) or {}
     meta["row_count"] = rows_after
     meta.update(meta_extra or {})
@@ -1330,14 +1371,17 @@ def merge_lake_table(
     return rows_before, rows_after
 
 
-def _seal_stage(spark: SparkSession, stage: str, affected: list[str]) -> None:
+def _seal_stage(spark: SparkSession, stage: str, affected: list[str]) -> list[str]:
     """Seal a staged replace: write ``_manifest.json`` naming the doomed
     originals AND the staged replacement part files (listed from the
     stage itself — the write is complete by seal time), then the
     ``_ready`` marker. The ``staged`` list is what keeps the snapshot
     generation publish idempotent across crash-retries of the commit
     (``_finish_staged_replace``): after the moves the stage no longer
-    holds the names, so they must ride the manifest."""
+    holds the names, so they must ride the manifest. Returns the staged
+    names so the in-line commit can skip re-reading the manifest it
+    just wrote (r12 VERDICT: batch the protocol's metadata round-trips;
+    the manifest stays on disk for crash healing)."""
     import json as _json
 
     jvm, _, fs = _hadoop_fs(spark, stage)
@@ -1354,9 +1398,15 @@ def _seal_stage(spark: SparkSession, stage: str, affected: list[str]) -> None:
     finally:
         out.close()
     fs.create(jvm.org.apache.hadoop.fs.Path(f"{stage}/_ready"), True).close()
+    return staged
 
 
-def _finish_staged_replace(spark: SparkSession, table_path: str, stage_name: str) -> int:
+def _finish_staged_replace(
+    spark: SparkSession,
+    table_path: str,
+    stage_name: str,
+    manifest: tuple[list[str], list[str]] | None = None,
+) -> int:
     """Complete a READY staged file-replacement: move the staged part
     files into the table FIRST, then remove every original file named in
     the stage's ``_manifest.json`` that still exists, then drop the
@@ -1389,17 +1439,35 @@ def _finish_staged_replace(spark: SparkSession, table_path: str, stage_name: str
 
     jvm, _, fs = _hadoop_fs(spark, table_path)
     stage_p = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{stage_name}")
-    manifest_p = jvm.org.apache.hadoop.fs.Path(
-        f"{table_path}/{stage_name}/_manifest.json"
-    )
-    stream = fs.open(manifest_p)
-    try:
-        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
-    finally:
-        stream.close()
-    m = _json.loads(raw.decode("utf-8"))
-    affected = m["affected"]
-    staged = m.get("staged")
+    if manifest is None:
+        # healing / crash-retry path: the on-disk manifest is the only
+        # authority, and the stage listing decides what is left to move
+        manifest_p = jvm.org.apache.hadoop.fs.Path(
+            f"{table_path}/{stage_name}/_manifest.json"
+        )
+        stream = fs.open(manifest_p)
+        try:
+            raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        finally:
+            stream.close()
+        m = _json.loads(raw.decode("utf-8"))
+        affected = m["affected"]
+        staged = m.get("staged")
+        to_move = [
+            s.getPath().getName()
+            for s in fs.listStatus(stage_p)
+            if s.getPath().getName().startswith("part-")
+        ]
+    else:
+        # in-line commit straight after _seal_stage: the caller hands
+        # over the manifest it just wrote, skipping the re-read and the
+        # stage re-list (r12 VERDICT: batch the metadata round-trips).
+        # Every staged file is present by construction (the seal listed
+        # them moments ago under the writer's stage lease); a failed
+        # rename still raises and leaves the READY stage for the
+        # healing path above to retry idempotently.
+        affected, staged = manifest
+        to_move = list(staged)
     # every step below CHECKS its FS return and raises instead of
     # continuing: the staged files become the only copy of their rows
     # once the originals die — silently dropping the stage (or one file
@@ -1408,19 +1476,18 @@ def _finish_staged_replace(spark: SparkSession, table_path: str, stage_name: str
     # the finish idempotently.
     moved = 0
     moved_names: list[str] = []
-    for s in fs.listStatus(stage_p):
-        name = s.getPath().getName()
-        if name.startswith("part-"):
-            if not fs.rename(
-                s.getPath(), jvm.org.apache.hadoop.fs.Path(f"{table_path}/{name}")
-            ):
-                raise IOError(
-                    f"staged replace: could not move {name} into "
-                    f"{table_path} — stage (and originals) left in place "
-                    "for retry"
-                )
-            moved += 1
-            moved_names.append(name)
+    for name in to_move:
+        if not fs.rename(
+            jvm.org.apache.hadoop.fs.Path(f"{table_path}/{stage_name}/{name}"),
+            jvm.org.apache.hadoop.fs.Path(f"{table_path}/{name}"),
+        ):
+            raise IOError(
+                f"staged replace: could not move {name} into "
+                f"{table_path} — stage (and originals) left in place "
+                "for retry"
+            )
+        moved += 1
+        moved_names.append(name)
 
     from iotgp_func_raw_data_ingest_spark.sources.snapshots import (
         publish_generation,
@@ -1570,6 +1637,7 @@ def heal_staged_replaces(
     spark: SparkSession,
     table_path: str,
     unready_grace_seconds: float = UNREADY_STAGE_GRACE_SECONDS,
+    _entries=None,
 ) -> int:
     """Heal every pending staged file-replacement in a route/table dir:
     complete READY stages (crashed after their ``_ready`` marker, before
@@ -1593,14 +1661,19 @@ def heal_staged_replaces(
     after the grace elapses). READY stages heal regardless of age:
     ``_ready`` only lands after every staged file, so they are sealed
     and safe by construction. Pass ``unready_grace_seconds=0`` to force
-    immediate clearing when the operator KNOWS no writer is live."""
+    immediate clearing when the operator KNOWS no writer is live.
+    ``_entries`` (private): a pre-taken ``fs.listStatus`` of the route
+    dir, so callers that also need the listing pay ONE round-trip
+    (``_heal_and_count_parts``)."""
     import time as _time
 
     jvm, hpath, fs = _hadoop_fs(spark, table_path)
-    if not fs.exists(hpath):
-        return 0
+    if _entries is None:
+        if not fs.exists(hpath):
+            return 0
+        _entries = fs.listStatus(hpath)
     healed = 0
-    for st in fs.listStatus(hpath):
+    for st in _entries:
         name = st.getPath().getName()
         if st.isDirectory() and name.startswith(_STAGE_PREFIXES):
             ready = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{name}/_ready")
@@ -1614,6 +1687,27 @@ def heal_staged_replaces(
                 if age >= unready_grace_seconds:
                     fs.delete(st.getPath(), True)
     return healed
+
+
+def _heal_and_count_parts(spark: SparkSession, table_path: str) -> tuple[int, int]:
+    """ONE directory listing serves both crash healing and the
+    part-file census every staged writer takes before planning (r12
+    VERDICT: the per-merge lease/heal/list metadata round-trips are
+    batchable — at object-store latencies each avoided LIST is real
+    time on every CDC micro-batch). Only a completed heal changes the
+    file set, so only then is the listing refreshed. Returns
+    (stages_healed, part_files_total)."""
+    jvm, hpath, fs = _hadoop_fs(spark, table_path)
+    if not fs.exists(hpath):
+        return 0, 0
+    entries = fs.listStatus(hpath)
+    healed = heal_staged_replaces(spark, table_path, _entries=entries)
+    if healed:
+        entries = fs.listStatus(hpath)
+    files_total = sum(
+        1 for st in entries if st.getPath().getName().startswith("part-")
+    )
+    return healed, files_total
 
 
 @_with_route_lease("merge-pruned")
@@ -1714,14 +1808,9 @@ def merge_lake_table_pruned(
             "MERGE requires an existing target (write it first)"
         )
     # heal crashed commits (ready stages, OURS OR the keyed delete's) /
-    # clear aborted stage writes — cross-kind, see heal_staged_replaces
-    heal_staged_replaces(spark, path)
-
-    files_total = sum(
-        1
-        for st in fs.listStatus(hpath)
-        if st.getPath().getName().startswith("part-")
-    )
+    # clear aborted stage writes — cross-kind — and take the part-file
+    # census off the SAME listing (one metadata round-trip, not two)
+    _, files_total = _heal_and_count_parts(spark, path)
 
     target_all = read_lake_table(spark, lake_path, folder, source_db, table, fmt=fmt)
     evolved = _validate_merge_clauses(
@@ -1730,29 +1819,34 @@ def merge_lake_table_pruned(
         not_matched_condition, insert_when_not_matched,
     )
 
-    # pin once; the source feeds the probe, the PLAN collect and the
-    # merge join — a non-deterministic source must not drift between
-    source = source.localCheckpoint(eager=True)
-    # ONE probe job over the pinned source replaces THREE driver
-    # round-trips (the emptiness head(1), the key-range bounds agg, and
-    # the cardinality check's duplicate-key limit(1)): row count,
-    # all-keys-non-null row count vs distinct key-tuple count
-    # (duplicates exist iff they differ — COUNT(DISTINCT k...) skips
-    # any-NULL tuples, exactly the rows the non-null count excludes),
-    # and per-key min/max for the footer-prunable range pre-filter.
-    # Each eliminated action was a full pass over the CDC batch — per
-    # micro-batch, since the CDC streams call this once per trigger
-    # (optimization guide §1.2: remove passes before tuning them).
+    # The probe RIDES the pin (r13: one job, was two): the observed
+    # metrics — row count, all-keys-non-null row count, per-key min/max
+    # for the footer-prunable range pre-filter — collect while the
+    # eager localCheckpoint materializes the source, so the probe pass
+    # the r12 fusion still paid disappears entirely. The min/max are
+    # computed over exactly the all-keys-non-null rows (the joinable
+    # set src_keys is built from) — for composite keys a partially-null
+    # row cannot match anything, so letting it widen the range would
+    # only prune fewer files (r12 ADVICE). The distinct key-tuple count
+    # (the duplicate gate) cannot ride here — observed metrics forbid
+    # DISTINCT aggregates — so it rides the PLAN job below instead.
+    # The pin itself stays load-bearing: the source feeds the PLAN
+    # collect and the merge join, and a non-deterministic source must
+    # not drift between them.
+    from pyspark.sql import Observation as _Observation
+
     keyed = F.lit(True)
     for k in key_cols:
         keyed = keyed & F.col(k).isNotNull()
-    probe = source.agg(
+    pin_obs = _Observation()
+    source = source.observe(
+        pin_obs,
         F.count(F.lit(1)).alias("_n"),
         F.sum(F.when(keyed, 1).otherwise(0)).alias("_n_keyed"),
-        F.count_distinct(*[F.col(k) for k in key_cols]).alias("_n_distinct"),
-        *[F.min(k).alias(f"_lo_{k}") for k in key_cols],
-        *[F.max(k).alias(f"_hi_{k}") for k in key_cols],
-    ).first()
+        *[F.min(F.when(keyed, F.col(k))).alias(f"_lo_{k}") for k in key_cols],
+        *[F.max(F.when(keyed, F.col(k))).alias(f"_hi_{k}") for k in key_cols],
+    ).localCheckpoint(eager=True)
+    probe = pin_obs.get
     if not probe["_n"]:
         # empty CDC batch (routine in production): a true no-op — don't
         # stage an empty part file into the route
@@ -1764,16 +1858,26 @@ def merge_lake_table_pruned(
             "rows_inserted": 0,
             "rows_carried": 0,
         }
-    src_keys = source.select(*key_cols)
-    for k in key_cols:
-        src_keys = src_keys.filter(F.col(k).isNotNull())
-    src_keys = src_keys.distinct()
-
     # PLAN: range pre-filter (parquet-footer prunable) + broadcast
-    # semi-join. The probe's min/max skip NULLs per column, so for
-    # composite keys the range can be wider than the all-keys-non-null
-    # set's — a superset of candidate files; the semi-join stays exact.
-    if probe["_n_distinct"]:  # empty non-null key set -> skip the PLAN
+    # semi-join. The probe's min/max are computed over exactly the
+    # all-keys-non-null rows, so the range is tight to the joinable key
+    # set; the semi-join stays exact either way. The distinct key-tuple
+    # count rides the PLAN's broadcast build as an observed metric (the
+    # distinct is computed there anyway) — duplicates exist iff it
+    # differs from the probe's non-null count, the gate for the ANSI
+    # matched-duplicate check below. The metric is read ONLY when
+    # affected files exist: the check needs it only then, and only then
+    # is the broadcast build guaranteed to have executed (with ZERO
+    # affected files AQE's empty-relation propagation can elide the
+    # build, leaving the observation uncollected).
+    plan_obs = _Observation()
+    if probe["_n_keyed"]:  # empty non-null key set -> skip the PLAN
+        src_keys = source.select(*key_cols)
+        for k in key_cols:
+            src_keys = src_keys.filter(F.col(k).isNotNull())
+        src_keys = src_keys.distinct().observe(
+            plan_obs, F.count(F.lit(1)).alias("_n_distinct")
+        )
         tagged = target_all
         for k in key_cols:
             tagged = tagged.filter(
@@ -1824,11 +1928,15 @@ def merge_lake_table_pruned(
                 for c in target_all.columns
             ]
         )
-        if probe["_n_keyed"] != probe["_n_distinct"]:
+        # affected is non-empty, so the PLAN's broadcast build ran and
+        # the observed distinct count is available without any job
+        n_distinct = int(plan_obs.get["_n_distinct"] or 0)
+        if probe["_n_keyed"] != n_distinct:
             # duplicate keys exist among the source's keyed rows (known
-            # from the probe — no extra job on the common no-dup path);
-            # only now pay the ANSI matched-duplicate probe against the
-            # slice, which raises with a named example key on violation
+            # from the pin/PLAN observations — no extra job on the
+            # common no-dup path); only now pay the ANSI
+            # matched-duplicate probe against the slice, which raises
+            # with a named example key on violation
             _check_merge_cardinality(source, slice_df, key_cols)
     else:
         # insert-only merge: an empty slice with the route's full schema
@@ -1866,9 +1974,12 @@ def merge_lake_table_pruned(
         rows_carried=int(got["carried"] or 0),
     )
 
-    _seal_stage(spark, stage, [a.rsplit("/", 1)[-1] for a in affected])
+    affected_names = [a.rsplit("/", 1)[-1] for a in affected]
+    staged_names = _seal_stage(spark, stage, affected_names)
 
-    _finish_staged_replace(spark, path, stage_name)
+    _finish_staged_replace(
+        spark, path, stage_name, manifest=(affected_names, staged_names)
+    )
 
     meta = read_route_meta(spark, path)
     if meta and "row_count" in meta:

@@ -450,17 +450,25 @@ def _audit_snapshot(spark: SparkSession, jvm, fs, dest: str) -> dict | None:
     }
 
 
-def _finish_keyed_delete(spark: SparkSession, table_path: str, stage_name: str) -> int:
+def _finish_keyed_delete(
+    spark: SparkSession,
+    table_path: str,
+    stage_name: str,
+    manifest: tuple[list[str], list[str]] | None = None,
+) -> int:
     """Complete a READY keyed-delete stage — delegates to the shared
     staged-replace commit step (``lake._finish_staged_replace``, also
     the commit of the file-pruned merge): remove every original file
     named in the stage manifest that still exists, move the staged
     survivor files into the table, drop the stage. Idempotent — safe to
     re-run after a crash at any point past the ready marker. Returns the
-    number of staged files moved in."""
+    number of staged files moved in. ``manifest`` (affected, staged) is
+    the in-line commit's copy of the just-sealed manifest — passed
+    through so the happy path skips the manifest re-read + stage
+    re-list (see lake._finish_staged_replace)."""
     from iotgp_func_raw_data_ingest_spark.sources.lake import _finish_staged_replace
 
-    return _finish_staged_replace(spark, table_path, stage_name)
+    return _finish_staged_replace(spark, table_path, stage_name, manifest=manifest)
 
 
 @_with_route_lease("keyed-delete", route_param="table_path")
@@ -513,17 +521,13 @@ def delete_keys_from_table(
     # heal crashed commits (ready stages, OURS OR the pruned merge's) /
     # clear aborted stage writes — cross-kind: planning against a READY
     # stage's doomed originals would double-apply once the other
-    # writer's healer ran (see lake.heal_staged_replaces)
+    # writer's healer ran (see lake.heal_staged_replaces) — and take
+    # the part-file census off the SAME listing (one round-trip)
     from iotgp_func_raw_data_ingest_spark.sources.lake import (
-        heal_staged_replaces,
+        _heal_and_count_parts,
     )
 
-    heal_staged_replaces(spark, table_path)
-
-    files_total = sum(
-        1 for s in fs.listStatus(hpath)
-        if s.getPath().getName().startswith("part-")
-    )
+    _, files_total = _heal_and_count_parts(spark, table_path)
     # Pin the (broadcast-small-by-contract) key set once: it feeds TWO
     # broadcast builds (the PLAN semi-join and the survivor anti-join),
     # which previously re-executed the caller's key plan per build.
@@ -594,9 +598,12 @@ def delete_keys_from_table(
     # ready marker seals the stage
     from iotgp_func_raw_data_ingest_spark.sources.lake import _seal_stage
 
-    _seal_stage(spark, stage, [a.rsplit("/", 1)[-1] for a in affected])
+    affected_names = [a.rsplit("/", 1)[-1] for a in affected]
+    staged_names = _seal_stage(spark, stage, affected_names)
 
-    _finish_keyed_delete(spark, table_path, stage_name)
+    _finish_keyed_delete(
+        spark, table_path, stage_name, manifest=(affected_names, staged_names)
+    )
     return {
         "files_total": files_total,
         "files_rewritten": len(affected),
@@ -644,19 +651,15 @@ def expire_tombstones(
     from iotgp_func_raw_data_ingest_spark.sources.lake import (
         _check_format,
         _hadoop_fs,
+        _heal_and_count_parts,
         _seal_stage,
-        heal_staged_replaces,
         write_stage_lease,
     )
 
     _check_format(fmt)
     jvm, hpath, fs = _hadoop_fs(spark, table_path)
-    heal_staged_replaces(spark, table_path)
-
-    files_total = sum(
-        1 for s in fs.listStatus(hpath)
-        if s.getPath().getName().startswith("part-")
-    )
+    # heal + part-file census off one listing (see lake helper)
+    _, files_total = _heal_and_count_parts(spark, table_path)
     r = spark.read
     if fmt == "parquet":
         r = r.option("mergeSchema", "true")
@@ -724,8 +727,11 @@ def expire_tombstones(
     ).save(stage)
     n_before = int(obs_in.get["n"])
     rows_kept = int(obs_out.get["n"])
-    _seal_stage(spark, stage, [a.rsplit("/", 1)[-1] for a in affected])
-    _finish_keyed_delete(spark, table_path, stage_name)
+    affected_names = [a.rsplit("/", 1)[-1] for a in affected]
+    staged_names = _seal_stage(spark, stage, affected_names)
+    _finish_keyed_delete(
+        spark, table_path, stage_name, manifest=(affected_names, staged_names)
+    )
     return {
         "files_total": files_total,
         "files_rewritten": len(affected),

@@ -445,10 +445,13 @@ def read_changes_between(
 
     1. ``diff_generations`` — driver-side manifest diff; ``shared``
        files are immutable-by-protocol and never opened.
-    2. Read ONLY the added and removed files; ``exceptAll`` both ways
-       (multiset semantics) cancels carried rows — rows a rewrite
+    2. Read ONLY the added and removed files; ONE groupBy-all-columns
+       aggregation over removed(+1) ∪ added(−1) computes the two-way
+       multiset diff (net > 0 ≡ ``removed.exceptAll(added)`` copies,
+       net < 0 the reverse) and cancels carried rows — rows a rewrite
        copied unchanged into a replacement file — so a pruned merge's
-       99% carried ballast produces zero feed rows.
+       99% carried ballast produces zero feed rows, mostly map-side in
+       the partial aggregate.
     3. Rows surviving on the removed side are deletions; on the added
        side, insertions. With ``key_cols``, a key present on both sides
        WITH EQUAL MULTIPLICITY is reclassified as an update: its removed
@@ -467,11 +470,13 @@ def read_changes_between(
     reversed span (``from > to``) is the inverse feed — the rollback
     view — by the same construction, no special casing.
 
-    Scale: the exceptAll shuffle carries only delta bytes (the touched
-    files), hashed on full rows — at a 1% CDC touch rate on a 100 TB
-    route that is a ~2 TB shuffle worst-case and typically far less
-    after carried-row cancellation happens map-side in the aggregate.
-    The key-classification join is keys-of-changed-rows sized.
+    Scale: the single diff shuffle carries only delta bytes (the
+    touched files), hashed on full rows — at a 1% CDC touch rate on a
+    100 TB route that is a ~2 TB shuffle worst-case and typically far
+    less after carried-row cancellation happens map-side in the partial
+    aggregate. The key-classification join is keys-of-changed-rows
+    sized, runs on the pre-replication net relation, and reuses the
+    diff aggregation's exchange.
 
     Reference parity: engine-added (SURVEY §2.6) — the reference has no
     versioning, so no notion of "what changed" (src/function_app.py
@@ -535,10 +540,43 @@ def read_changes_between(
         if missing:
             raise ValueError(f"key_cols not in the route's columns: {missing}")
 
-    deleted = removed.exceptAll(added)
-    inserted = added.exceptAll(removed)
+    # NET form of the two-way multiset diff: one groupBy-all-columns
+    # aggregation over removed(+1) ∪ added(−1) replaces the two
+    # ``exceptAll`` subtrees (each its own full-width shuffle, and each
+    # side scanned twice). net > 0 reproduces exceptAll's
+    # max(count_removed − count_added, 0) copies on the deleted side,
+    # net < 0 symmetrically on the inserted side; groupBy's null-safe
+    # grouping matches exceptAll's null-safe row equality. One delta
+    # shuffle instead of 4–6; the aggregated relation is reused (AQE
+    # exchange reuse) by the key classification below.
+    w, net_c = "_w", "_net"
+    while w in data_cols:
+        w += "_"
+    while net_c in data_cols:
+        net_c += "_"
+    tagged = removed.withColumn(w, F.lit(1)).unionByName(
+        added.withColumn(w, F.lit(-1))
+    )
+    net = (
+        tagged.groupBy(*data_cols)
+        .agg(F.sum(w).alias(net_c))
+        .filter(F.col(net_c) != 0)
+    )
+
+    def replicate(df: DataFrame) -> DataFrame:
+        # |net| copies of each surviving row (a row duplicated N extra
+        # times in one generation nets to N) — exceptAll's multiset
+        # semantics, restored post-aggregation on the compact relation
+        return df.withColumn(
+            net_c,
+            F.explode(
+                F.expr(f"array_repeat(1, int(abs({net_c})))")
+            ),
+        ).drop(net_c)
 
     if not key_cols:
+        deleted = replicate(net.filter(F.col(net_c) > 0))
+        inserted = replicate(net.filter(F.col(net_c) < 0))
         return deleted.withColumn(change_col, F.lit("delete")).unionByName(
             inserted.withColumn(change_col, F.lit("insert"))
         )
@@ -547,12 +585,18 @@ def read_changes_between(
     # unique key gives the 1:1 pre/post pair; M:N with M != N has no
     # pairing, so those keys fall back to delete/insert). Both counts
     # are keys-of-changed-rows sized aggregations over the already
-    # delta-sized diff — no new table-scale work.
-    del_counts = deleted.groupBy(*key_cols).agg(
-        F.count(F.lit(1)).alias("_n_del")
+    # delta-sized net relation — no new table-scale work. Classification
+    # happens BEFORE replication, so the join touches one row per
+    # distinct changed row, not per copy.
+    del_counts = (
+        net.filter(F.col(net_c) > 0)
+        .groupBy(*key_cols)
+        .agg(F.sum(net_c).alias("_n_del"))
     )
-    ins_counts = inserted.groupBy(*key_cols).agg(
-        F.count(F.lit(1)).alias("_n_ins")
+    ins_counts = (
+        net.filter(F.col(net_c) < 0)
+        .groupBy(*key_cols)
+        .agg(F.sum(-F.col(net_c)).alias("_n_ins"))
     )
     upd_keys = (
         del_counts.join(ins_counts, on=key_cols, how="inner")
@@ -568,11 +612,15 @@ def read_changes_between(
             F.when(F.col("_is_update"), F.lit(upd_label)).otherwise(
                 F.lit(base_label)
             ),
-        ).select(*data_cols, change_col)
+        ).select(*data_cols, net_c, change_col)
 
-    return classify(deleted, "update_preimage", "delete").unionByName(
-        classify(inserted, "update_postimage", "insert")
-    )
+    return replicate(
+        classify(net.filter(F.col(net_c) > 0), "update_preimage", "delete")
+    ).unionByName(
+        replicate(
+            classify(net.filter(F.col(net_c) < 0), "update_postimage", "insert")
+        )
+    ).select(*data_cols, change_col)
 
 
 def enable_snapshots(

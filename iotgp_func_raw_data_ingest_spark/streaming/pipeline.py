@@ -483,6 +483,31 @@ def _ledger_stream(spark, route: str, start_generation: int) -> DataFrame:
     )
 
 
+def _feed_span_bounds(gens: list[tuple[int, str]]) -> list[tuple[int, int]]:
+    """Split a ledger batch's generation span at whole-route-rewrite
+    generations (see ``start_changes_stream``'s contract): returns the
+    ordered (from, to] sub-spans whose feeds, applied in order, compose
+    to the batch's one compressed feed. ``gens`` is the batch's sorted
+    (generation, kind) rows; an empty batch yields no spans."""
+    if not gens:
+        return []
+    base = max(gens[0][0] - 1, 1)
+    to = gens[-1][0]
+    bounds: list[tuple[int, int]] = []
+    cur = base
+    for g, kind in gens:
+        if g <= cur:
+            continue
+        if kind in WHOLE_ROUTE_REWRITE_KINDS:
+            if g - 1 > cur:
+                bounds.append((cur, g - 1))
+            bounds.append((g - 1, g))
+            cur = g
+    if to > cur:
+        bounds.append((cur, to))
+    return bounds
+
+
 def start_changes_stream(
     spark,
     route: str,
@@ -571,30 +596,15 @@ def start_changes_stream(
             (r["generation"], r["kind"])
             for r in batch_df.select("generation", "kind").collect()
         )
-        if gens:
-            base = max(gens[0][0] - 1, 1)
-            to = gens[-1][0]
-            # split the batch's span at whole-route-rewrite generations
-            # so only the rewrite span pays the full-route diff (the
-            # ledger rows carry each manifest's kind — no extra I/O)
-            bounds: list[tuple[int, int]] = []
-            cur = base
-            for g, kind in gens:
-                if g <= cur:
-                    continue
-                if kind in WHOLE_ROUTE_REWRITE_KINDS:
-                    if g - 1 > cur:
-                        bounds.append((cur, g - 1))
-                    bounds.append((g - 1, g))
-                    cur = g
-            if to > cur:
-                bounds.append((cur, to))
-            for frm, t_ in bounds:
-                feed = read_changes_between(
-                    bspark, route, frm, t_, fmt=fmt, key_cols=key_cols,
-                    live_only=live_only,
-                )
-                sink(feed, frm, t_)
+        # split the batch's span at whole-route-rewrite generations so
+        # only the rewrite span pays the full-route diff (the ledger
+        # rows carry each manifest's kind — no extra I/O)
+        for frm, t_ in _feed_span_bounds(gens):
+            feed = read_changes_between(
+                bspark, route, frm, t_, fmt=fmt, key_cols=key_cols,
+                live_only=live_only,
+            )
+            sink(feed, frm, t_)
         mark_batch_committed(bspark, checkpoint_dir, batch_id)
 
     writer = _ledger_stream(spark, route, start_generation).writeStream.foreachBatch(
@@ -686,6 +696,110 @@ def start_ivm_refresh_stream(
     writer = _ledger_stream(spark, route, start_generation).writeStream.foreachBatch(
         _sink
     ).option("checkpointLocation", ckpt)
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_changes_and_ivm_stream(
+    spark,
+    route: str,
+    sink,
+    checkpoint_dir: str,
+    view_path: str,
+    group_cols: list[str],
+    sum_cols: list[str] | tuple[str, ...] = (),
+    key_cols: list[str] | None = None,
+    fmt: str = "parquet",
+    start_generation: int = 0,
+    live_only: bool = False,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """Feed export + event-driven IVM from ONE ledger lifecycle: the
+    fan-out form of running ``start_changes_stream`` and
+    ``start_ivm_refresh_stream`` side by side. Both consumers are
+    commit-driven followers of the SAME generation ledger, so two
+    concurrent streams pay Spark's per-stream Python-DataSource planner
+    lifecycle twice (measured ~2.5 s of process spawn per availableNow
+    start/stop — the dominant cost of a drain at small batch sizes) to
+    read the same handful of manifest-summary rows. Here one stream
+    reads the ledger once and its foreachBatch fans out to both
+    consumers, run concurrently (guide §2.6 — independent sinks:
+    the feed export writes the caller's sink, the IVM refresh swaps the
+    view directory).
+
+    Semantics are unchanged from the two-stream form:
+
+    - the offset-equals-generation checkpoint design is preserved — the
+      shared stream's offset log IS the applied-generation watermark,
+      exactly as each separate stream's was;
+    - the feed export keeps the committed-batch ledger (effectively-once
+      outside the crash-between-sink-and-marker window) and the
+      whole-route-rewrite span split (``_feed_span_bounds``);
+    - the IVM refresh needs no batch ledger (exactly-once via the view's
+      own watermark, which moves in the view's atomic swap) and always
+      catches up to the LATEST committed generation — a replayed or
+      coalesced batch finds the view current and no-ops;
+    - ``live_only`` applies to both consumers (they follow the same
+      logical table; a mixed-mode pair would be two different tables —
+      run two streams for that).
+
+    A production deployment with MANY followers of one route generalizes
+    the same way: one ledger lifecycle, fan out in foreachBatch."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from iotgp_func_raw_data_ingest_spark.sources.ivm import (
+        refresh_view_from_changes,
+    )
+    from iotgp_func_raw_data_ingest_spark.sources.snapshots import (
+        read_changes_between,
+        snapshots_enabled,
+    )
+
+    if not snapshots_enabled(spark, route):
+        raise ValueError(
+            f"{route} has no generation ledger — the changes stream "
+            "follows commits, so there is nothing to follow; call "
+            "snapshots.enable_snapshots(route) first"
+        )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        bspark = batch_df.sparkSession
+        gens = sorted(
+            (r["generation"], r["kind"])
+            for r in batch_df.select("generation", "kind").collect()
+        )
+
+        def _feed() -> None:
+            if batch_committed(bspark, checkpoint_dir, batch_id):
+                return
+            for frm, t_ in _feed_span_bounds(gens):
+                feed = read_changes_between(
+                    bspark, route, frm, t_, fmt=fmt, key_cols=key_cols,
+                    live_only=live_only,
+                )
+                sink(feed, frm, t_)
+            mark_batch_committed(bspark, checkpoint_dir, batch_id)
+
+        def _ivm() -> None:
+            if gens:
+                refresh_view_from_changes(
+                    bspark, route, view_path, list(group_cols),
+                    list(sum_cols), fmt=fmt, live_only=live_only,
+                )
+
+        # overlap the two consumers: independent outputs, and Spark's
+        # scheduler happily runs their jobs concurrently (guide §2.6)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futures = [pool.submit(_feed), pool.submit(_ivm)]
+            for f in futures:
+                f.result()
+
+    writer = _ledger_stream(spark, route, start_generation).writeStream.foreachBatch(
+        _sink
+    ).option("checkpointLocation", checkpoint_dir)
     if trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     else:

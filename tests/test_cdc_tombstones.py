@@ -275,7 +275,7 @@ def test_expire_crash_after_seal_heals_exactly_once(spark, tmp_path, monkeypatch
 
     real_finish = mnt._finish_keyed_delete
 
-    def crash_on_commit(spark_, table_path, stage_name):
+    def crash_on_commit(spark_, table_path, stage_name, manifest=None):
         raise RuntimeError("injected crash before the staged commit")
 
     monkeypatch.setattr(mnt, "_finish_keyed_delete", crash_on_commit)

@@ -232,10 +232,12 @@ def test_manifest_records_staged_names(spark, tmp_path):
     captured = {}
     real_finish = lake_mod._finish_staged_replace
 
-    def spying_finish(s, table_path, stage_name):
+    def spying_finish(s, table_path, stage_name, manifest=None):
+        # read the ON-DISK manifest (not the in-line copy): this test
+        # pins that the names survive to disk for crash healing
         with open(f"{table_path}/{stage_name}/_manifest.json") as fh:
             captured.update(json.load(fh))
-        return real_finish(s, table_path, stage_name)
+        return real_finish(s, table_path, stage_name, manifest=manifest)
 
     lake_mod._finish_staged_replace = spying_finish
     try:

@@ -2,7 +2,7 @@
 the before/after plan evidence an optimization round commits under
 ``plans/r{N}/``.
 
-Run: python tools/explain_dump.py <out_dir> <suffix> <query...> [--sf SF_DIR]
+Run: python tools/explain_dump.py <out_dir> <suffix> <query...> [--sf=SF_DIR]
 
 Each query lands at ``<out_dir>/<query>_<suffix>.txt``. Queries whose
 builder RUNS streaming jobs / writes side outputs (the harness-style
@@ -26,11 +26,26 @@ from iotgp_func_raw_data_ingest_spark.session import get_spark
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--sf=")]
+    # accept both --sf=DIR and --sf DIR (r12 ADVICE: the space form was
+    # silently consumed as query names), and print usage instead of an
+    # IndexError when the positional args are missing
     sf_dir = "/root/testdata/sf0.01"
-    for a in sys.argv[1:]:
+    args: list[str] = []
+    it = iter(sys.argv[1:])
+    for a in it:
         if a.startswith("--sf="):
             sf_dir = a.split("=", 1)[1]
+        elif a == "--sf":
+            sf_dir = next(it, sf_dir)
+        else:
+            args.append(a)
+    if len(args) < 3:
+        print(
+            "usage: python tools/explain_dump.py <out_dir> <suffix> "
+            "<query...> [--sf=SF_DIR]",
+            file=sys.stderr,
+        )
+        return 2
     out_dir, suffix, names = args[0], args[1], args[2:]
     os.makedirs(out_dir, exist_ok=True)
 

@@ -44,9 +44,16 @@ def main() -> int:
     def run(name: str) -> None:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # clamp reps (reps=0 would leave best=None → TypeError) and dedupe
+    # an explicitly requested sentinel so it isn't timed twice
+    reps = max(1, reps)
     sentinels = [n for n in sorted(QUERIES) if n.startswith(("q01_", "q02_"))]
     out: dict[str, float] = {}
+    seen: set[str] = set()
     for name in sentinels + names:
+        if name in seen:
+            continue
+        seen.add(name)
         if name not in QUERIES:
             print(f"SKIP {name}: not registered", file=sys.stderr)
             continue
